@@ -1,0 +1,174 @@
+"""Distributed extraction stages (map_batches callables / actor classes).
+
+Each stage is Arrow-in / Arrow-out (``batch_format="pyarrow"``) and applies
+the *same pure functions* as the golden extractor (:mod:`sema_ray.golden`)
+per turn, so pipeline output parity with the oracle depends only on the Ray
+plumbing — the property the P/R gate checks (SURVEY §5.3, §7(c)).
+
+Stateful stages (compiled pattern sets) are callable classes meant for actor
+pools: regex compilation happens once per actor in ``__init__`` (fixing the
+reference's per-call model rebuild, ``lance_indexer.rs:61,115``), batches in
+``__call__``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import golden
+from .chunker import chunk_text
+from .hashing import content_hash
+
+TRIPLE_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("conf", pa.float32()),
+    ]
+)
+
+MENTION_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("m_start", pa.int32()),
+        ("m_end", pa.int32()),
+        ("surface", pa.string()),
+    ]
+)
+
+CHUNK_SCHEMA = pa.schema(
+    [
+        ("id", pa.string()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("ordinal", pa.int32()),
+        ("start_byte", pa.int64()),
+        ("end_byte", pa.int64()),
+        ("start_line", pa.int64()),
+        ("end_line", pa.int64()),
+        ("content", pa.string()),
+    ]
+)
+
+
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    """Parse/normalize stage: derived columns only — ``text`` itself is never
+    rewritten (per-turn text-equality invariant, BASELINE.json input_hint).
+
+    Adds ``n_bytes`` (UTF-8 length) and ``text_hash`` (content fingerprint,
+    reference T4 idea at row granularity).
+    """
+    n_bytes = pc.binary_length(pc.cast(batch["text"], pa.binary()))
+    hashes = pa.array(
+        [content_hash(t) for t in batch["text"].to_pylist()], pa.string()
+    )
+    out = batch.append_column("n_bytes", pc.cast(n_bytes, pa.int64()))
+    return out.append_column("text_hash", hashes)
+
+
+class MentionDetectStage:
+    """1->N flat map: transcript turns -> entity mentions (MENTION_SCHEMA)."""
+
+    def __init__(self):
+        self.entity_re = golden.ENTITY_RE  # compiled once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv_ids, turn_idxs, starts, ends, surfaces = [], [], [], [], []
+        for cid, tid, text in zip(
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            for m in golden.detect_mentions(text):
+                conv_ids.append(cid)
+                turn_idxs.append(tid)
+                starts.append(m.start)
+                ends.append(m.end)
+                surfaces.append(m.surface)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv_ids, pa.string()),
+                "turn_idx": pa.array(turn_idxs, pa.int32()),
+                "m_start": pa.array(starts, pa.int32()),
+                "m_end": pa.array(ends, pa.int32()),
+                "surface": pa.array(surfaces, pa.string()),
+            },
+            schema=MENTION_SCHEMA,
+        )
+
+
+class TripleExtractStage:
+    """1->N flat map: transcript turns -> (subj, pred, obj, conf) triples."""
+
+    def __init__(self):
+        self.patterns = golden.PATTERNS  # compiled once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv_ids, turn_idxs, subjs, preds, objs, confs = [], [], [], [], [], []
+        for cid, tid, text in zip(
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            for t in golden.extract_triples(text):
+                conv_ids.append(cid)
+                turn_idxs.append(tid)
+                subjs.append(t.subj)
+                preds.append(t.pred)
+                objs.append(t.obj)
+                confs.append(t.conf)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv_ids, pa.string()),
+                "turn_idx": pa.array(turn_idxs, pa.int32()),
+                "subj": pa.array(subjs, pa.string()),
+                "pred": pa.array(preds, pa.string()),
+                "obj": pa.array(objs, pa.string()),
+                "conf": pa.array(confs, pa.float32()),
+            },
+            schema=TRIPLE_SCHEMA,
+        )
+
+
+def chunk_batch(batch: pa.Table, *, id_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+                text_col: str = "text") -> pa.Table:
+    """1->N flat map applying the reference chunker (M2) per turn.
+
+    Chunk ids follow the reference's ``{source}:{ordinal}`` format
+    (``processor.rs:62``) with source = ``conv_id/turn_idx``.
+    """
+    key_a, key_b = id_cols
+    ids, convs, tids, ords_, sb, eb, sl, el, contents = ([] for _ in range(9))
+    for cid, tid, text in zip(
+        batch[key_a].to_pylist(), batch[key_b].to_pylist(),
+        batch[text_col].to_pylist(),
+    ):
+        for ch in chunk_text(text):
+            ids.append(f"{cid}/{tid}:{ch.ordinal}")
+            convs.append(cid)
+            tids.append(tid)
+            ords_.append(ch.ordinal)
+            sb.append(ch.start_byte)
+            eb.append(ch.end_byte)
+            sl.append(ch.start_line)
+            el.append(ch.end_line)
+            contents.append(ch.content)
+    return pa.table(
+        {
+            "id": pa.array(ids, pa.string()),
+            "conv_id": pa.array(convs, pa.string()),
+            "turn_idx": pa.array(tids, pa.int32()),
+            "ordinal": pa.array(ords_, pa.int32()),
+            "start_byte": pa.array(sb, pa.int64()),
+            "end_byte": pa.array(eb, pa.int64()),
+            "start_line": pa.array(sl, pa.int64()),
+            "end_line": pa.array(el, pa.int64()),
+            "content": pa.array(contents, pa.string()),
+        },
+        schema=CHUNK_SCHEMA,
+    )

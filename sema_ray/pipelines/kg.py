@@ -1,0 +1,414 @@
+"""Flagship pipeline: KG construction over transcript Parquet (north star).
+
+Dataflow (BASELINE.json north_star, SURVEY §3.4)::
+
+    read_parquet(transcripts shards)
+      -> map_batches(normalize)                       # derived cols only
+      -> map_batches(MentionDetectStage, actor pool)  # turns -> mentions
+      -> map_batches(TripleExtractStage, actor pool)  # turns -> triples
+      entity side:
+      mentions -> per-batch partial counts -> groupby(surface).sum  # distinct
+               -> map_batches(minhash/LSH bands) -> groupby(band)   # blocking
+               -> candidate pairs -> union-find (single reducer)    # merge
+               -> canonical entity table (broadcast via ray.put)
+      -> map_batches(LinkStage, actor pool)           # triples + entity ids
+      -> groupby(subj_id,pred,obj_id).count           # adjacency aggregate
+      -> write_parquet(triples/part=<shard>, adjacency/) + lineage manifests
+
+Partitioning: per-turn stages need no conversation locality — blocks are
+balanced by the input shuffle; the only per-conversation operation is the
+coherence pass (``groupby(conv_id).map_groups(sort turn_idx)``), and skewed
+high-turn conversations are handled there by *salted* keys for the per-turn
+part and unsalted grouping only at the final, cheap regroup (SURVEY §4.1).
+
+Scale notes (100 TB design):
+- extraction is embarrassingly parallel: no shuffle until the entity side;
+- the surface-form aggregate is pre-combined inside each batch before the
+  ``groupby`` (partial aggregation), so the shuffle moves one row per
+  distinct surface per batch, not one per mention;
+- the canonical map is the *small* side (entity vocabulary ≪ turns) and is
+  broadcast once via ``ray.put``, read per actor in ``__init__`` — never
+  re-shipped per batch;
+- union-find sees only LSH candidate pairs (≪ distinct surfaces).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..canonicalize import (band_hashes, build_canonical_map,
+                            char_shingle_hashes, minhash_signature,
+                            normalize_surface)
+from ..extract import (MentionDetectStage, TripleExtractStage, normalize_batch)
+from ..hashing import stable_id64
+from ..state.manifest import (load_manifests, shard_fingerprint,
+                              shard_is_done, write_manifest)
+
+# Batch sizing: turns average ~100-500 B of text; 4096 rows ≈ 0.5-2 MB per
+# batch keeps actor calls amortized without ballooning heap (SURVEY §4.3(4)).
+DEFAULT_BATCH_SIZE = 4096
+
+
+def _pool() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the current session."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (1, max(2, cpus))
+
+
+def read_transcripts(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Source: transcript shards (a directory of parquet files or one file).
+
+    Column pruning is pushed into the read (SURVEY S1: the crawler collapses
+    into datasource planning).
+    """
+    return rd.read_parquet(path, columns=columns)
+
+
+def triples_dataset(ds: rd.Dataset, batch_size: int = DEFAULT_BATCH_SIZE) -> rd.Dataset:
+    """Turns -> triples via the actor-pool extractor (reads only conv_id,
+    turn_idx, text)."""
+    return ds.map_batches(
+        TripleExtractStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=_pool(),
+    )
+
+
+def mentions_dataset(ds: rd.Dataset, batch_size: int = DEFAULT_BATCH_SIZE) -> rd.Dataset:
+    """Turns -> entity mentions via the actor-pool detector."""
+    return ds.map_batches(
+        MentionDetectStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=_pool(),
+    )
+
+
+def surface_form_counts(mentions: rd.Dataset) -> rd.Dataset:
+    """Distinct mention surfaces with counts.
+
+    Pre-aggregates inside each batch (one row per distinct surface per batch)
+    before the global ``groupby`` — the shuffle moves partials, not mentions.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch["surface"].value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table(
+            {
+                "surface": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    partials = mentions.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("surface").aggregate(Sum("n", alias_name="n"))
+
+
+def lsh_band_rows(surfaces: rd.Dataset) -> rd.Dataset:
+    """(band_id, band_hash, norm_key) rows for LSH blocking.
+
+    Signatures are computed per *normalized key* (casing/suffix variants have
+    already collapsed to equal keys and don't need LSH).
+    """
+
+    def bands(batch: pa.Table) -> pa.Table:
+        band_ids, hashes, keys = [], [], []
+        seen: set[str] = set()
+        for s in batch["surface"].to_pylist():
+            k = normalize_surface(s)
+            if not k or k in seen:
+                continue
+            seen.add(k)
+            sig = minhash_signature(char_shingle_hashes(k))
+            for b, h in enumerate(band_hashes(sig)):
+                band_ids.append(b)
+                hashes.append(h)
+                keys.append(k)
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(hashes, pa.int64()),
+                "norm_key": pa.array(keys, pa.string()),
+            }
+        )
+
+    return surfaces.map_batches(bands, batch_format="pyarrow")
+
+
+def lsh_candidate_pairs(surfaces: rd.Dataset,
+                        max_bucket: int = 1000) -> list[tuple[str, str]]:
+    """Candidate pairs from LSH buckets (star pairing: first member vs rest).
+
+    Buckets over ``max_bucket`` keys are truncated (hot-bucket guard) — at
+    LSH band width 4 a bucket that large means near-identical keys that the
+    star pairs already connect transitively through union-find.
+    """
+
+    def pairs(group: pa.Table) -> pa.Table:
+        keys = sorted(set(group["norm_key"].to_pylist()))[:max_bucket]
+        if len(keys) < 2:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string())})
+        rep = keys[0]
+        return pa.table({"a": pa.array([rep] * (len(keys) - 1), pa.string()),
+                         "b": pa.array(keys[1:], pa.string())})
+
+    band_rows = lsh_band_rows(surfaces)
+    pair_ds = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pyarrow"
+    )
+    pdf = pair_ds.to_pandas()  # small: pairs ≪ surfaces by construction
+    return sorted(set(zip(pdf["a"], pdf["b"])))
+
+
+def canonical_entities(mentions: rd.Dataset) -> tuple[dict[str, tuple[int, str]], pa.Table]:
+    """Full canonicalization: counts -> LSH pairs -> union-find -> table.
+
+    Returns (surface -> (entity_id, canonical_surface) map, entity table with
+    columns entity_id | canonical | surface | n).
+    """
+    counts_ds = surface_form_counts(mentions)
+    counts = counts_ds.to_pandas()  # small: distinct surfaces (vocabulary)
+    surface_counts = list(zip(counts["surface"], counts["n"].astype(int)))
+    pairs = lsh_candidate_pairs(counts_ds)
+    cmap = build_canonical_map(surface_counts, pairs)
+    ent = pa.table(
+        {
+            "entity_id": pa.array([cmap[s][0] for s, _ in surface_counts], pa.int64()),
+            "canonical": pa.array([cmap[s][1] for s, _ in surface_counts], pa.string()),
+            "surface": pa.array([s for s, _ in surface_counts], pa.string()),
+            "n": pa.array([n for _, n in surface_counts], pa.int64()),
+        }
+    )
+    return cmap, ent
+
+
+class LinkStage:
+    """Broadcast-join entity linker (actor pool).
+
+    The canonical map travels once to each actor via an object-store ref
+    (``ray.put`` on the driver, ``ray.get`` in ``__init__``) — the broadcast
+    hash-join pattern for a small dimension side (SURVEY §2 "Joins").
+    Surfaces outside the map (possible only if linking runs on a different
+    corpus than canonicalization) fall back to self-canonicalization, so the
+    stage is total and deterministic.
+    """
+
+    def __init__(self, cmap_ref):
+        self.cmap: dict[str, tuple[int, str]] = ray.get(cmap_ref)
+
+    def _lookup(self, s: str) -> tuple[int, str]:
+        hit = self.cmap.get(s)
+        if hit is None:
+            return stable_id64(normalize_surface(s) or s), s
+        return hit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subs = batch["subj"].to_pylist()
+        objs = batch["obj"].to_pylist()
+        s_ids, s_canon = zip(*(self._lookup(s) for s in subs)) if subs else ((), ())
+        o_ids, o_canon = zip(*(self._lookup(o) for o in objs)) if objs else ((), ())
+        out = batch.append_column("subj_id", pa.array(s_ids, pa.int64()))
+        out = out.append_column("obj_id", pa.array(o_ids, pa.int64()))
+        out = out.append_column("subj_canonical", pa.array(s_canon, pa.string()))
+        out = out.append_column("obj_canonical", pa.array(o_canon, pa.string()))
+        return out
+
+
+def link_triples(triples: rd.Dataset, cmap: dict[str, tuple[int, str]],
+                 batch_size: int = DEFAULT_BATCH_SIZE) -> rd.Dataset:
+    cmap_ref = ray.put(cmap)
+    return triples.map_batches(
+        LinkStage,
+        fn_constructor_args=(cmap_ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=_pool(),
+    )
+
+
+def adjacency(linked: rd.Dataset) -> rd.Dataset:
+    """Graph edge aggregate: support count per (subj_id, pred, obj_id).
+
+    Pre-combines per batch before the groupby (partial aggregation), so the
+    all-to-all moves edge partials, not triples.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["subj_id", "pred", "obj_id",
+                           "subj_canonical", "obj_canonical"]).aggregate(
+            [("conf", "count")]
+        )
+        return g.rename_columns(
+            ["subj_id", "pred", "obj_id", "subj_canonical", "obj_canonical", "n"]
+        )
+
+    partials = linked.map_batches(partial, batch_format="pyarrow")
+    return (
+        partials.groupby(["subj_id", "pred", "obj_id"])
+        .aggregate(Sum("n", alias_name="support"))
+    )
+
+
+def coherent_turns(ds: rd.Dataset) -> rd.Dataset:
+    """Stable turn ordering: per-conversation sort on turn_idx.
+
+    The only stage needing conversation locality. Whale conversations are a
+    single group each; at 10^12-turn scale a group is at most one
+    conversation (bounded), so no salt is needed *here* — salting applies to
+    the per-turn stages when block balance matters (see
+    :func:`salted_repartition`).
+    """
+
+    def per_group(g: pa.Table) -> pa.Table:
+        return g.sort_by([("turn_idx", "ascending")])
+
+    return ds.groupby("conv_id").map_groups(per_group, batch_format="pyarrow")
+
+
+def detect_heavy_convs(ds: rd.Dataset, threshold: int = 1000) -> set[str]:
+    """Cheap presample for skew: conv_ids with > threshold turns (SURVEY §4.3)."""
+    counts = ds.groupby("conv_id").aggregate(Count(alias_name="n_turns"))
+    heavy = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n_turns"], threshold)),
+        batch_format="pyarrow",
+    )
+    return set(heavy.to_pandas()["conv_id"])
+
+
+def salted_repartition(ds: rd.Dataset, num_partitions: int,
+                       heavy: set[str] | None = None,
+                       salt_span: int = 256) -> rd.Dataset:
+    """Hash-partition on conv_id with per-span salt for heavy conversations.
+
+    Per-turn stages don't need whole-conversation locality, so a heavy
+    conversation's turns are spread over ``ceil(n_turns/salt_span)`` salted
+    keys (`conv#<turn_idx//span>`), keeping partitions balanced
+    (FP-Hadoop-style skew split, PAPERS.md).
+    """
+    heavy = heavy or set()
+    heavy_ref = ray.put(heavy)
+
+    class AddKey:
+        def __init__(self):
+            self.heavy = ray.get(heavy_ref)
+            self.span = salt_span
+            self.P = num_partitions
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            convs = batch["conv_id"].to_pylist()
+            tids = batch["turn_idx"].to_pylist()
+            keys = [
+                (stable_id64(f"{c}#{t // self.span}") if c in self.heavy
+                 else stable_id64(c)) % self.P
+                for c, t in zip(convs, tids)
+            ]
+            return batch.append_column("part_key", pa.array(keys, pa.int32()))
+
+    return ds.map_batches(AddKey, batch_format="pyarrow", concurrency=_pool())
+
+
+def run_kg(input_dir: str, out_dir: str, *, shards_per_wave: int = 4,
+           batch_size: int = DEFAULT_BATCH_SIZE) -> dict:
+    """End-to-end checkpointed run: extraction per shard wave (resumable),
+    then global canonicalize + link + adjacency.
+
+    Output layout (resumable, SURVEY §4.3)::
+
+        out_dir/triples/part=<shard>/*.parquet     # per-shard, overwritable
+        out_dir/mentions/part=<shard>/*.parquet
+        out_dir/entities/*.parquet                 # global (phase B)
+        out_dir/linked/*.parquet
+        out_dir/adjacency/*.parquet
+        out_dir/_manifest/part=<shard>.json        # lineage per shard
+    """
+    t0 = time.time()
+    shard_paths = sorted(
+        os.path.join(input_dir, p) for p in os.listdir(input_dir)
+        if p.endswith(".parquet")
+    )
+    manifests = load_manifests(out_dir)
+    pending: list[tuple[str, str, str]] = []  # (shard_name, path, fingerprint)
+    skipped = 0
+    for p in shard_paths:
+        shard = os.path.basename(p).removesuffix(".parquet")
+        fp = shard_fingerprint(p)
+        if shard_is_done(out_dir, shard, fp, manifests):
+            skipped += 1
+        else:
+            pending.append((shard, p, fp))
+
+    rows_in = rows_out = 0
+    for w0 in range(0, len(pending), shards_per_wave):
+        wave = pending[w0 : w0 + shards_per_wave]
+        for shard, path, fp in wave:
+            tw = time.time()
+            ds = read_transcripts(path, columns=["conv_id", "turn_idx", "text"])
+            n_in = ds.count()
+            trip = triples_dataset(ds, batch_size=batch_size)
+            tdir = os.path.join(out_dir, "triples", f"part={shard}")
+            shutil.rmtree(tdir, ignore_errors=True)  # recompute = overwrite (S6)
+            trip.write_parquet(tdir)
+            ment = mentions_dataset(
+                read_transcripts(path, columns=["conv_id", "turn_idx", "text"]),
+                batch_size=batch_size,
+            )
+            mdir = os.path.join(out_dir, "mentions", f"part={shard}")
+            shutil.rmtree(mdir, ignore_errors=True)
+            ment.write_parquet(mdir)
+            n_out = rd.read_parquet(tdir).count()
+            rows_in += n_in
+            rows_out += n_out
+            write_manifest(out_dir, shard, {
+                "input_fingerprint": fp,
+                "input_path": path,
+                "rows_in": n_in,
+                "rows_out": n_out,
+                "wall_ms": int((time.time() - tw) * 1000),
+                "stages": ["normalize", "triple_extract", "mention_detect"],
+            })
+
+    # Phase B: global entity resolution over all shards' mentions + triples.
+    tb = time.time()
+    mentions = rd.read_parquet(os.path.join(out_dir, "mentions"))
+    cmap, ent_table = canonical_entities(mentions)
+    ent_dir = os.path.join(out_dir, "entities")
+    shutil.rmtree(ent_dir, ignore_errors=True)  # phase B is global: overwrite
+    rd.from_arrow(ent_table).write_parquet(ent_dir)
+    triples = rd.read_parquet(os.path.join(out_dir, "triples"))
+    linked = link_triples(triples, cmap, batch_size=batch_size)
+    linked_dir = os.path.join(out_dir, "linked")
+    shutil.rmtree(linked_dir, ignore_errors=True)
+    linked.write_parquet(linked_dir)
+    adj = adjacency(rd.read_parquet(linked_dir))
+    adj_dir = os.path.join(out_dir, "adjacency")
+    shutil.rmtree(adj_dir, ignore_errors=True)
+    adj.write_parquet(adj_dir)
+    n_adj = rd.read_parquet(adj_dir).count()
+
+    return {
+        "shards_total": len(shard_paths),
+        "shards_skipped": skipped,
+        "shards_processed": len(pending),
+        "rows_in": rows_in,
+        "triples_out": rows_out,
+        "entities": ent_table.num_rows,
+        "adjacency_edges": n_adj,
+        "phase_b_ms": int((time.time() - tb) * 1000),
+        "wall_ms": int((time.time() - t0) * 1000),
+    }
