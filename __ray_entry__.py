@@ -1,44 +1,295 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline on a transcript corpus derived
+deterministically from /root/testdata/sf0.001. ``queries()`` exposes one
+callable per implemented operator/pipeline (SURVEY.md §2 + the
+training-data-pipeline additions); ``oracle_sql()`` gives the DuckDB twin
+for every SQL-expressible one (identical output column names on both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before this module is imported; nothing
+here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:  # make sema_ray importable however we're loaded
+    sys.path.insert(0, _REPO_DIR)
+
+TOKEN_RE = "[A-Za-z0-9]+"
+
+
+def _kg_corpus(sf_dir: str) -> str:
+    from sema_ray.sources.transcripts import ensure_corpus
+    return ensure_corpus(kind="docs", sf_dir=sf_dir, variants=1, num_shards=8)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline on a corpus derived from sf0.001 documents."""
+    from sema_ray.pipelines.kg import kg_flagship
+    return kg_flagship(_kg_corpus("/root/testdata/sf0.001"))
+
+
+def _kg_triples(sf_dir: str):
+    from sema_ray.pipelines.kg import read_transcripts, triples_dataset
+    return triples_dataset(
+        read_transcripts(_kg_corpus(sf_dir),
+                         columns=["conv_id", "turn_idx", "text"]))
+
+
+def _kg_mentions(sf_dir: str):
+    from sema_ray.pipelines.kg import mentions_dataset, read_transcripts
+    return mentions_dataset(
+        read_transcripts(_kg_corpus(sf_dir),
+                         columns=["conv_id", "turn_idx", "text"]))
+
+
+def _kg_entities(sf_dir: str):
+    from sema_ray.pipelines.kg import canonical_entities
+    _cmap, ent = canonical_entities(_kg_mentions(sf_dir))
+    return ent
+
+
+def _kg_linked(sf_dir: str):
+    from sema_ray.pipelines.kg import kg_flagship
+    return kg_flagship(_kg_corpus(sf_dir))
+
+
+def _kg_adjacency(sf_dir: str):
+    from sema_ray.pipelines.kg import adjacency, kg_flagship
+    return adjacency(kg_flagship(_kg_corpus(sf_dir)))
+
+
+def _kg_chunks(sf_dir: str):
+    from sema_ray.extract import chunk_batch
+    from sema_ray.pipelines.kg import read_transcripts
+    ds = read_transcripts(_kg_corpus(sf_dir),
+                          columns=["conv_id", "turn_idx", "text"])
+    return ds.map_batches(chunk_batch, batch_format="pyarrow")
+
+
+def _embedding_dup_pairs(sf_dir: str):
+    """Collected to a Table so an empty result keeps its (a, b) schema."""
+    import pyarrow as pa
+    from sema_ray import simsearch
+    from sema_ray.util import collect_table
+    tbl = collect_table(simsearch.embedding_dup_pairs(sf_dir, threshold=0.5))
+    if tbl.num_columns == 0:
+        tbl = pa.table({"a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64())})
+    return tbl
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from sema_ray import dedup, multimodal, relational, simsearch, textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational layer (SURVEY §2 M1/A1/A2/K1 + joins) -------------
+        "filter_high_quantity": relational.filter_high_quantity,
+        "topk_orders": relational.topk_orders,
+        "distinct_segments": relational.distinct_segments,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "brand_price_stats": relational.brand_price_stats,
+        "hourly_event_stats": relational.hourly_event_stats,
+        "top_event_per_user": relational.top_event_per_user,
+        "sessionize_users": relational.sessionize_users,
+        "orders_per_segment": relational.orders_per_segment,
+        "revenue_by_priority": relational.revenue_by_priority,
+        "union_key_counts": relational.union_key_counts,
+        "exact_text_search": relational.exact_text_search,
+        "grouped_search": relational.grouped_search,
+        # --- text analysis ------------------------------------------------
+        "doc_stats": textops.doc_stats,
+        "token_count_by_lang": textops.token_count_by_lang,
+        "quality_scores": textops.quality_scores,
+        "lang_id": textops.lang_id,
+        "doc_fingerprints": textops.doc_fingerprints,
+        # --- dedup family -------------------------------------------------
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_minhash": dedup.minhash_near_dup,
+        "dedup_simhash": dedup.simhash_near_dup,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        # --- similarity search --------------------------------------------
+        "knn_bruteforce": simsearch.knn_bruteforce,
+        "knn_lsh": simsearch.knn_lsh,
+        "embedding_dup_pairs": _embedding_dup_pairs,
+        "embedding_near_dup": simsearch.embedding_near_dup,
+        "semantic_search": simsearch.semantic_search,
+        "bm25_search": simsearch.bm25_search,
+        # --- multimodal plumbing ------------------------------------------
+        "binary_meta": multimodal.binary_meta,
+        # --- KG construction (flagship; non-SQL, golden-oracle in pytest) -
+        "kg_chunks": _kg_chunks,
+        "kg_mentions": _kg_mentions,
+        "kg_triples": _kg_triples,
+        "kg_entities": _kg_entities,
+        "kg_linked_triples": _kg_linked,
+        "kg_adjacency": _kg_adjacency,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_high_quantity": """
+            SELECT l_orderkey, l_partkey, l_quantity
+            FROM lineitem WHERE l_quantity > 45
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   FLOOR(SUM(l_quantity) * 100 + 0.5) / 100                            AS sum_qty,
+                   FLOOR(SUM(l_extendedprice) * 100 + 0.5) / 100                       AS sum_base_price,
+                   FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100    AS sum_disc_price,
+                   COUNT(*)                                             AS count_order,
+                   FLOOR(SUM(l_quantity) / COUNT(*) * 10000 + 0.5) / 10000                 AS avg_qty,
+                   FLOOR(SUM(l_extendedprice) / COUNT(*) * 10000 + 0.5) / 10000            AS avg_price
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "brand_price_stats": """
+            SELECT p_brand,
+                   FLOOR(MIN(p_retailprice) * 100 + 0.5) / 100 AS min_price,
+                   FLOOR(MAX(p_retailprice) * 100 + 0.5) / 100 AS max_price,
+                   FLOOR(SUM(p_retailprice) / COUNT(*) * 10000 + 0.5) / 10000 AS avg_price,
+                   COUNT(*) AS n_parts
+            FROM part GROUP BY p_brand
+        """,
+        "hourly_event_stats": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+                   event_type,
+                   FLOOR(SUM(value) * 100 + 0.5) / 100 AS sum_value,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "top_event_per_user": """
+            SELECT user_id, event_id, n_events FROM (
+                SELECT user_id, event_id,
+                       COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events) t
+            WHERE rn = 1
+        """,
+        "sessionize_users": """
+            SELECT user_id,
+                   CAST(1 + SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sessions
+            FROM (SELECT user_id,
+                         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                  FROM events) t
+            GROUP BY user_id
+        """,
+        "orders_per_segment": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS sum_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "revenue_by_priority": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_items,
+                   FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "union_key_counts": """
+            SELECT key, COUNT(*) AS n FROM (
+                SELECT o_custkey AS key FROM orders
+                UNION ALL
+                SELECT c_custkey AS key FROM customer) t
+            GROUP BY key
+        """,
+        "exact_text_search": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, 'data')) AS BIGINT)
+                       AS n_matches
+            FROM documents WHERE text LIKE '%data%'
+        """,
+        "grouped_search": """
+            SELECT source, doc_id, score, n_docs_matched FROM (
+                SELECT source, doc_id, score,
+                       COUNT(*) OVER (PARTITION BY source) AS n_docs_matched,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY score DESC, doc_id) AS rn
+                FROM (SELECT source, doc_id,
+                             CAST(length(regexp_extract_all(text, 'vector'))
+                                  AS BIGINT) AS score
+                      FROM documents) s
+                WHERE score > 0) t
+            WHERE rn = 1
+        """,
+        "doc_stats": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_extract_all(text, '{TOKEN_RE}'))
+                        AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_extract_all(text, '[0-9]'))
+                        AS BIGINT) AS n_digits,
+                   CAST(length(regexp_extract_all(text, ' '))
+                        AS BIGINT) AS n_spaces
+            FROM documents
+        """,
+        "token_count_by_lang": f"""
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(length(regexp_extract_all(text, '{TOKEN_RE}')))
+                        AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang
+        """,
+        "quality_scores": f"""
+            SELECT doc_id,
+                   FLOOR(na / GREATEST(nc, 1.0) * 10000 + 0.5) / 10000 AS alpha_ratio,
+                   FLOOR(nd / GREATEST(nc, 1.0) * 10000 + 0.5) / 10000 AS digit_ratio,
+                   FLOOR(np / GREATEST(nc, 1.0) * 10000 + 0.5) / 10000 AS punct_ratio,
+                   FLOOR(na / GREATEST(nt, 1.0) * 10000 + 0.5) / 10000 AS mean_token_len
+            FROM (SELECT doc_id,
+                    CAST(length(text) AS DOUBLE) AS nc,
+                    CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS na,
+                    CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS nd,
+                    CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS np,
+                    CAST(length(regexp_extract_all(text, '{TOKEN_RE}')) AS DOUBLE) AS nt
+                  FROM documents) t
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "knn_bruteforce": """
+            SELECT query_id, neighbor_id FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) DESC,
+                           b.vec_id) AS rn
+                FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+                WHERE a.vec_id < 5) t
+            WHERE rn <= 10
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.5
+        """,
+        "binary_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        """,
+        # lang_id, doc_fingerprints, dedup_minhash/simhash/ngram_jaccard,
+        # knn_lsh, embedding_near_dup, semantic_search, bm25_search and the
+        # kg_* pipelines are non-SQL-expressible (heuristic / LSH / embedding
+        # / extraction logic): driver records rows-only checks; their
+        # correctness oracles are pure-Python goldens in tests/.
+    }

@@ -1,0 +1,152 @@
+"""Benchmark harness (driver contract).
+
+Default mode: ``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)``,
+run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) and print ONE JSON line::
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N, "turns": T, "triples": K,
+     "triples_per_sec": ...}
+
+``--scaling``: run the flagship KG extraction twice in fresh subprocesses
+(num_cpus=8 then 32 — the sandbox stand-in for N vs 4N cluster nodes, per
+BASELINE.md) on the same input and report both throughputs + scaling
+efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_dir() -> str:
+    return os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _num_cpus() -> int:
+    return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _kg_corpus(sf_dir: str) -> str:
+    from sema_ray.sources.transcripts import ensure_corpus
+    return ensure_corpus(kind="docs", sf_dir=sf_dir, variants=1, num_shards=16)
+
+
+def run_kg_headline(sf_dir: str) -> dict:
+    """Flagship KG construction: corpus -> triples -> canonical links."""
+    import ray.data as rd
+    from sema_ray.pipelines.kg import adjacency, kg_flagship
+    corpus = _kg_corpus(sf_dir)
+    turns = rd.read_parquet(corpus).count()
+    t0 = time.time()
+    linked = kg_flagship(corpus)
+    adj = adjacency(linked)
+    n_edges = adj.count()
+    wall = time.time() - t0
+    # count triples from the edge support to avoid a second pass
+    return {"wall_s": wall, "turns": turns, "adjacency_edges": n_edges}
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    """Secondary pipelines: representative operators, timed individually."""
+    from sema_ray import dedup, relational, simsearch, textops
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        import ray.data as rd
+        t0 = time.time()
+        res = fn(sf_dir)
+        # consume: Dataset -> count(); Table/DataFrame are already computed
+        if isinstance(res, rd.Dataset):
+            res.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    timed("q1_pricing_summary", relational.q1_pricing_summary)
+    timed("revenue_by_priority", relational.revenue_by_priority)
+    timed("top_event_per_user", relational.top_event_per_user)
+    timed("hourly_event_stats", relational.hourly_event_stats)
+    timed("doc_stats", textops.doc_stats)
+    timed("token_count_by_lang", textops.token_count_by_lang)
+    timed("dedup_minhash", dedup.minhash_near_dup)
+    timed("knn_bruteforce", simsearch.knn_bruteforce)
+    timed("bm25_search", simsearch.bm25_search)
+    return timings
+
+
+def _child_throughput(num_cpus: int, sf_dir: str) -> dict:
+    """Run the KG headline in a fresh process at the given parallelism."""
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus), GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, __file__, "--kg-only"], env=env,
+        capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = _sf_dir()
+    if "--kg-only" in sys.argv:
+        _init_ray(_num_cpus())
+        kg = run_kg_headline(sf_dir)
+        print(json.dumps({"num_cpus": _num_cpus(), **kg}))
+        import ray
+        ray.shutdown()
+        return
+
+    if "--scaling" in sys.argv:
+        # warm the corpus cache so neither child pays generation cost
+        _kg_corpus(sf_dir)
+        lo, hi = 8, 32
+        r_lo = _child_throughput(lo, sf_dir)
+        r_hi = _child_throughput(hi, sf_dir)
+        tp_lo = r_lo["turns"] / r_lo["wall_s"]
+        tp_hi = r_hi["turns"] / r_hi["wall_s"]
+        eff = (tp_hi / tp_lo) / (hi / lo)
+        print(json.dumps({
+            "metric": "kg_turns_per_sec_scaling",
+            "unit": "rows/sec",
+            "sf": sf_dir,
+            "N_cpus": lo, "throughput_N": round(tp_lo, 1),
+            "4N_cpus": hi, "throughput_4N": round(tp_hi, 1),
+            "wall_N_s": round(r_lo["wall_s"], 2),
+            "wall_4N_s": round(r_hi["wall_s"], 2),
+            "scaling_efficiency": round(eff, 3),
+        }))
+        return
+
+    num_cpus = _num_cpus()
+    _init_ray(num_cpus)
+    t0 = time.time()
+    kg = run_kg_headline(sf_dir)
+    queries = {"kg_flagship": round(kg["wall_s"], 3)}
+    queries.update(run_queries(sf_dir))
+    total = time.time() - t0
+    print(json.dumps({
+        "metric": "kg_flagship_plus_operator_suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "turns": kg["turns"],
+        "adjacency_edges": kg["adjacency_edges"],
+        "turns_per_sec": round(kg["turns"] / kg["wall_s"], 1),
+    }))
+    import ray
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -323,6 +323,25 @@ def salted_repartition(ds: rd.Dataset, num_partitions: int,
     return ds.map_batches(AddKey, batch_format="pyarrow", concurrency=_pool())
 
 
+def kg_flagship(input_dir: str, batch_size: int = DEFAULT_BATCH_SIZE) -> rd.Dataset:
+    """Flagship pipeline, streaming form (no intermediate writes):
+    transcripts -> triples -> canonicalized entity links.
+
+    Returns the linked-triples Dataset (conv_id, turn_idx, subj, pred, obj,
+    conf, subj_id, obj_id, subj_canonical, obj_canonical). Entity resolution
+    consumes the mentions side; the canonical map is broadcast to the link
+    stage. Used by ``entry()`` and the bench harness; the checkpointed
+    variant is :func:`run_kg`.
+    """
+    cols = ["conv_id", "turn_idx", "text"]
+    ment = mentions_dataset(read_transcripts(input_dir, columns=cols),
+                            batch_size=batch_size)
+    cmap, _ent = canonical_entities(ment)
+    trip = triples_dataset(read_transcripts(input_dir, columns=cols),
+                           batch_size=batch_size)
+    return link_triples(trip, cmap, batch_size=batch_size)
+
+
 def run_kg(input_dir: str, out_dir: str, *, shards_per_wave: int = 4,
            batch_size: int = DEFAULT_BATCH_SIZE) -> dict:
     """End-to-end checkpointed run: extraction per shard wave (resumable),

@@ -1,0 +1,381 @@
+"""Relational operators over Ray Data, each with a DuckDB-oracle twin.
+
+This layer supplies the query capabilities the reference exposes through its
+storage/search path — predicate filters (``src/crawler/mod.rs:73-103``),
+projections, group-by + count + top-1-per-group (``src/tui/engine.rs:156-174``),
+global rank/sort (``engine.rs:176-181``), limits (``engine.rs:11``), exact
+point lookups (``src/storage/lance_indexer.rs:165-189``) — generalized into a
+proper relational toolbox over ``ray.data.Dataset``, plus the joins the graft
+needs (the reference has none; SURVEY §2 "Joins").
+
+Design rules (100 TB discipline):
+
+- column pruning pushed into ``read_parquet(columns=...)``;
+- every aggregation pre-combines inside ``map_batches`` (one partial row per
+  group per batch) before the global ``groupby`` — shuffles move partials;
+- small dimension tables are broadcast (``ray.put`` + dict lookup inside
+  ``map_batches``), never shuffled;
+- large-large joins use Ray Data's hash ``Dataset.join`` (all-to-all is
+  explicit and partitioned, not accidental);
+- floats that cross the oracle boundary are rounded identically on both
+  sides (parallel partial sums are not associative in IEEE754).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from .util import collect_table, round_half_up
+
+
+def load(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Source with column pruning pushed into the parquet read."""
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _round_cols(batch: pa.Table, cols: dict[str, int]) -> pa.Table:
+    for col, nd in cols.items():
+        i = batch.schema.get_field_index(col)
+        batch = batch.set_column(i, col, round_half_up(batch[col], nd))
+    return batch
+
+
+def round_result(ds: rd.Dataset, cols: dict[str, int]) -> rd.Dataset:
+    """Round float columns so Ray partial-sum order and DuckDB agree."""
+    return ds.map_batches(lambda t: _round_cols(t, cols), batch_format="pyarrow")
+
+
+def partial_groupby(ds: rd.Dataset, keys: list[str],
+                    batch_aggs: list[tuple[str, str]],
+                    rename: list[str]) -> rd.Dataset:
+    """Per-batch partial aggregation before the shuffle.
+
+    ``batch_aggs`` are Arrow ``Table.group_by(...).aggregate`` specs applied
+    inside each batch; the output columns are renamed to ``rename`` and the
+    caller runs the (now tiny) global ``groupby`` over the partials. The
+    all-to-all moves one row per (group, batch) — not one per input row.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(keys).aggregate(batch_aggs)
+        # arrow puts aggregate cols first or last depending on version; select
+        # explicitly: keys keep names, agg cols are "{col}_{fn}".
+        cols = {k: g[k] for k in keys}
+        for (col, fn), new in zip(batch_aggs, rename):
+            src = f"{col}_{fn}" if fn != "count_all" else "count_all"
+            cols[new] = g[src]
+        return pa.table(cols)
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters / projections / sorts / limits
+# ---------------------------------------------------------------------------
+
+def filter_high_quantity(sf_dir: str) -> rd.Dataset:
+    """Predicate filter + projection (reference M1 idea on relational data)."""
+    ds = load(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_partkey", "l_quantity"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], 45.0)),
+        batch_format="pyarrow",
+    )
+
+
+def topk_orders(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Global rank + limit (reference A2+K1: sort desc, take k)."""
+    ds = load(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+def distinct_segments(sf_dir: str) -> rd.Dataset:
+    """DISTINCT via groupby (exact dedup of a key column)."""
+    ds = load(sf_dir, "customer", columns=["c_mktsegment"])
+    # pre-combine per batch: distinct inside the batch, then global groupby
+    partials = ds.map_batches(
+        lambda t: t.group_by(["c_mktsegment"]).aggregate([]),
+        batch_format="pyarrow",
+    )
+    return partials.groupby("c_mktsegment").aggregate(Count(alias_name="_n")) \
+        .select_columns(["c_mktsegment"])
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1-shaped groupby aggregate over lineitem.
+
+    Derived measures are computed vectorized per batch, partially aggregated
+    per batch, then shuffled as partials (4 groups => the global groupby moves
+    one row per group per batch).
+    """
+    ds = load(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_linestatus", "l_quantity",
+                       "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": t["l_quantity"],
+            "price": t["l_extendedprice"],
+            "disc_price": disc_price,
+        })
+
+    derived = ds.map_batches(derive, batch_format="pyarrow")
+    partials = partial_groupby(
+        derived, ["l_returnflag", "l_linestatus"],
+        [("qty", "sum"), ("price", "sum"), ("disc_price", "sum"),
+         ("qty", "count")],
+        ["sum_qty", "sum_price", "sum_disc_price", "n"],
+    )
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("n", alias_name="count_order"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg_qty = pc.divide(t["sum_qty"], pc.cast(t["count_order"], pa.float64()))
+        avg_price = pc.divide(t["sum_base_price"],
+                              pc.cast(t["count_order"], pa.float64()))
+        t = t.append_column("avg_qty", round_half_up(avg_qty, 4))
+        t = t.append_column("avg_price", round_half_up(avg_price, 4))
+        return _round_cols(t, {"sum_qty": 2, "sum_base_price": 2,
+                               "sum_disc_price": 2})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def brand_price_stats(sf_dir: str) -> rd.Dataset:
+    """Min/max/mean/count per group (native Ray Data aggregate path)."""
+    ds = load(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+    out = ds.groupby("p_brand").aggregate(
+        Min("p_retailprice", alias_name="min_price"),
+        Max("p_retailprice", alias_name="max_price"),
+        Mean("p_retailprice", alias_name="avg_price"),
+        Count(alias_name="n_parts"),
+    )
+    return round_result(out, {"avg_price": 4, "min_price": 2, "max_price": 2})
+
+
+def hourly_event_stats(sf_dir: str) -> rd.Dataset:
+    """Tumbling-window aggregate: events per (hour, type).
+
+    The window key is computed vectorized (``floor_temporal``) and carried as
+    int64 epoch-seconds — a dense shuffle-friendly key.
+    """
+    ds = load(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        hour_s = pc.divide(pc.cast(hour, pa.int64()), 1_000_000)
+        return pa.table({
+            "hour_ts": hour_s,
+            "event_type": t["event_type"],
+            "value": t["value"],
+        })
+
+    partials = partial_groupby(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        ["hour_ts", "event_type"],
+        [("value", "sum"), ("value", "count")],
+        ["sum_value", "n"],
+    )
+    out = partials.groupby(["hour_ts", "event_type"]).aggregate(
+        Sum("sum_value", alias_name="sum_value"),
+        Sum("n", alias_name="n_events"),
+    )
+    return round_result(out, {"sum_value": 2})
+
+
+# ---------------------------------------------------------------------------
+# Per-group top-1 / ordered per-group computation
+# ---------------------------------------------------------------------------
+
+def top_event_per_user(sf_dir: str) -> rd.Dataset:
+    """Reference A1 semantics on relational data: group, count, top-1.
+
+    Mirrors ``src/tui/engine.rs:156-174`` — group hits by key, per group sort
+    and keep the first row, carry the group size (``total_matches_in_file``).
+    """
+    ds = load(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def first_per_group(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        return pa.table({
+            "user_id": g["user_id"].slice(0, 1),
+            "event_id": g["event_id"].slice(0, 1),
+            "n_events": pa.array([g.num_rows], pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(first_per_group,
+                                            batch_format="pyarrow")
+
+
+def sessionize_users(sf_dir: str, gap_us: int = 1_800_000_000) -> rd.Dataset:
+    """Per-user session count with a 30-min inactivity gap.
+
+    Ordered-per-group stateful computation: the only stage needing user
+    locality, expressed as groupby + map_groups (SURVEY K4 pattern). Exact
+    integer microsecond arithmetic so the DuckDB oracle matches bit-for-bit.
+    """
+    ds = load(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def sessions(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        n_sessions = 1 + int((np.diff(us) > gap_us).sum()) if len(us) else 0
+        return pa.table({
+            "user_id": g["user_id"].slice(0, 1),
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+def orders_per_segment(sf_dir: str) -> rd.Dataset:
+    """Broadcast hash join (small dim side) + aggregate.
+
+    ``customer`` is the small side: shipped to the object store once with
+    ``ray.put``, materialized per actor in ``__init__`` — the reference's
+    point-lookup idea (``lance_indexer.rs:165-189``) done as a real join.
+    """
+    cust = load(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust_tbl = collect_table(cust)
+    lookup = dict(zip(cust_tbl["c_custkey"].to_pylist(),
+                      cust_tbl["c_mktsegment"].to_pylist()))
+    lookup_ref = ray.put(lookup)
+
+    class JoinSegment:
+        def __init__(self):
+            self.lookup: dict[int, str] = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+            seg = pa.array([self.lookup.get(int(k)) for k in keys], pa.string())
+            return pa.table({
+                "c_mktsegment": seg,
+                "o_totalprice": t["o_totalprice"],
+            })
+
+    orders = load(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(JoinSegment, batch_format="pyarrow",
+                                concurrency=(1, 4))
+    partials = partial_groupby(
+        joined, ["c_mktsegment"],
+        [("o_totalprice", "sum"), ("o_totalprice", "count")],
+        ["sum_price", "n"],
+    )
+    out = partials.groupby("c_mktsegment").aggregate(
+        Sum("n", alias_name="n_orders"),
+        Sum("sum_price", alias_name="sum_totalprice"),
+    )
+    return round_result(out, {"sum_totalprice": 2})
+
+
+def revenue_by_priority(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
+    """Large-large hash join (lineitem ⋈ orders) + aggregate.
+
+    Both sides are fact-sized at 100 TB, so this is Ray Data's partitioned
+    hash ``Dataset.join`` — the one explicit all-to-all in this module —
+    followed by a partial-aggregated groupby on the join output.
+    """
+    li = load(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = load(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, join_type="inner", num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",),
+                     aggregator_ray_remote_args={"num_cpus": 0.05})
+
+    def derive(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "revenue": rev})
+
+    partials = partial_groupby(
+        joined.map_batches(derive, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        [("revenue", "sum"), ("revenue", "count")],
+        ["sum_rev", "n"],
+    )
+    out = partials.groupby("o_orderpriority").aggregate(
+        Sum("n", alias_name="n_items"),
+        Sum("sum_rev", alias_name="revenue"),
+    )
+    return round_result(out, {"revenue": 2})
+
+
+def union_key_counts(sf_dir: str) -> rd.Dataset:
+    """UNION ALL of two projections + groupby count."""
+    o = load(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        lambda t: pa.table({"key": pc.cast(t["o_custkey"], pa.int64())}),
+        batch_format="pyarrow")
+    c = load(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda t: pa.table({"key": pc.cast(t["c_custkey"], pa.int64())}),
+        batch_format="pyarrow")
+    u = o.union(c)
+    partials = partial_groupby(u, ["key"], [("key", "count")], ["n"])
+    return partials.groupby("key").aggregate(Sum("n", alias_name="n"))
+
+
+def exact_text_search(sf_dir: str, pattern: str = "data") -> rd.Dataset:
+    """Exact-text search path (reference M4 `'`-prefix + T3 idea).
+
+    Substring match + per-document occurrence count, vectorized with Arrow
+    kernels — no inverted index needed when the scan is the pipeline.
+    """
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring(t["text"], pattern=pattern), pa.int64())
+        out = pa.table({"doc_id": t["doc_id"], "n_matches": n})
+        return out.filter(pc.greater(out["n_matches"], 0))
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def grouped_search(sf_dir: str, pattern: str = "vector") -> rd.Dataset:
+    """Reference A1 end-to-end: search → group by container → top-1 + count.
+
+    The exact shape of ``engine.rs:156-182``: hits grouped by ``source``
+    (≙ file), each group contributes its best-scoring doc (ties → smallest
+    doc_id) plus the group's match count (≙ total_matches_in_file).
+    """
+    ds = load(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring(t["text"], pattern=pattern), pa.int64())
+        out = pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                        "score": n})
+        return out.filter(pc.greater(out["score"], 0))
+
+    def top1(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("score", "descending"), ("doc_id", "ascending")])
+        return pa.table({
+            "source": g["source"].slice(0, 1),
+            "doc_id": g["doc_id"].slice(0, 1),
+            "score": g["score"].slice(0, 1),
+            "n_docs_matched": pa.array([g.num_rows], pa.int64()),
+        })
+
+    hits = ds.map_batches(scan, batch_format="pyarrow")
+    return hits.groupby("source").map_groups(top1, batch_format="pyarrow")

@@ -1,0 +1,422 @@
+"""Similarity search: brute-force cosine top-k, LSH-bucketed ANN,
+embedding near-dup, semantic text search, and BM25-style ranking.
+
+Re-expresses the reference's two query paths as Ray Data pipelines:
+
+- vector k-NN (``src/storage/lance_indexer.rs:107-141``): the reference does
+  an exact scan over the Lance table (no ANN index is ever built), score =
+  distance on unit vectors. Here: broadcast the query matrix once via
+  ``ray.put``, score each Arrow batch with one NumPy matmul, keep a local
+  top-k per batch, then a tiny global groupby-merge — a scan-shaped top-k
+  whose shuffle moves k rows per (query, batch), never the vectors.
+- BM25 text ranking (``src/storage/text_indexer.rs:75-157``): two passes —
+  a distributed partial-aggregated document-frequency pass for the query
+  terms, then a broadcast-idf scoring pass. No inverted index: at pipeline
+  scale the scan IS the index.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from .canonicalize import UnionFind
+from .util import collect_table, round_half_up
+from .embed import HashEmbedder
+
+_TOKEN_RE = re.compile("[a-z0-9]+")
+
+
+def _load_embeddings(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+
+
+def _batch_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
+    """list<float> column -> [n, d] float64 matrix (one copy, no Python loop)."""
+    arr = t[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class TopKScoreStage:
+    """Actor-pool stage: per-batch cosine scores against a broadcast query
+    matrix, emitting each batch's local top-k per query.
+
+    The query matrix travels once per actor (``ray.get`` in ``__init__``),
+    per the broadcast-small-side rule.
+    """
+
+    def __init__(self, queries_ref, k: int, exclude_self: bool):
+        q = ray.get(queries_ref)  # (query_ids [m], matrix [m, d])
+        self.query_ids, qm = q
+        self.qm = _normalize_rows(qm).T  # [d, m]
+        self.k = k
+        self.exclude_self = exclude_self
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        m = _normalize_rows(_batch_matrix(t))
+        scores = m @ self.qm  # [n, m]
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(self.query_ids):
+            s = scores[:, j]
+            mask = ids != qid if self.exclude_self else np.ones(len(ids), bool)
+            cand_idx = np.nonzero(mask)[0]
+            if len(cand_idx) == 0:
+                continue
+            sc = s[cand_idx]
+            take = min(self.k, len(cand_idx))
+            # partial sort then deterministic (score desc, id asc) tie-break
+            top = cand_idx[np.argpartition(-sc, take - 1)[:take]]
+            order = np.lexsort((ids[top], -s[top]))
+            top = top[order]
+            out_q.extend([qid] * len(top))
+            out_n.extend(ids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+
+def _merge_topk(k: int):
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("score", "descending"), ("neighbor_id", "ascending")])
+        return g.slice(0, k)
+    return merge
+
+
+def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> rd.Dataset:
+    """Exact cosine top-k for the first ``n_queries`` vec_ids.
+
+    Output: query_id, neighbor_id (ints only — rank floats stay internal so
+    the DuckDB oracle comparison is exact).
+    """
+    ds = _load_embeddings(sf_dir)
+    head = ds.filter(expr=f"vec_id < {n_queries}")
+    qt = collect_table(head).sort_by("vec_id")
+    queries_ref = ray.put((qt["vec_id"].to_numpy(zero_copy_only=False),
+                           _batch_matrix(qt)))
+    local = ds.map_batches(
+        TopKScoreStage,
+        fn_constructor_args=(queries_ref, k, True),
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+    merged = local.groupby("query_id").map_groups(_merge_topk(k),
+                                                 batch_format="pyarrow")
+    return merged.select_columns(["query_id", "neighbor_id"])
+
+
+def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 5,
+            n_planes: int = 12, n_tables: int = 6,
+            dim: int | None = None) -> rd.Dataset:
+    """Approximate top-k via random-hyperplane LSH bucketing (the scale path).
+
+    Each vector lands in ``n_tables`` signature buckets; queries are scored
+    only against vectors sharing ≥1 bucket. At 100 TB this turns the O(n·q)
+    scan into per-bucket work; recall is tested against
+    :func:`knn_bruteforce` in the suite.
+    """
+    ds = _load_embeddings(sf_dir)
+    head = ds.filter(expr=f"vec_id < {n_queries}")
+    qt = collect_table(head).sort_by("vec_id")
+    qm = _batch_matrix(qt)
+    d = dim or qm.shape[1]
+    planes = np.random.default_rng(0xA11CE).standard_normal(
+        (n_tables, n_planes, d))
+    q_sigs = _signatures(qm, planes)  # [m, n_tables]
+    q_ids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    wanted: dict[tuple[int, int], list[int]] = {}
+    for qi, qid in enumerate(q_ids):
+        for tbl in range(n_tables):
+            wanted.setdefault((tbl, int(q_sigs[qi, tbl])), []).append(int(qid))
+    queries_ref = ray.put((q_ids, qm))
+    wanted_ref = ray.put(wanted)
+    planes_ref = ray.put(planes)
+
+    class BucketScore(TopKScoreStage):
+        def __init__(self):
+            super().__init__(queries_ref, k, True)
+            self.wanted = ray.get(wanted_ref)
+            self.planes = ray.get(planes_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _batch_matrix(t)
+            sigs = _signatures(m, self.planes)
+            hit = np.zeros(len(m), dtype=bool)
+            for tbl in range(sigs.shape[1]):
+                for i, s in enumerate(sigs[:, tbl]):
+                    if (tbl, int(s)) in self.wanted:
+                        hit[i] = True
+            return super().__call__(t.filter(pa.array(hit)))
+
+    local = ds.map_batches(BucketScore, batch_format="pyarrow",
+                           concurrency=(1, 8))
+    merged = local.groupby("query_id").map_groups(_merge_topk(k),
+                                                 batch_format="pyarrow")
+    return merged.select_columns(["query_id", "neighbor_id"])
+
+
+def _signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """[n, d] vectors x [T, P, d] planes -> [n, T] integer bucket signatures."""
+    n = m.shape[0]
+    if n == 0:
+        return np.zeros((0, planes.shape[0]), dtype=np.int64)
+    out = np.zeros((n, planes.shape[0]), dtype=np.int64)
+    for tbl in range(planes.shape[0]):
+        bits = (m @ planes[tbl].T) > 0  # [n, P]
+        out[:, tbl] = bits @ (1 << np.arange(planes.shape[1]))
+    return out
+
+
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.935) -> rd.Dataset:
+    """Exact cosine near-duplicate pairs (a < b, cosine ≥ threshold).
+
+    Brute-force baseline: the full matrix is broadcast once (``ray.put``) and
+    each batch matmuls against it — correct at any batch partitioning. The
+    scale path for 10^9+ rows is :func:`embedding_near_dup` (LSH-bucketed).
+    """
+    ds = _load_embeddings(sf_dir)
+    full = collect_table(ds).sort_by("vec_id")
+    all_ids = full["vec_id"].to_numpy(zero_copy_only=False)
+    mat_ref = ray.put((all_ids, _normalize_rows(_batch_matrix(full))))
+
+    class PairStage:
+        def __init__(self):
+            self.ids, self.mat = ray.get(mat_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            m = _normalize_rows(_batch_matrix(t))
+            scores = m @ self.mat.T  # [n_batch, N]
+            rows, cols = np.nonzero(scores >= threshold)
+            keep = ids[rows] < self.ids[cols]
+            return pa.table({
+                "a": pa.array(ids[rows][keep], pa.int64()),
+                "b": pa.array(self.ids[cols][keep], pa.int64()),
+            })
+
+    return ds.map_batches(PairStage, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.935,
+                       n_planes: int = 8, n_tables: int = 8) -> pa.Table:
+    """Embedding-cosine near-dup clusters via hyperplane-LSH blocking.
+
+    Vectors collide into (table, signature) buckets; exact cosine verifies
+    pairs inside each group; union-find (driver, pairs only) assigns
+    representatives. Output: vec_id, rep_id.
+    """
+    ds = _load_embeddings(sf_dir)
+    probe = collect_table(ds.limit(1))
+    d = len(probe["embedding"][0])
+    planes = np.random.default_rng(0xBEEF).standard_normal((n_tables, n_planes, d))
+    planes_ref = ray.put(planes)
+
+    class BandRows:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            m = _normalize_rows(_batch_matrix(t))
+            sigs = _signatures(m, self.planes)
+            n, T = sigs.shape
+            return pa.table({
+                "tbl": pa.array(np.repeat(np.arange(T), n), pa.int32()),
+                "key": pa.array(sigs.T.reshape(-1), pa.int64()),
+                "vec_id": pa.array(np.tile(ids, T), pa.int64()),
+                "vec": pa.array(np.tile(m, (T, 1)).tolist(),
+                                pa.list_(pa.float64(), m.shape[1] if n else d)),
+            })
+
+    def verified_pairs(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["vec_id"].to_numpy(zero_copy_only=False))
+        order = np.argsort(ids, kind="stable")
+        uniq, first_idx = np.unique(ids[order], return_index=True)
+        if len(uniq) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        m = np.asarray(g["vec"].to_pylist(), dtype=np.float64)[order][first_idx]
+        scores = m @ m.T
+        rows, cols = np.nonzero(np.triu(scores >= threshold, k=1))
+        return pa.table({"a": pa.array(uniq[rows], pa.int64()),
+                         "b": pa.array(uniq[cols], pa.int64())})
+
+    band = ds.map_batches(BandRows, batch_format="pyarrow", concurrency=(1, 8))
+    pair_ds = band.groupby(["tbl", "key"]).map_groups(verified_pairs,
+                                                      batch_format="pyarrow")
+    pair_tbl = collect_table(pair_ds)
+    ids = [r["vec_id"] for r in ds.select_columns(["vec_id"]).take_all()]
+    uf = UnionFind()
+    for i in ids:
+        uf.find(int(i))
+    for a, b in zip(pair_tbl["a"].to_pylist(), pair_tbl["b"].to_pylist()):
+        uf.union(int(a), int(b))
+    rep_of = {m: min(members) for members in uf.groups().values()
+              for m in members}
+    sids = sorted(int(i) for i in ids)
+    return pa.table({"vec_id": pa.array(sids, pa.int64()),
+                     "rep_id": pa.array([rep_of[i] for i in sids], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Text search paths (reference T2 semantic / T3 BM25)
+# ---------------------------------------------------------------------------
+
+def semantic_search(sf_dir: str, query: str = "fast vector scan", k: int = 20) -> rd.Dataset:
+    """Semantic top-k over documents with the hash embedder (reference T2).
+
+    Embeds documents in an actor pool (model state per actor, batch ≫ 1 —
+    both structural fixes over the reference, SURVEY §2 T1), scores against
+    the broadcast query vector, local top-k per batch, global merge. Unlike
+    the reference — which discards semantic scores (``storage/mod.rs:123``)
+    — real cosine scores are propagated (documented deviation, SURVEY §3.2).
+    Output: doc_id, score (rounded to 6).
+    """
+    emb = HashEmbedder()
+    qv = emb.embed_one(query).astype(np.float64)
+    qv_ref = ray.put(qv)
+
+    class ScoreStage:
+        def __init__(self):
+            self.embedder = HashEmbedder()
+            self.qv = ray.get(qv_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vecs = self.embedder.embed_batch(t["text"].to_pylist()).astype(np.float64)
+            scores = vecs @ self.qv
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            take = min(k, len(ids))
+            if take == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            top = np.argpartition(-scores, take - 1)[:take]
+            return pa.table({
+                "doc_id": pa.array(ids[top], pa.int64()),
+                "score": pa.array(scores[top], pa.float64()),
+            })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    local = ds.map_batches(ScoreStage, batch_format="pyarrow",
+                           concurrency=(1, 8))
+
+    def merge(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("score", "descending"), ("doc_id", "ascending")])
+        t = t.slice(0, k)
+        return t.set_column(t.schema.get_field_index("score"), "score",
+                            round_half_up(t["score"], 6))
+
+    # global merge: local top-k rows only (k per batch) — tiny
+    return rd.from_arrow(
+        merge(collect_table(local)))
+
+
+def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
+                k1: float = 1.2, b: float = 0.75) -> rd.Dataset:
+    """BM25 top-k over documents (reference T3 semantics, index-free).
+
+    Pass 1 (distributed, partial-aggregated): per-term document frequencies
+    and corpus size/avg length for the query terms only. Pass 2: broadcast
+    idf table, score per batch, local top-k, global merge.
+    Output: doc_id, score (rounded to 6).
+    """
+    terms = sorted(set(_TOKEN_RE.findall(query.lower())))
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        rows = {"term": [], "df": []}
+        counts = {w: 0 for w in terms}
+        total_len = 0
+        for x in texts:
+            toks = _TOKEN_RE.findall(x.lower())
+            total_len += len(toks)
+            tset = set(toks)
+            for w in terms:
+                if w in tset:
+                    counts[w] += 1
+        for w in terms:
+            rows["term"].append(w)
+            rows["df"].append(counts[w])
+        rows["term"].append("__n_docs__")
+        rows["df"].append(len(texts))
+        rows["term"].append("__total_len__")
+        rows["df"].append(total_len)
+        return pa.table({"term": pa.array(rows["term"], pa.string()),
+                         "df": pa.array(rows["df"], pa.int64())})
+
+    stats = ds.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df", alias_name="df"))
+    stats_tbl = collect_table(stats)
+    stat = dict(zip(stats_tbl["term"].to_pylist(), stats_tbl["df"].to_pylist()))
+    n_docs = max(1, stat.pop("__n_docs__", 1))
+    avg_len = max(1.0, stat.pop("__total_len__", 1) / n_docs)
+    idf = {w: math.log(1.0 + (n_docs - stat.get(w, 0) + 0.5)
+                       / (stat.get(w, 0) + 0.5)) for w in terms}
+    idf_ref = ray.put((idf, avg_len))
+
+    class Scorer:
+        def __init__(self):
+            self.idf, self.avg_len = ray.get(idf_ref)
+            self.tok = _TOKEN_RE
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            scores = np.zeros(len(ids))
+            for i, x in enumerate(t["text"].to_pylist()):
+                toks = self.tok.findall(x.lower())
+                dl = len(toks)
+                if not dl:
+                    continue
+                tf: dict[str, int] = {}
+                for w in toks:
+                    if w in self.idf:
+                        tf[w] = tf.get(w, 0) + 1
+                s = 0.0
+                for w, f in tf.items():
+                    s += self.idf[w] * (f * (k1 + 1)) / (
+                        f + k1 * (1 - b + b * dl / self.avg_len))
+                scores[i] = s
+            take = min(k, len(ids))
+            if take == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            top = np.argpartition(-scores, take - 1)[:take]
+            return pa.table({"doc_id": pa.array(ids[top], pa.int64()),
+                             "score": pa.array(scores[top], pa.float64())})
+
+    local = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 8))
+    merged = collect_table(local) \
+        .sort_by([("score", "descending"), ("doc_id", "ascending")]) \
+        .slice(0, k)
+    merged = merged.set_column(
+        merged.schema.get_field_index("score"), "score",
+        round_half_up(merged["score"], 6))
+    return rd.from_arrow(merged)

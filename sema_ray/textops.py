@@ -1,0 +1,224 @@
+"""Text-analysis operators for training-data pipelines over the documents table.
+
+Vectorized Arrow kernels wherever the computation is expressible with
+``pyarrow.compute`` (counts, lengths, regex occurrence counts — Arrow and
+DuckDB both run RE2, so the oracle semantics match exactly); compiled-once
+per-actor state for the heuristic stages (language profiles), following the
+reference's stateful-stage pattern (``src/semantic/embeddings.rs`` model held
+for the worker's lifetime — here: profile tables built in ``__init__``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from .hashing import stable_id64
+from .util import round_half_up
+
+TOKEN_RE = "[A-Za-z0-9]+"
+
+
+def _load_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=columns)
+
+
+def doc_stats(sf_dir: str) -> rd.Dataset:
+    """Per-document integer stats: chars, tokens, digits, spaces, lines.
+
+    All exact integers ⇒ bit-identical to the DuckDB oracle.
+    """
+    ds = _load_docs(sf_dir, ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(text, pattern=TOKEN_RE), pa.int64()),
+            "n_digits": pc.cast(
+                pc.count_substring_regex(text, pattern="[0-9]"), pa.int64()),
+            "n_spaces": pc.cast(
+                pc.count_substring(text, pattern=" "), pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def token_count_by_lang(sf_dir: str) -> rd.Dataset:
+    """Corpus token budget per language: lang, n_docs, n_tokens.
+
+    Partial-aggregated per batch before the (tiny) global groupby.
+    """
+    ds = _load_docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tok = pc.cast(pc.count_substring_regex(t["text"], pattern=TOKEN_RE),
+                      pa.int64())
+        g = pa.table({"lang": t["lang"], "tok": tok, "one": pa.array(
+            np.ones(t.num_rows, dtype=np.int64))})
+        a = g.group_by(["lang"]).aggregate([("tok", "sum"), ("one", "sum")])
+        return pa.table({"lang": a["lang"], "n_tokens": a["tok_sum"],
+                         "n_docs": a["one_sum"]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_tokens", alias_name="n_tokens"),
+    )
+
+
+def quality_scores(sf_dir: str) -> rd.Dataset:
+    """Heuristic quality features: ratios of exact integer counts.
+
+    Each ratio divides two integers computed identically in Arrow and DuckDB,
+    then rounds to 4 digits — deterministic across engines.
+    """
+    ds = _load_docs(sf_dir, ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+        denom = pc.max_element_wise(n_chars, pa.scalar(1.0))
+        n_alpha = pc.cast(
+            pc.count_substring_regex(text, pattern="[A-Za-z]"), pa.float64())
+        n_digit = pc.cast(
+            pc.count_substring_regex(text, pattern="[0-9]"), pa.float64())
+        n_punct = pc.cast(
+            pc.count_substring_regex(text, pattern="[.,;:!?]"), pa.float64())
+        n_tok = pc.cast(
+            pc.count_substring_regex(text, pattern=TOKEN_RE), pa.float64())
+        mean_tok_len = round_half_up(
+            pc.divide(n_alpha, pc.max_element_wise(n_tok, pa.scalar(1.0))), 4)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "alpha_ratio": round_half_up(pc.divide(n_alpha, denom), 4),
+            "digit_ratio": round_half_up(pc.divide(n_digit, denom), 4),
+            "punct_ratio": round_half_up(pc.divide(n_punct, denom), 4),
+            "mean_token_len": mean_tok_len,
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# Language profiles: tiny per-language marker sets (public linguistic facts).
+# A real deployment would load fastText lid vectors in ``__init__``; the
+# heuristic keeps the stage dependency-free while exercising the identical
+# actor-pool plumbing.
+_LANG_MARKERS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and is of to in that it with for was on are this".split()),
+    "de": frozenset("der die das und ist nicht ein eine mit für von zu im den".split()),
+    "fr": frozenset("le la les et est une des dans pour que qui pas sur".split()),
+    "es": frozenset("el la los las y es una en que por con para del se".split()),
+    "pt": frozenset("o os uma em que não por com para do da um".split()),
+    "it": frozenset("il lo la gli e è una che per non con del in di".split()),
+}
+
+
+class LangIdStage:
+    """Actor-pool language identifier (n-gram/stopword heuristic + script).
+
+    Profiles are built once per actor in ``__init__`` (reference stateful-
+    stage pattern, SURVEY §2 T1). CJK / Cyrillic / Greek scripts are decided
+    by codepoint ranges; Latin-script languages by stopword votes with a
+    deterministic tie-break (marker order, then "en").
+    """
+
+    def __init__(self):
+        self.markers = {lang: set(words) for lang, words in _LANG_MARKERS.items()}
+
+    @staticmethod
+    def _script(text: str) -> str | None:
+        cjk = cyr = greek = latin = 0
+        for ch in text[:2000]:
+            o = ord(ch)
+            if 0x4E00 <= o <= 0x9FFF or 0x3040 <= o <= 0x30FF:
+                cjk += 1
+            elif 0x0400 <= o <= 0x04FF:
+                cyr += 1
+            elif 0x0370 <= o <= 0x03FF:
+                greek += 1
+            elif (0x41 <= o <= 0x7A) or (0xC0 <= o <= 0x17F):
+                latin += 1
+        total = cjk + cyr + greek + latin
+        if total == 0:
+            return "und"
+        if cjk / total > 0.25:
+            return "zh"
+        if cyr / total > 0.25:
+            return "ru"
+        if greek / total > 0.25:
+            return "el"
+        return None  # latin: decide by stopwords
+
+    def classify(self, text: str) -> str:
+        s = self._script(text)
+        if s is not None:
+            return s
+        words = text.lower().split()[:400]
+        best_lang, best_votes = "en", -1
+        for lang, marks in self.markers.items():
+            votes = sum(1 for w in words if w in marks)
+            if votes > best_votes:
+                best_lang, best_votes = lang, votes
+        return best_lang if best_votes > 0 else "und"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds = pa.array([self.classify(x) for x in t["text"].to_pylist()],
+                         pa.string())
+        return pa.table({"doc_id": t["doc_id"], "pred_lang": preds})
+
+
+def lang_id(sf_dir: str) -> rd.Dataset:
+    """doc_id -> predicted language (heuristic; rows-only driver check)."""
+    ds = _load_docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(LangIdStage, batch_format="pyarrow",
+                          concurrency=(1, 4))
+
+
+def doc_fingerprints(sf_dir: str, window: int = 8) -> rd.Dataset:
+    """Rolling-hash document fingerprint (winnowing-style, deterministic).
+
+    Token stream -> stable 64-bit token hashes -> rolling window of ``window``
+    tokens -> fingerprint = min windowed hash (robust to small edits at the
+    ends). Reuses the reference's content-fingerprint role
+    (``src/storage/mod.rs:72-94``) at document granularity.
+    """
+    ds = _load_docs(sf_dir, ["doc_id", "text"])
+
+    class FingerprintStage:
+        def __init__(self):
+            import re
+            self.tok = re.compile(TOKEN_RE)
+
+        def fingerprint(self, text: str) -> int:
+            toks = self.tok.findall(text.lower())
+            if not toks:
+                # non-ASCII-token text (CJK, Cyrillic, ...): whole-text hash
+                # so distinct documents keep distinct fingerprints
+                return stable_id64(text) & 0x7FFF_FFFF_FFFF_FFFF if text else 0
+            hs = np.array([stable_id64(t) for t in toks], dtype=np.uint64)
+            if len(hs) < window:
+                acc = int(hs.min())
+            else:
+                # rolling min over XOR-combined windows, vectorized
+                combined = hs.copy()
+                for off in range(1, window):
+                    combined[:-off] ^= np.roll(hs, -off)[:-off]
+                acc = int(combined[: len(hs) - window + 1].min())
+            return acc & 0x7FFF_FFFF_FFFF_FFFF
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            fps = pa.array([self.fingerprint(x) for x in t["text"].to_pylist()],
+                           pa.int64())
+            return pa.table({"doc_id": t["doc_id"], "fingerprint": fps})
+
+    return ds.map_batches(FingerprintStage, batch_format="pyarrow",
+                          concurrency=(1, 4))

@@ -1,0 +1,38 @@
+"""Small shared helpers for driver-side collection of *small* results.
+
+``collect_table`` is the one sanctioned way to materialize a Dataset that is
+known-small (top-k merges, candidate-pair lists, dimension tables): it pulls
+Arrow block refs zero-copy and drops the empty zero-column blocks that Ray's
+hash-shuffle operators emit for unused partitions (which would otherwise make
+``pa.concat_tables`` fail on schema mismatch).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+
+def round_half_up(arr, digits: int):
+    """Bit-reproducible rounding shared with the DuckDB oracles.
+
+    Engine round() implementations differ at the ULP (Arrow uses
+    round-to-multiple with an inexact 10^-d; DuckDB scales then std::round),
+    so oracle-checked outputs round via ``floor(x * 10^d + 0.5) / 10^d`` —
+    every step is an exactly-specified IEEE754 op, so Arrow here and
+    ``FLOOR(x * 10^d + 0.5) / 10^d`` in SQL produce identical doubles.
+    """
+    p = float(10 ** digits)
+    x = pc.cast(arr, pa.float64())
+    return pc.divide(pc.floor(pc.add(pc.multiply(x, p), 0.5)), p)
+
+
+def collect_table(ds) -> pa.Table:
+    """Materialize a small Dataset to one pyarrow Table on the driver."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns > 0]
+    if not tables:
+        return pa.table({})
+    if len(tables) == 1:
+        return tables[0]
+    return pa.concat_tables(tables, promote_options="default")

@@ -1,0 +1,167 @@
+"""Unit + oracle tests for the dedup family and similarity search, on
+synthetic fixtures with *known* duplicate structure (the driver testdata has
+no near-dups, so these fixtures are where recall/precision are actually
+exercised).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sema_ray import dedup, simsearch
+
+WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+         "nu xi omicron pi rho sigma tau upsilon phi chi psi omega").split()
+
+
+def _doc(rng, n=60):
+    return " ".join(WORDS[rng.integers(len(WORDS))] for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def dup_dir(tmp_path_factory):
+    """documents.parquet with known exact + near duplicates.
+
+    Layout: 30 base docs (ids 0..29); ids 100..109 exact copies of 0..9;
+    ids 200..209 near copies of 0..9 (3 words changed of 60).
+    """
+    rng = np.random.default_rng(5)
+    base = [_doc(rng) for _ in range(30)]
+    ids, texts = list(range(30)), list(base)
+    for j in range(10):
+        ids.append(100 + j)
+        texts.append(base[j])
+    for j in range(10):
+        words = base[j].split()
+        for pos in (5, 25, 45):
+            words[pos] = "zzz" + str(j)
+        ids.append(200 + j)
+        texts.append(" ".join(words))
+    d = tmp_path_factory.mktemp("dup")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def vec_dir(tmp_path_factory):
+    """embeddings.parquet with planted near-duplicate vectors."""
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((40, 32)).astype(np.float32)
+    vecs = [base[i] for i in range(40)]
+    ids = list(range(40))
+    for j in range(8):  # ids 100+j: tiny perturbations of 0..7 (cos ~ 0.999)
+        ids.append(100 + j)
+        vecs.append(base[j] + 0.01 * rng.standard_normal(32).astype(np.float32))
+    d = tmp_path_factory.mktemp("vec")
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))}),
+        os.path.join(str(d), "embeddings.parquet"))
+    return str(d)
+
+
+def test_exact_dedup(ray_session, dup_dir):
+    out = dedup.exact_dedup(dup_dir).to_pandas()
+    survivors = dict(zip(out["doc_id"], out["n_copies"]))
+    assert len(survivors) == 40  # 50 docs - 10 exact copies
+    for j in range(10):
+        assert survivors[j] == 2      # base + exact copy
+        assert 100 + j not in survivors
+    for j in range(10, 30):
+        assert survivors[j] == 1
+
+
+def test_minhash_near_dup_clusters(ray_session, dup_dir):
+    tbl = dedup.minhash_near_dup(dup_dir, threshold=0.5).to_pandas()
+    rep = dict(zip(tbl["doc_id"], tbl["rep_id"]))
+    for j in range(10):
+        assert rep[100 + j] == j, "exact copy must join base cluster"
+        assert rep[200 + j] == j, "near copy (3/60 words) must join base"
+    # distinct random docs stay separate
+    reps = {rep[j] for j in range(10, 30)}
+    assert len(reps) == 20
+
+
+def test_simhash_near_dup_exact_copies(ray_session, dup_dir):
+    tbl = dedup.simhash_near_dup(dup_dir, max_hamming=3).to_pandas()
+    rep = dict(zip(tbl["doc_id"], tbl["rep_id"]))
+    for j in range(10):
+        assert rep[100 + j] == rep[j], "identical text ⇒ identical simhash"
+
+
+def test_simhash64_properties():
+    a = dedup.simhash64("alpha beta gamma delta")
+    assert a == dedup.simhash64("alpha beta gamma delta")
+    b = dedup.simhash64("alpha beta gamma epsilon")
+    ham = bin(a ^ b).count("1")
+    assert 0 < ham <= 24, "small edit ⇒ small hamming distance"
+
+
+def test_ngram_jaccard_pairs_vs_bruteforce(ray_session, dup_dir):
+    got = dedup.ngram_jaccard_pairs(dup_dir, threshold=0.5,
+                                    lsh_estimate_threshold=0.3).to_pandas()
+    got_pairs = {(a, b) for a, b in zip(got["a"], got["b"])}
+    # brute-force oracle over all pairs
+    t = pq.read_table(os.path.join(dup_dir, "documents.parquet"))
+    ids = t["doc_id"].to_pylist()
+    sh = [set(dedup.word_shingles(x).tolist()) for x in t["text"].to_pylist()]
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sorted((ids[i], ids[j]))
+            u = len(sh[i] | sh[j])
+            if u and len(sh[i] & sh[j]) / u >= 0.5:
+                want.add((a, b))
+    assert want, "fixture must contain qualifying pairs"
+    # LSH candidates + exact verify: precision 1.0; recall bounded by LSH
+    assert got_pairs <= want
+    recall = len(got_pairs & want) / len(want)
+    assert recall >= 0.9, (recall, want - got_pairs)
+    # exact jaccard values correct
+    jac = dict(((a, b), v) for a, b, v in zip(got["a"], got["b"], got["jac"]))
+    for (a, b), v in jac.items():
+        ia, ib = ids.index(a), ids.index(b)
+        truth = len(sh[ia] & sh[ib]) / len(sh[ia] | sh[ib])
+        assert abs(v - truth) < 1e-3
+
+
+def test_embedding_dup_pairs_and_near_dup(ray_session, vec_dir):
+    pairs = simsearch.embedding_dup_pairs(vec_dir, threshold=0.97).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    want = {(j, 100 + j) for j in range(8)}
+    assert want <= got
+    clusters = simsearch.embedding_near_dup(vec_dir, threshold=0.97).to_pandas()
+    rep = dict(zip(clusters["vec_id"], clusters["rep_id"]))
+    for j in range(8):
+        assert rep[100 + j] == j
+
+
+def test_knn_lsh_recall_vs_bruteforce(ray_session, vec_dir):
+    exact = simsearch.knn_bruteforce(vec_dir, k=5, n_queries=4).to_pandas()
+    approx = simsearch.knn_lsh(vec_dir, k=5, n_queries=4,
+                               n_planes=6, n_tables=8).to_pandas()
+    recalls = []
+    for q in range(4):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_semantic_and_bm25_deterministic(ray_session, dup_dir):
+    s1 = simsearch.semantic_search(dup_dir, query="alpha beta", k=5).to_pandas()
+    s2 = simsearch.semantic_search(dup_dir, query="alpha beta", k=5).to_pandas()
+    assert s1.equals(s2)
+    b1 = simsearch.bm25_search(dup_dir, query="alpha zzz0", k=5).to_pandas()
+    assert len(b1) == 5
+    # doc 200 (the only one containing zzz0, rare term) must rank first
+    assert b1.iloc[0]["doc_id"] == 200

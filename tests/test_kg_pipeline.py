@@ -1,0 +1,154 @@
+"""End-to-end KG pipeline tests: P/R vs the golden extractor, per-turn text
+equality under stable ordering, determinism under repartitioning, and
+checkpoint/resume (SURVEY §5.3-§5.5).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sema_ray.golden import golden_triples
+from sema_ray.pipelines import kg
+from sema_ray.sources.transcripts import generate_transcripts, write_sharded
+
+
+def _triple_keys(rows) -> set:
+    return {(r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"])
+            for r in rows}
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("kgc")
+    t = generate_transcripts(n_convs=40, seed=11)
+    write_sharded(t, str(d), num_shards=3)
+    return str(d), t
+
+
+def test_pipeline_pr_vs_golden(ray_session, corpus):
+    """North-rule gate: distributed triples P/R >= 0.95 vs golden (here: 1.0,
+    since the stages apply identical pure functions — the test verifies the
+    Ray plumbing loses/duplicates nothing)."""
+    d, t = corpus
+    golden = _triple_keys(golden_triples(t.to_pylist()))
+    ds = kg.read_transcripts(d, columns=["conv_id", "turn_idx", "text"])
+    got_tbl = kg.triples_dataset(ds, batch_size=512).to_pandas()
+    got = _triple_keys(got_tbl.to_dict("records"))
+    assert golden, "fixture must produce triples"
+    tp = len(golden & got)
+    precision = tp / max(1, len(got))
+    recall = tp / len(golden)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    assert precision == 1.0 and recall == 1.0
+
+
+def test_per_turn_text_equality_and_order(ray_session, corpus):
+    """Input-hint invariant: the pipeline never rewrites turn text, and
+    per-conversation ordering is recoverable (stable sort on turn_idx)."""
+    d, t = corpus
+    ds = kg.read_transcripts(d, columns=["conv_id", "turn_idx", "text"])
+    coherent = kg.coherent_turns(ds).to_pandas()
+    want = t.to_pandas()[["conv_id", "turn_idx", "text"]] \
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    got = coherent.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    assert (got["text"] == want["text"]).all()
+    # within each conversation the map_groups output is already turn-ordered
+    per_conv = coherent.groupby("conv_id")["turn_idx"].apply(
+        lambda s: s.is_monotonic_increasing)
+    assert per_conv.all()
+
+
+def test_determinism_under_repartitioning(ray_session, corpus):
+    """Triples are invariant to block size / parallelism (SURVEY §7(c))."""
+    d, _t = corpus
+    outs = []
+    for bs in (64, 2048):
+        ds = kg.read_transcripts(d, columns=["conv_id", "turn_idx", "text"])
+        tbl = kg.triples_dataset(ds, batch_size=bs).to_pandas()
+        outs.append(_triple_keys(tbl.to_dict("records")))
+    assert outs[0] == outs[1]
+
+
+def test_canonicalization_merges_variants(ray_session, corpus):
+    d, _t = corpus
+    ds = kg.read_transcripts(d, columns=["conv_id", "turn_idx", "text"])
+    ment = kg.mentions_dataset(ds)
+    cmap, ent = kg.canonical_entities(ment)
+    # suffix/casing variants of the same org must share an entity id
+    by_norm = {}
+    for s, (eid, _canon) in cmap.items():
+        from sema_ray.canonicalize import normalize_surface
+        by_norm.setdefault(normalize_surface(s), set()).add(eid)
+    merged = [k for k, v in by_norm.items() if len(v) == 1]
+    assert len(merged) == len(by_norm), "same normalized key ⇒ same entity"
+    # spot-check: "Acme Corp" style variants collapse
+    acme_ids = {eid for s, (eid, _c) in cmap.items()
+                if s.lower().startswith("acme")}
+    assert len(acme_ids) <= 2  # ACME CORP., Acme Ltd, ... collapse to ~1
+
+
+def test_run_kg_end_to_end_and_resume(ray_session, corpus, tmp_path):
+    """Checkpoint/lineage: second run skips all finished shards and output
+    is unchanged (reference T4 skip-unchanged semantics at shard grain)."""
+    d, _t = corpus
+    out = str(tmp_path / "kg_out")
+    m1 = kg.run_kg(d, out, shards_per_wave=2)
+    assert m1["shards_processed"] == m1["shards_total"] > 0
+    assert m1["triples_out"] > 0 and m1["entities"] > 0
+    adj_files = sorted(glob.glob(os.path.join(out, "adjacency", "*.parquet")))
+    assert adj_files
+    adj1 = pq.read_table(os.path.join(out, "adjacency")).sort_by(
+        [("subj_id", "ascending"), ("pred", "ascending"),
+         ("obj_id", "ascending")])
+
+    # manifests recorded per shard with lineage fields
+    mani = sorted(glob.glob(os.path.join(out, "_manifest", "part=*.json")))
+    assert len(mani) == m1["shards_total"]
+    rec = json.load(open(mani[0]))
+    assert {"input_fingerprint", "rows_in", "rows_out", "wall_ms"} <= set(rec)
+
+    # resume: all shards skipped, same outputs
+    m2 = kg.run_kg(d, out, shards_per_wave=2)
+    assert m2["shards_skipped"] == m1["shards_total"]
+    assert m2["shards_processed"] == 0
+    assert m2["triples_out"] == 0  # nothing recomputed
+    adj2 = pq.read_table(os.path.join(out, "adjacency")).sort_by(
+        [("subj_id", "ascending"), ("pred", "ascending"),
+         ("obj_id", "ascending")])
+    assert adj1.equals(adj2)
+
+
+def test_resume_recomputes_changed_shard(ray_session, corpus, tmp_path):
+    d, _t = corpus
+    out = str(tmp_path / "kg_out2")
+    kg.run_kg(d, out)
+    # invalidate one shard's manifest fingerprint => only that shard reruns
+    mani = sorted(glob.glob(os.path.join(out, "_manifest", "part=*.json")))
+    rec = json.load(open(mani[0]))
+    rec["input_fingerprint"] = "stale"
+    json.dump(rec, open(mani[0], "w"))
+    m = kg.run_kg(d, out)
+    assert m["shards_processed"] == 1
+    assert m["shards_skipped"] == m["shards_total"] - 1
+
+
+def test_salted_repartition_balances_heavy_convs(ray_session):
+    t = generate_transcripts(n_convs=250, seed=3)  # includes a 3000-turn whale
+    import ray.data as rd
+    ds = rd.from_arrow(t)
+    heavy = kg.detect_heavy_convs(ds, threshold=1000)
+    assert heavy, "whale conversation must be detected"
+    keyed = kg.salted_repartition(ds, num_partitions=16, heavy=heavy,
+                                  salt_span=256).to_pandas()
+    whale = keyed[keyed["conv_id"].isin(heavy)]
+    # the whale's turns spread over multiple partitions
+    assert whale["part_key"].nunique() > 1
+    # non-heavy conversations keep all turns in one partition
+    light = keyed[~keyed["conv_id"].isin(heavy)]
+    assert (light.groupby("conv_id")["part_key"].nunique() == 1).all()
