@@ -119,6 +119,34 @@ class UnionFind:
         return out
 
 
+def local_lsh_pairs(norm_keys: list[str], max_bucket: int = 1000) -> list[tuple[str, str]]:
+    """Driver-side LSH blocking over a *small* vocabulary of normalized keys.
+
+    Identical banding scheme to the distributed path
+    (:func:`sema_ray.pipelines.kg.lsh_candidate_pairs`) — same signatures,
+    same star pairing — but computed locally: the canonicalization input is
+    the entity vocabulary, which is collected to the driver for union-find
+    anyway, so shuffling it through a distributed groupby is pure overhead
+    below ~100k keys. Deterministic; returns sorted unique (a, b) pairs.
+    """
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for k in sorted(set(norm_keys)):
+        if not k:
+            continue
+        sig = minhash_signature(char_shingle_hashes(k))
+        for b, h in enumerate(band_hashes(sig)):
+            buckets.setdefault((b, h), []).append(k)
+    pairs: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        members = members[:max_bucket]
+        if len(members) < 2:
+            continue
+        rep = members[0]
+        for other in members[1:]:
+            pairs.add((rep, other))
+    return sorted(pairs)
+
+
 def verify_pair(key_a: str, key_b: str, embedder: HashEmbedder,
                 jaccard_threshold: float = 0.4,
                 cosine_threshold: float = 0.6) -> bool:

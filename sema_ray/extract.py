@@ -71,68 +71,103 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
     return out.append_column("text_hash", hashes)
 
 
+def detect_mentions_batch(batch: pa.Table) -> pa.Table:
+    """1->N flat map: transcript turns -> entity mentions (MENTION_SCHEMA).
+
+    A plain function, not an actor: its only state is the module-level
+    compiled regex (``golden.ENTITY_RE``), which Ray worker processes compile
+    once at import — the actor pattern at process granularity without actor
+    startup cost. Measured on this corpus the task pool is ~3x faster than
+    an autoscaling actor pool for this stage (see BASELINE.md).
+    """
+    conv_ids, turn_idxs, starts, ends, surfaces = [], [], [], [], []
+    for cid, tid, text in zip(
+        batch["conv_id"].to_pylist(),
+        batch["turn_idx"].to_pylist(),
+        batch["text"].to_pylist(),
+    ):
+        for m in golden.detect_mentions(text):
+            conv_ids.append(cid)
+            turn_idxs.append(tid)
+            starts.append(m.start)
+            ends.append(m.end)
+            surfaces.append(m.surface)
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_ids, pa.string()),
+            "turn_idx": pa.array(turn_idxs, pa.int32()),
+            "m_start": pa.array(starts, pa.int32()),
+            "m_end": pa.array(ends, pa.int32()),
+            "surface": pa.array(surfaces, pa.string()),
+        },
+        schema=MENTION_SCHEMA,
+    )
+
+
+# Vectorized prefilter: a turn can only yield a triple if it contains one of
+# the relation verb literals, so the (C++ RE2) kernel prunes the Python loop
+# to candidate rows. The alternation must stay in sync with golden._P.
+_VERB_ALTERNATION = "|".join([
+    "works at", "is the CEO of", "is based in", "is located in", "lives in",
+    "acquired", "founded", "partnered with", "reports to", "met with", "uses",
+])
+
+
+def extract_triples_batch(batch: pa.Table) -> pa.Table:
+    """1->N flat map: transcript turns -> (subj, pred, obj, conf) triples.
+
+    Task-pool stage; state = module-level compiled patterns (see
+    :func:`detect_mentions_batch` for the rationale). Rows without any
+    relation verb literal are dropped vectorized before the per-row loop.
+    """
+    mask = pc.match_substring_regex(batch["text"], _VERB_ALTERNATION)
+    batch = batch.filter(mask)
+    conv_ids, turn_idxs, subjs, preds, objs, confs = [], [], [], [], [], []
+    for cid, tid, text in zip(
+        batch["conv_id"].to_pylist(),
+        batch["turn_idx"].to_pylist(),
+        batch["text"].to_pylist(),
+    ):
+        for t in golden.extract_triples(text):
+            conv_ids.append(cid)
+            turn_idxs.append(tid)
+            subjs.append(t.subj)
+            preds.append(t.pred)
+            objs.append(t.obj)
+            confs.append(t.conf)
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_ids, pa.string()),
+            "turn_idx": pa.array(turn_idxs, pa.int32()),
+            "subj": pa.array(subjs, pa.string()),
+            "pred": pa.array(preds, pa.string()),
+            "obj": pa.array(objs, pa.string()),
+            "conf": pa.array(confs, pa.float32()),
+        },
+        schema=TRIPLE_SCHEMA,
+    )
+
+
 class MentionDetectStage:
-    """1->N flat map: transcript turns -> entity mentions (MENTION_SCHEMA)."""
+    """Actor-pool form of :func:`detect_mentions_batch` — for deployments
+    where the detector holds real model state in ``__init__`` (the hash-regex
+    default has none, so the task form is the fast path)."""
 
     def __init__(self):
         self.entity_re = golden.ENTITY_RE  # compiled once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        conv_ids, turn_idxs, starts, ends, surfaces = [], [], [], [], []
-        for cid, tid, text in zip(
-            batch["conv_id"].to_pylist(),
-            batch["turn_idx"].to_pylist(),
-            batch["text"].to_pylist(),
-        ):
-            for m in golden.detect_mentions(text):
-                conv_ids.append(cid)
-                turn_idxs.append(tid)
-                starts.append(m.start)
-                ends.append(m.end)
-                surfaces.append(m.surface)
-        return pa.table(
-            {
-                "conv_id": pa.array(conv_ids, pa.string()),
-                "turn_idx": pa.array(turn_idxs, pa.int32()),
-                "m_start": pa.array(starts, pa.int32()),
-                "m_end": pa.array(ends, pa.int32()),
-                "surface": pa.array(surfaces, pa.string()),
-            },
-            schema=MENTION_SCHEMA,
-        )
+        return detect_mentions_batch(batch)
 
 
 class TripleExtractStage:
-    """1->N flat map: transcript turns -> (subj, pred, obj, conf) triples."""
+    """Actor-pool form of :func:`extract_triples_batch` (see above)."""
 
     def __init__(self):
         self.patterns = golden.PATTERNS  # compiled once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        conv_ids, turn_idxs, subjs, preds, objs, confs = [], [], [], [], [], []
-        for cid, tid, text in zip(
-            batch["conv_id"].to_pylist(),
-            batch["turn_idx"].to_pylist(),
-            batch["text"].to_pylist(),
-        ):
-            for t in golden.extract_triples(text):
-                conv_ids.append(cid)
-                turn_idxs.append(tid)
-                subjs.append(t.subj)
-                preds.append(t.pred)
-                objs.append(t.obj)
-                confs.append(t.conf)
-        return pa.table(
-            {
-                "conv_id": pa.array(conv_ids, pa.string()),
-                "turn_idx": pa.array(turn_idxs, pa.int32()),
-                "subj": pa.array(subjs, pa.string()),
-                "pred": pa.array(preds, pa.string()),
-                "obj": pa.array(objs, pa.string()),
-                "conf": pa.array(confs, pa.float32()),
-            },
-            schema=TRIPLE_SCHEMA,
-        )
+        return extract_triples_batch(batch)
 
 
 def chunk_batch(batch: pa.Table, *, id_cols: tuple[str, str] = ("conv_id", "turn_idx"),

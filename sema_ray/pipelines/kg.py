@@ -48,7 +48,9 @@ from ray.data.aggregate import Count, Sum
 from ..canonicalize import (band_hashes, build_canonical_map,
                             char_shingle_hashes, minhash_signature,
                             normalize_surface)
-from ..extract import (MentionDetectStage, TripleExtractStage, normalize_batch)
+from ..extract import (MentionDetectStage, TripleExtractStage,
+                       detect_mentions_batch, extract_triples_batch,
+                       normalize_batch)
 from ..hashing import stable_id64
 from ..state.manifest import (load_manifests, shard_fingerprint,
                               shard_is_done, write_manifest)
@@ -77,23 +79,27 @@ def read_transcripts(path: str, columns: list[str] | None = None) -> rd.Dataset:
 
 
 def triples_dataset(ds: rd.Dataset, batch_size: int = DEFAULT_BATCH_SIZE) -> rd.Dataset:
-    """Turns -> triples via the actor-pool extractor (reads only conv_id,
-    turn_idx, text)."""
+    """Turns -> triples (reads only conv_id, turn_idx, text).
+
+    Task-pool ``map_batches`` — the extractor's only state is module-level
+    compiled regex, cached per worker process; measured ~3x faster than the
+    autoscaling actor pool at bench scale and elastic at cluster scale. Swap
+    in ``TripleExtractStage`` + ``concurrency=(n, m)`` when the extractor
+    loads real model weights.
+    """
     return ds.map_batches(
-        TripleExtractStage,
+        extract_triples_batch,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=_pool(),
     )
 
 
 def mentions_dataset(ds: rd.Dataset, batch_size: int = DEFAULT_BATCH_SIZE) -> rd.Dataset:
-    """Turns -> entity mentions via the actor-pool detector."""
+    """Turns -> entity mentions (task-pool; see :func:`triples_dataset`)."""
     return ds.map_batches(
-        MentionDetectStage,
+        detect_mentions_batch,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=_pool(),
     )
 
 
@@ -176,16 +182,45 @@ def lsh_candidate_pairs(surfaces: rd.Dataset,
     return sorted(set(zip(pdf["a"], pdf["b"])))
 
 
-def canonical_entities(mentions: rd.Dataset) -> tuple[dict[str, tuple[int, str]], pa.Table]:
+def canonical_entities(mentions: rd.Dataset,
+                       distributed_blocking: bool = False
+                       ) -> tuple[dict[str, tuple[int, str]], pa.Table]:
     """Full canonicalization: counts -> LSH pairs -> union-find -> table.
 
     Returns (surface -> (entity_id, canonical_surface) map, entity table with
     columns entity_id | canonical | surface | n).
+
+    The vocabulary (distinct surfaces) is the small side by construction —
+    it is collected to the driver for the union-find reduction regardless —
+    so by default the per-batch count partials are merged and LSH-blocked
+    locally (no shuffle). ``distributed_blocking=True`` switches to the
+    groupby-based banding path for vocabularies too large to block locally
+    (the shuffle still only moves vocabulary rows, never the corpus).
     """
-    counts_ds = surface_form_counts(mentions)
-    counts = counts_ds.to_pandas()  # small: distinct surfaces (vocabulary)
-    surface_counts = list(zip(counts["surface"], counts["n"].astype(int)))
-    pairs = lsh_candidate_pairs(counts_ds)
+    from ..canonicalize import local_lsh_pairs
+    from ..util import collect_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch["surface"].value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"surface": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    # per-BLOCK partials (batch_size=None): the driver collects
+    # O(blocks x vocabulary) rows, not O(row-batches x vocabulary)
+    partials_tbl = collect_table(
+        mentions.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None))
+    counts_tbl = partials_tbl.group_by("surface").aggregate([("n", "sum")]) \
+        .rename_columns(["surface", "n"]).sort_by("surface")
+    surface_counts = list(zip(counts_tbl["surface"].to_pylist(),
+                              counts_tbl["n"].to_pylist()))
+    if distributed_blocking:
+        pairs = lsh_candidate_pairs(rd.from_arrow(counts_tbl))
+    else:
+        pairs = local_lsh_pairs(
+            [normalize_surface(s) for s, _n in surface_counts])
     cmap = build_canonical_map(surface_counts, pairs)
     ent = pa.table(
         {
@@ -218,27 +253,71 @@ class LinkStage:
             return stable_id64(normalize_surface(s) or s), s
         return hit
 
+    def _lookup_cols(self, arr) -> tuple[pa.Array, pa.Array]:
+        """Vectorized: resolve each *distinct* surface once, then gather.
+
+        Surfaces are low-cardinality relative to triples, so dictionary-
+        encode the column and run the Python lookup over the dictionary
+        only; the per-row work is one int gather.
+        """
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        enc = arr.dictionary_encode()
+        vocab = enc.dictionary.to_pylist()
+        pairs = [self._lookup(s) for s in vocab]
+        ids = np.array([p[0] for p in pairs], dtype=np.int64)
+        canon = np.array([p[1] for p in pairs], dtype=object)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        return (pa.array(ids[idx], pa.int64()),
+                pa.array(canon[idx].tolist(), pa.string()))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        subs = batch["subj"].to_pylist()
-        objs = batch["obj"].to_pylist()
-        s_ids, s_canon = zip(*(self._lookup(s) for s in subs)) if subs else ((), ())
-        o_ids, o_canon = zip(*(self._lookup(o) for o in objs)) if objs else ((), ())
-        out = batch.append_column("subj_id", pa.array(s_ids, pa.int64()))
-        out = out.append_column("obj_id", pa.array(o_ids, pa.int64()))
-        out = out.append_column("subj_canonical", pa.array(s_canon, pa.string()))
-        out = out.append_column("obj_canonical", pa.array(o_canon, pa.string()))
+        if batch.num_rows == 0:
+            out = batch.append_column("subj_id", pa.array([], pa.int64()))
+            out = out.append_column("obj_id", pa.array([], pa.int64()))
+            out = out.append_column("subj_canonical", pa.array([], pa.string()))
+            return out.append_column("obj_canonical", pa.array([], pa.string()))
+        s_ids, s_canon = self._lookup_cols(batch["subj"])
+        o_ids, o_canon = self._lookup_cols(batch["obj"])
+        out = batch.append_column("subj_id", s_ids)
+        out = out.append_column("obj_id", o_ids)
+        out = out.append_column("subj_canonical", s_canon)
+        out = out.append_column("obj_canonical", o_canon)
         return out
+
+
+SMALL_CMAP_ROWS = 100_000
 
 
 def link_triples(triples: rd.Dataset, cmap: dict[str, tuple[int, str]],
                  batch_size: int = DEFAULT_BATCH_SIZE) -> rd.Dataset:
+    """Broadcast-join triples -> canonical entity ids.
+
+    Small canonical maps ship inside the task function (Ray caches the
+    serialized function per worker process — the broadcast cost is paid once
+    per worker, with zero actor-pool startup). Large maps go through the
+    actor-pool + ``ray.put`` path so the dict is deserialized once per actor
+    rather than once per worker-function cache miss.
+    """
+    if len(cmap) <= SMALL_CMAP_ROWS:
+        stage = LinkStage.__new__(LinkStage)
+        stage.cmap = cmap
+
+        def link(batch: pa.Table) -> pa.Table:
+            return LinkStage.__call__(stage, batch)
+
+        # per-block batches: one dictionary-encode per block
+        return triples.map_batches(link, batch_format="pyarrow",
+                                   batch_size=None)
     cmap_ref = ray.put(cmap)
+    lo, hi = _pool()
     return triples.map_batches(
         LinkStage,
         fn_constructor_args=(cmap_ref,),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=_pool(),
+        # capped so pool startup never dominates and readers keep headroom
+        concurrency=(lo, min(hi, 16)),
     )
 
 
@@ -258,7 +337,9 @@ def adjacency(linked: rd.Dataset) -> rd.Dataset:
             ["subj_id", "pred", "obj_id", "subj_canonical", "obj_canonical", "n"]
         )
 
-    partials = linked.map_batches(partial, batch_format="pyarrow")
+    # per-block partials: the shuffle moves O(blocks x distinct edges) rows
+    partials = linked.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=None)
     return (
         partials.groupby(["subj_id", "pred", "obj_id"])
         .aggregate(Sum("n", alias_name="support"))
@@ -323,22 +404,38 @@ def salted_repartition(ds: rd.Dataset, num_partitions: int,
     return ds.map_batches(AddKey, batch_format="pyarrow", concurrency=_pool())
 
 
+def triple_surfaces(trip: rd.Dataset) -> rd.Dataset:
+    """Surfaces appearing in triples (subj + obj), as a 'surface' column —
+    the entity vocabulary the link stage needs to resolve."""
+
+    def surf(t: pa.Table) -> pa.Table:
+        subj = t["subj"].combine_chunks() if isinstance(t["subj"], pa.ChunkedArray) else t["subj"]
+        obj = t["obj"].combine_chunks() if isinstance(t["obj"], pa.ChunkedArray) else t["obj"]
+        both = pa.concat_arrays([pa.array(subj.to_pylist(), pa.string()),
+                                 pa.array(obj.to_pylist(), pa.string())])
+        return pa.table({"surface": both})
+
+    # batch_size=None => one call per block: the downstream count partials
+    # shrink to (blocks x vocab) rows instead of (batches x vocab)
+    return trip.map_batches(surf, batch_format="pyarrow", batch_size=None)
+
+
 def kg_flagship(input_dir: str, batch_size: int = DEFAULT_BATCH_SIZE) -> rd.Dataset:
     """Flagship pipeline, streaming form (no intermediate writes):
-    transcripts -> triples -> canonicalized entity links.
+    transcripts -> triples (one extraction pass) -> canonicalized links.
 
     Returns the linked-triples Dataset (conv_id, turn_idx, subj, pred, obj,
-    conf, subj_id, obj_id, subj_canonical, obj_canonical). Entity resolution
-    consumes the mentions side; the canonical map is broadcast to the link
-    stage. Used by ``entry()`` and the bench harness; the checkpointed
-    variant is :func:`run_kg`.
+    conf, subj_id, obj_id, subj_canonical, obj_canonical). The triples
+    Dataset is materialized once (object store, spills under pressure)
+    because it has two consumers — the surface-vocabulary aggregate feeding
+    canonicalization, then the link stage; without it Ray would re-execute
+    extraction per consumer. The checkpointed variant is :func:`run_kg`
+    (which persists triples/mentions to parquet instead).
     """
     cols = ["conv_id", "turn_idx", "text"]
-    ment = mentions_dataset(read_transcripts(input_dir, columns=cols),
-                            batch_size=batch_size)
-    cmap, _ent = canonical_entities(ment)
     trip = triples_dataset(read_transcripts(input_dir, columns=cols),
-                           batch_size=batch_size)
+                           batch_size=batch_size).materialize()
+    cmap, _ent = canonical_entities(triple_surfaces(trip))
     return link_triples(trip, cmap, batch_size=batch_size)
 
 

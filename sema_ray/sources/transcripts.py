@@ -176,6 +176,45 @@ def generate_transcripts(n_convs: int = 100, seed: int = 42) -> pa.Table:
     return t.take(pa.array(perm))
 
 
+def _doc_conversation(doc_id: int, text: str, v: int):
+    """One (doc, variant) -> one conversation's rows (deterministic in
+    (doc_id, v) only — independent of batching/partitioning)."""
+    rng = np.random.default_rng(100_000 * (v + 1) + int(doc_id))
+    cid = f"doc-{int(doc_id):08d}-v{v}"
+    words = text.split()
+    turns: list[str] = []
+    for w0 in range(0, len(words), 12):
+        turns.append(" ".join(words[w0 : w0 + 12]))
+        if rng.random() < 0.5:
+            turns.append(_sentence(rng))
+    if not turns:
+        turns = [_sentence(rng)]
+    role_cycle = ["user", "assistant", "tool"]
+    rows = []
+    for j, turn_text in enumerate(turns):
+        role = role_cycle[j % 3]
+        rows.append((
+            cid, j, role, turn_text,
+            TOOLS[int(rng.integers(len(TOOLS)))] if role == "tool" else "",
+            _BASE_TS_US + int(doc_id) * 3_600_000_000 + j * 30_000_000,
+        ))
+    return rows
+
+
+def _rows_to_table(rows: list[tuple]) -> pa.Table:
+    cols = list(zip(*rows)) if rows else [[], [], [], [], [], []]
+    return pa.table(
+        {
+            "conv_id": pa.array(cols[0], pa.string()),
+            "turn_idx": pa.array(cols[1], pa.int32()),
+            "role": pa.array(cols[2], pa.string()),
+            "text": pa.array(cols[3], pa.string()),
+            "tool": pa.array(cols[4], pa.string()),
+            "ts": pa.array(cols[5], pa.timestamp("us")),
+        }
+    )
+
+
 def transcripts_from_documents(sf_dir: str, variants: int = 1) -> pa.Table:
     """Derive a transcript table from ``{sf_dir}/documents.parquet``.
 
@@ -186,45 +225,38 @@ def transcripts_from_documents(sf_dir: str, variants: int = 1) -> pa.Table:
     """
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
-    conv_ids: list[str] = []
-    turn_idx: list[int] = []
-    roles: list[str] = []
-    texts: list[str] = []
-    tools: list[str] = []
-    ts: list[int] = []
-    role_cycle = ["user", "assistant", "tool"]
-    doc_ids = docs["doc_id"].to_pylist()
-    doc_texts = docs["text"].to_pylist()
+    rows: list[tuple] = []
     for v in range(variants):
-        for doc_id, text in zip(doc_ids, doc_texts):
-            rng = np.random.default_rng(100_000 * (v + 1) + int(doc_id))
-            cid = f"doc-{int(doc_id):08d}-v{v}"
-            words = text.split()
-            turns: list[str] = []
-            for w0 in range(0, len(words), 12):
-                turns.append(" ".join(words[w0 : w0 + 12]))
-                if rng.random() < 0.5:
-                    turns.append(_sentence(rng))
-            if not turns:
-                turns = [_sentence(rng)]
-            for j, turn_text in enumerate(turns):
-                role = role_cycle[j % 3]
-                conv_ids.append(cid)
-                turn_idx.append(j)
-                roles.append(role)
-                texts.append(turn_text)
-                tools.append(TOOLS[int(rng.integers(len(TOOLS)))] if role == "tool" else "")
-                ts.append(_BASE_TS_US + int(doc_id) * 3_600_000_000 + j * 30_000_000)
-    return pa.table(
-        {
-            "conv_id": pa.array(conv_ids, pa.string()),
-            "turn_idx": pa.array(turn_idx, pa.int32()),
-            "role": pa.array(roles, pa.string()),
-            "text": pa.array(texts, pa.string()),
-            "tool": pa.array(tools, pa.string()),
-            "ts": pa.array(ts, pa.timestamp("us")),
-        }
-    )
+        for doc_id, text in zip(docs["doc_id"].to_pylist(),
+                                docs["text"].to_pylist()):
+            rows.extend(_doc_conversation(doc_id, text, v))
+    return _rows_to_table(rows)
+
+
+def generate_corpus_ray(sf_dir: str, out_dir: str, variants: int = 1) -> None:
+    """Distributed corpus generation: documents -> transcript shards via Ray.
+
+    Per-conversation rows are seeded by (doc_id, variant) only, so output
+    content is identical to :func:`transcripts_from_documents` regardless of
+    batching (file layout may differ — callers treat the directory as one
+    corpus). Used by bench for multi-million-turn corpora where driver-side
+    generation would serialize.
+    """
+    import ray.data as rd
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def gen(batch: pa.Table) -> pa.Table:
+        rows: list[tuple] = []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            for v in range(variants):
+                rows.extend(_doc_conversation(doc_id, text, v))
+        return _rows_to_table(rows)
+
+    docs.map_batches(gen, batch_format="pyarrow",
+                     batch_size=64).write_parquet(out_dir)
 
 
 def write_sharded(table: pa.Table, out_dir: str, num_shards: int = 8) -> list[str]:
@@ -256,12 +288,13 @@ def corpus_dir(kind: str, key: str, root: str = "/tmp/sema_ray_corpus") -> str:
 
 def ensure_corpus(kind: str = "template", *, n_convs: int = 100, seed: int = 42,
                   sf_dir: str | None = None, variants: int = 1,
-                  num_shards: int = 8,
+                  num_shards: int = 8, use_ray: bool = False,
                   root: str = "/tmp/sema_ray_corpus") -> str:
     """Generate-and-cache a sharded corpus; returns its directory.
 
     A ``_COMPLETE`` marker makes the cache crash-safe: partial generations
-    are regenerated.
+    are regenerated. ``use_ray=True`` (docs kind only) generates the shards
+    distributed — required for multi-million-turn bench corpora.
     """
     if kind == "template":
         key = f"c{n_convs}-s{seed}-sh{num_shards}"
@@ -271,12 +304,18 @@ def ensure_corpus(kind: str = "template", *, n_convs: int = 100, seed: int = 42,
     marker = os.path.join(d, "_COMPLETE")
     if os.path.exists(marker):
         return d
+    import shutil
+    shutil.rmtree(d, ignore_errors=True)  # drop partial generations
     if kind == "template":
-        t = generate_transcripts(n_convs=n_convs, seed=seed)
+        write_sharded(generate_transcripts(n_convs=n_convs, seed=seed), d,
+                      num_shards=num_shards)
     else:
         assert sf_dir is not None
-        t = transcripts_from_documents(sf_dir, variants=variants)
-    write_sharded(t, d, num_shards=num_shards)
+        if use_ray:
+            generate_corpus_ray(sf_dir, d, variants=variants)
+        else:
+            write_sharded(transcripts_from_documents(sf_dir, variants=variants),
+                          d, num_shards=num_shards)
     with open(marker, "w") as f:
         f.write("ok")
     return d

@@ -28,6 +28,27 @@ def round_half_up(arr, digits: int):
     return pc.divide(pc.floor(pc.add(pc.multiply(x, p), 0.5)), p)
 
 
+def warm_workers() -> None:
+    """Spin up the session's worker pool and pay import costs before timing.
+
+    A fresh ``ray.init`` has zero Python workers; the first pipeline's wall
+    time otherwise includes process spawn + heavy imports per worker. A real
+    long-running cluster is warm, so benchmarks call this first to measure
+    the engine rather than session bring-up.
+    """
+    import ray.data as rd
+
+    n = int(ray.cluster_resources().get("CPU", 8))
+
+    def w(b):
+        import sema_ray.extract  # noqa: F401  (forces worker-side imports)
+        import sema_ray.golden  # noqa: F401
+        return b
+
+    rd.range(n * 16, override_num_blocks=n * 4).map_batches(
+        w, batch_size=4).count()
+
+
 def collect_table(ds) -> pa.Table:
     """Materialize a small Dataset to one pyarrow Table on the driver."""
     tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns > 0]
