@@ -73,6 +73,70 @@ def _kg_chunks(sf_dir: str):
     return ds.map_batches(chunk_batch, batch_format="pyarrow")
 
 
+def _file_tree(sf_dir: str) -> tuple[str, str]:
+    """Materialize documents as .txt files + a built search index (cached)."""
+    import pyarrow.parquet as pq
+    base = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/sema_ray_files/{base}"
+    idx = f"/tmp/sema_ray_files/{base}-idx"
+    marker = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "source", "text"])
+        for doc_id, src, text in zip(t["doc_id"].to_pylist(),
+                                     t["source"].to_pylist(),
+                                     t["text"].to_pylist()):
+            d = os.path.join(root, src)
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"doc-{doc_id:06d}.txt"), "w") as f:
+                f.write(text)
+        with open(marker, "w") as f:
+            f.write("ok")
+    from sema_ray.pipelines.search import build_index
+    build_index(root, idx)  # incremental: no-op when already built
+    return root, idx
+
+
+def _file_search_semantic(sf_dir: str):
+    from sema_ray.pipelines.search import search
+    _root, idx = _file_tree(sf_dir)
+    return search(idx, "fast vector table scan")
+
+
+def _file_search_exact(sf_dir: str):
+    from sema_ray.pipelines.search import search
+    _root, idx = _file_tree(sf_dir)
+    return search(idx, "'spark")
+
+
+def _embed_documents(sf_dir: str):
+    """T1 embedder as a standalone stage over documents (rows-only check:
+    vectors are checksummed via their rounded norm per row)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sema_ray.embed import EmbedStage
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    emb = ds.map_batches(EmbedStage,
+                         fn_constructor_kwargs={"text_col": "text"},
+                         batch_format="pyarrow", batch_size=128,
+                         concurrency=(1, 4))
+
+    def norm_row(t: pa.Table) -> pa.Table:
+        import numpy as np
+        vec = t["vector"]
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        m = vec.flatten().to_numpy(zero_copy_only=False).reshape(len(vec), -1)
+        n = np.sqrt((m.astype(np.float64) ** 2).sum(axis=1))
+        return pa.table({"doc_id": t["doc_id"],
+                         "vec_norm_q": pa.array((n * 1000).round().astype("int64"))})
+
+    return emb.map_batches(norm_row, batch_format="pyarrow")
+
+
 def _embedding_dup_pairs(sf_dir: str):
     """Collected to a Table so an empty result keeps its (a, b) schema."""
     import pyarrow as pa
@@ -123,6 +187,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": simsearch.bm25_search,
         # --- multimodal plumbing ------------------------------------------
         "binary_meta": multimodal.binary_meta,
+        # --- reference file-search lifecycle (crawl/chunk/embed/index/query)
+        "file_search_semantic": _file_search_semantic,
+        "file_search_exact": _file_search_exact,
+        "embed_documents": _embed_documents,
         # --- KG construction (flagship; non-SQL, golden-oracle in pytest) -
         "kg_chunks": _kg_chunks,
         "kg_mentions": _kg_mentions,

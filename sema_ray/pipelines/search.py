@@ -1,0 +1,327 @@
+"""Semantic file-search pipeline — the reference's full lifecycle on Ray Data.
+
+Re-expresses akshitsinha/sema end to end (index build §3.1, semantic query
+§3.2, exact-text query §3.3 of SURVEY.md):
+
+- **crawl** (S1, M1): walk a root with extension / size / hidden filters
+  (``src/crawler/mod.rs:18-103``) — metadata-only driver walk, then the
+  file *contents* are read distributed (``read_binary_files``).
+- **read** (S2): whole-file UTF-8 decode; non-UTF-8 files are counted and
+  dropped (the reference silently drops via ``.ok()``,
+  ``src/storage/processor.rs:18`` — we keep a drop counter).
+- **chunk** (M2): bit-exact sliding-window chunker (:mod:`sema_ray.chunker`).
+- **embed** (T1): actor-pool ``EmbedStage`` (hash-projection stand-in with
+  the MiniLM interface contract).
+- **index write** (S3/S4): one partitioned parquet dataset per file
+  (``chunks/file=<pathhash>/``) — recompute = overwrite that partition,
+  the reference's delete-then-reindex (S6, ``lance_indexer.rs:234-250``).
+- **file-index upsert + incremental skip** (S5/T4): ``file_index.json``
+  maps path -> content hash; unchanged files are skipped on rebuild
+  (``src/storage/mod.rs:30-70``).
+- **query** (M4/M5/T2/T3/A1/A2/K1-K3): ``'``-prefix routes to exact search,
+  else semantic; ≤2-char queries return empty; results are grouped by file
+  (top-1 per file by best score, ties by start_line; carries
+  ``total_matches_in_file``), ranked desc, limited to k=50.
+
+Documented deviation (SURVEY §3.2): the reference discards semantic scores
+(constant 1.0 at ``storage/mod.rs:123``); we propagate real cosine scores
+and rank groups by their best score.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..chunker import chunk_text
+from ..embed import EmbedStage, HashEmbedder
+from ..hashing import content_hash, stable_id64
+from ..util import collect_table
+
+SEARCH_RESULTS_LIMIT = 50  # reference: src/tui/engine.rs:11
+MIN_QUERY_LEN = 3          # reference clears results for len<=2: app.rs:165-168
+DEFAULT_EXTENSIONS = ("txt", "md", "py", "rs", "toml", "json", "csv", "log")
+DEFAULT_MAX_FILE_SIZE = 10 * 1024 * 1024  # config default, config/mod.rs:29
+
+
+def normalize_extensions(exts) -> set[str]:
+    """Case-normalize and strip ``*.``/``.`` prefixes (crawler/mod.rs:28-42)."""
+    out = set()
+    for e in exts:
+        e = e.lower().strip()
+        if e.startswith("*."):
+            e = e[2:]
+        elif e.startswith("."):
+            e = e[1:]
+        if e:
+            out.add(e)
+    return out
+
+
+def crawl(root: str, extensions=DEFAULT_EXTENSIONS,
+          max_file_size: int = DEFAULT_MAX_FILE_SIZE,
+          include_hidden: bool = False) -> list[str]:
+    """S1/M1: file paths under root passing the predicate filters.
+
+    Keep iff regular, non-empty, ≤ max size, extension in the allowlist
+    (``src/crawler/mod.rs:73-103``). Metadata-only: contents are read later,
+    distributed.
+    """
+    allow = normalize_extensions(extensions)
+    out: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        if not include_hidden:
+            dirnames[:] = [d for d in dirnames if not d.startswith(".")]
+        for name in sorted(filenames):
+            if not include_hidden and name.startswith("."):
+                continue
+            ext = name.rsplit(".", 1)[-1].lower() if "." in name else ""
+            if ext not in allow:
+                continue
+            p = os.path.join(dirpath, name)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            if st.st_size == 0 or st.st_size > max_file_size:
+                continue
+            out.append(p)
+    return sorted(out)
+
+
+def _file_index_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "file_index.json")
+
+
+def load_file_index(index_dir: str) -> dict[str, str]:
+    """S5 table: file_path -> content hash (lance_indexer.rs:192-195)."""
+    try:
+        with open(_file_index_path(index_dir)) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _chunk_file_batch(batch: pa.Table) -> pa.Table:
+    """S2+M2 per batch of (path, bytes): decode, drop non-UTF-8, chunk."""
+    paths, ids, ordinals, sl, el, contents, hashes = ([] for _ in range(7))
+    n_dropped = 0
+    for path, data in zip(batch["path"].to_pylist(),
+                          batch["bytes"].to_pylist()):
+        try:
+            text = data.decode("utf-8")
+        except UnicodeDecodeError:
+            n_dropped += 1
+            continue
+        h = content_hash(data)
+        for ch in chunk_text(text):
+            paths.append(path)
+            ids.append(f"{path}:{ch.ordinal}")  # processor.rs:62 id format
+            ordinals.append(ch.ordinal)
+            sl.append(ch.start_line)
+            el.append(ch.end_line)
+            contents.append(ch.content)
+            hashes.append(h)
+    return pa.table({
+        "id": pa.array(ids, pa.string()),
+        "file_path": pa.array(paths, pa.string()),
+        "ordinal": pa.array(ordinals, pa.int32()),
+        "start_line": pa.array(sl, pa.int64()),
+        "end_line": pa.array(el, pa.int64()),
+        "content": pa.array(contents, pa.string()),
+        "file_hash": pa.array(hashes, pa.string()),
+        "n_dropped": pa.array([n_dropped] * len(ids), pa.int32())
+        if ids else pa.array([], pa.int32()),
+    })
+
+
+def build_index(root: str, index_dir: str, extensions=DEFAULT_EXTENSIONS,
+                max_file_size: int = DEFAULT_MAX_FILE_SIZE,
+                embed_concurrency=(1, 4)) -> dict:
+    """Index build (reference §3.1): crawl -> diff -> chunk -> embed -> write.
+
+    Incremental (T4): files whose stored hash matches are skipped; changed
+    files get their ``chunks/file=<pathhash>/`` partition overwritten (S6).
+    Hashes are computed once on the read bytes and carried through — not
+    re-read after processing (fixes the reference's TOCTOU,
+    ``storage/mod.rs:62-66``).
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    paths = crawl(root, extensions, max_file_size)
+    index = load_file_index(index_dir)
+    todo: list[str] = []
+    skipped = 0
+    for p in paths:
+        h = content_hash(open(p, "rb").read())
+        if index.get(p) == h:
+            skipped += 1
+        else:
+            todo.append(p)
+    removed = [p for p in index if p not in set(paths)]
+    for p in removed:  # S6: file gone -> drop its partition + index row
+        shutil.rmtree(os.path.join(index_dir, "chunks",
+                                   f"file={stable_id64(p)}"),
+                      ignore_errors=True)
+        index.pop(p, None)
+
+    n_chunks = 0
+    if todo:
+        ds = rd.read_binary_files(todo, include_paths=True)
+        ds = ds.map_batches(
+            lambda t: pa.table({"path": t["path"], "bytes": t["bytes"]}),
+            batch_format="pyarrow")
+        chunks = ds.map_batches(_chunk_file_batch, batch_format="pyarrow")
+        embedded = chunks.map_batches(
+            EmbedStage,
+            fn_constructor_kwargs={"text_col": "content"},
+            batch_format="pyarrow", batch_size=256,
+            concurrency=embed_concurrency,
+        )
+        tbl = collect_table(embedded)  # index corpora are small per wave;
+        # at scale this becomes write_parquet per partition directly
+        n_chunks = tbl.num_rows
+        for p in todo:
+            part = tbl.filter(pc.equal(tbl["file_path"], p))
+            pdir = os.path.join(index_dir, "chunks", f"file={stable_id64(p)}")
+            shutil.rmtree(pdir, ignore_errors=True)
+            os.makedirs(pdir, exist_ok=True)
+            if part.num_rows:
+                import pyarrow.parquet as pq
+                pq.write_table(part.drop_columns(["n_dropped"]),
+                               os.path.join(pdir, "chunks.parquet"))
+                index[p] = part["file_hash"][0].as_py()
+            else:
+                # decode failure or all-too-short: indexed as empty
+                index[p] = content_hash(open(p, "rb").read())
+    tmp = _file_index_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(index, f, indent=1)
+    os.replace(tmp, _file_index_path(index_dir))
+    return {"files_total": len(paths), "files_skipped": skipped,
+            "files_indexed": len(todo), "files_removed": len(removed),
+            "chunks_written": n_chunks}
+
+
+def _load_chunks(index_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(index_dir, "chunks"))
+
+
+def parse_query(query: str) -> tuple[str, str]:
+    """M4: ``'``-prefix -> exact mode, else semantic (storage/mod.rs:112-125)."""
+    q = query.strip()
+    if q.startswith("'"):
+        return "exact", q[1:]
+    return "semantic", q
+
+
+def _group_rank_limit(hits: pa.Table, k: int) -> pa.Table:
+    """A1+A2+K1: group by file (top-1 by score desc, ties by start_line asc),
+    carry total_matches_in_file, rank groups desc, limit k
+    (engine.rs:156-182)."""
+    if hits.num_rows == 0:
+        return hits
+    out_rows = []
+    df = hits.to_pandas()
+    for path, g in df.groupby("file_path", sort=True):
+        g = g.sort_values(["score", "start_line", "id"],
+                          ascending=[False, True, True])
+        top = g.iloc[0].to_dict()
+        top["total_matches_in_file"] = len(g)
+        out_rows.append(top)
+    out_rows.sort(key=lambda r: (-r["score"], r["file_path"]))
+    out_rows = out_rows[:k]
+    cols = ["id", "file_path", "start_line", "end_line", "content", "score",
+            "total_matches_in_file"]
+    return pa.table({c: pa.array([r[c] for r in out_rows]) for c in cols})
+
+
+def search(index_dir: str, query: str,
+           k: int = SEARCH_RESULTS_LIMIT) -> pa.Table:
+    """Query path (reference §3.2/§3.3) over the built index."""
+    mode, q = parse_query(query)
+    if len(q.strip()) < MIN_QUERY_LEN:  # M5
+        return pa.table({c: pa.array([]) for c in
+                         ("id", "file_path", "start_line", "end_line",
+                          "content", "score", "total_matches_in_file")})
+    chunks = _load_chunks(index_dir)
+    if mode == "exact":
+        needle = q.lower()
+
+        def score_exact(t: pa.Table) -> pa.Table:
+            n = pc.count_substring(pc.utf8_lower(t["content"]), pattern=needle)
+            out = t.append_column("score", pc.cast(n, pa.float64()))
+            return out.filter(pc.greater(out["score"], 0))
+
+        hits = chunks.map_batches(score_exact, batch_format="pyarrow")
+    else:
+        qv = HashEmbedder().embed_one(q).astype(np.float64)
+        qv_ref = ray.put(qv)
+
+        def score_semantic(t: pa.Table) -> pa.Table:
+            vec = t["vector"]
+            if isinstance(vec, pa.ChunkedArray):
+                vec = vec.combine_chunks()
+            m = vec.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.float64).reshape(len(vec), -1)
+            scores = m @ ray.get(qv_ref)
+            # deviation from reference (documented): real cosine propagated
+            return t.append_column("score", pa.array(scores, pa.float64()))
+
+        hits = chunks.map_batches(score_semantic, batch_format="pyarrow")
+    tbl = collect_table(hits)
+    if tbl.num_columns == 0:
+        return pa.table({c: pa.array([]) for c in
+                         ("id", "file_path", "start_line", "end_line",
+                          "content", "score", "total_matches_in_file")})
+    keep = ["id", "file_path", "start_line", "end_line", "content", "score"]
+    return _group_rank_limit(tbl.select(keep), k)
+
+
+# --------------------------------------------------------------------------
+# Result-shaping helpers from the reference TUI (kept: they encode semantics)
+# --------------------------------------------------------------------------
+
+def display_path(path: str, root: str | None = None, max_len: int = 50) -> str:
+    """M7: relativize to root, else last-2 components; truncate with ``...``
+    (``src/tui/ui.rs:590-617``)."""
+    p = path
+    if root:
+        try:
+            rel = os.path.relpath(path, root)
+            if not rel.startswith(".."):
+                p = rel
+        except ValueError:
+            pass
+    if p == path and os.sep in path:
+        parts = path.split(os.sep)
+        if len(parts) > 2:
+            p = os.sep.join(parts[-2:])
+    if len(p) > max_len:
+        p = "..." + p[-(max_len - 3):]
+    return p
+
+
+def highlight_spans(text: str, query: str) -> list[tuple[int, int]]:
+    """M8: case-insensitive find-all of query terms, overlapping intervals
+    merged (``src/tui/ui.rs:524-588``)."""
+    from ..golden import merge_intervals
+    spans: list[tuple[int, int]] = []
+    lo_text = text.lower()
+    for term in query.lower().split():
+        if not term:
+            continue
+        start = 0
+        while True:
+            i = lo_text.find(term, start)
+            if i == -1:
+                break
+            spans.append((i, i + len(term)))
+            start = i + 1
+    return merge_intervals(spans)
