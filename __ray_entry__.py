@@ -65,6 +65,16 @@ def _kg_adjacency(sf_dir: str):
     return adjacency(kg_flagship(_kg_corpus(sf_dir)))
 
 
+def _kg_normalized(sf_dir: str):
+    """Normalize stage (derived cols only: n_bytes + content hash)."""
+    from sema_ray.extract import normalize_batch
+    from sema_ray.pipelines.kg import read_transcripts
+    ds = read_transcripts(_kg_corpus(sf_dir),
+                          columns=["conv_id", "turn_idx", "text"])
+    return ds.map_batches(normalize_batch, batch_format="pyarrow") \
+        .select_columns(["conv_id", "turn_idx", "n_bytes", "text_hash"])
+
+
 def _kg_chunks(sf_dir: str):
     from sema_ray.extract import chunk_batch
     from sema_ray.pipelines.kg import read_transcripts
@@ -192,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "file_search_exact": _file_search_exact,
         "embed_documents": _embed_documents,
         # --- KG construction (flagship; non-SQL, golden-oracle in pytest) -
+        "kg_normalized": _kg_normalized,
         "kg_chunks": _kg_chunks,
         "kg_mentions": _kg_mentions,
         "kg_triples": _kg_triples,
