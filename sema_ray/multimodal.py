@@ -81,6 +81,71 @@ class DecodeStage:
         })
 
 
+class ResizeStage:
+    """Actor-pool image-resize stage (payload -> payload).
+
+    Stub decode/encode (deterministic: output payload is a content-hash-
+    seeded byte string of ``out_w*out_h*3 // 8`` bytes standing in for the
+    re-encoded image); the Ray-side contract — binary in/binary out, small
+    batches, metadata update — is real. ``fake=False`` requires PIL.
+    """
+
+    def __init__(self, out_w: int = 224, out_h: int = 224, fake: bool = True):
+        self.out_w, self.out_h = out_w, out_h
+        if not fake and not _try_import_codecs():
+            raise NotImplementedError("real resize requires PIL")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_payloads = []
+        n_bytes = (self.out_w * self.out_h * 3) // 8
+        for p in t["payload"].to_pylist():
+            seed = int.from_bytes(
+                hashlib.blake2b(p, digest_size=8).digest(), "big")
+            out_payloads.append(np.random.default_rng(seed).integers(
+                0, 256, size=n_bytes, dtype=np.uint8).tobytes())
+        meta = pa.array([f'{{"w": {self.out_w}, "h": {self.out_h}}}'] *
+                        t.num_rows, pa.string())
+        out = t.set_column(t.schema.get_field_index("payload"), "payload",
+                           pa.array(out_payloads, pa.binary()))
+        return out.set_column(out.schema.get_field_index("meta_json"),
+                              "meta_json", meta)
+
+
+class FrameSampleStage:
+    """Actor-pool video frame sampler (1 -> N flat map).
+
+    Emits ``n_frames`` rows per video item, each with a frame feature vector
+    (stub-decoded deterministically from (payload, frame_idx)) — the
+    schema/flat-map plumbing for a real ffmpeg-backed sampler.
+    """
+
+    def __init__(self, n_frames: int = 4, dim: int = FEATURE_DIM,
+                 fake: bool = True):
+        self.n_frames = n_frames
+        self.dim = dim
+        if not fake and not _try_import_codecs():
+            raise NotImplementedError("real frame sampling requires av/ffmpeg")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, frames, feats = [], [], []
+        for item_id, payload in zip(t["item_id"].to_pylist(),
+                                    t["payload"].to_pylist()):
+            for f in range(self.n_frames):
+                ids.append(item_id)
+                frames.append(f)
+                feats.append(_fake_decode(payload + f.to_bytes(4, "big"),
+                                          self.dim))
+        flat = (np.concatenate(feats) if feats
+                else np.empty(0, dtype=np.float32))
+        fa = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, type=pa.float32()), self.dim)
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(frames, pa.int32()),
+            "feature": fa,
+        })
+
+
 def synthesize_binary_items(n: int = 64, seed: int = 3) -> pa.Table:
     """Deterministic fake multimodal table (test asset; no external data)."""
     rng = np.random.default_rng(seed)

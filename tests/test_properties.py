@@ -1,0 +1,72 @@
+"""Property tests (SURVEY §5.5) and scale-path/local-path parity checks."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sema_ray.chunker import CHUNK_SIZE, MIN_CHUNK_SIZE, OVERLAP_SIZE, chunk_text
+
+text_strategy = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    min_size=0, max_size=4000)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_strategy)
+def test_chunker_properties(text):
+    chunks = chunk_text(text)
+    data = text.encode("utf-8")
+    if len(data) < MIN_CHUNK_SIZE:
+        assert chunks == []
+        return
+    assert chunks, "any text >= MIN must produce at least one chunk"
+    # byte spans match content; windows bounded; coverage is gapless
+    prev_end = 0
+    for ch in chunks:
+        assert data[ch.start_byte:ch.end_byte].decode("utf-8") == ch.content
+        assert ch.end_byte - ch.start_byte <= CHUNK_SIZE
+        assert ch.start_byte <= prev_end, "gap in coverage"
+        assert ch.end_byte > prev_end or ch.ordinal == 0
+        prev_end = ch.end_byte
+        # overlap step bound: consecutive chunks overlap by <= OVERLAP_SIZE
+    assert chunks[0].start_byte == 0
+    # determinism
+    assert chunk_text(text) == chunks
+    # line numbers are 1-based and non-decreasing
+    assert chunks[0].start_line == 1
+    lines = [c.start_line for c in chunks]
+    assert lines == sorted(lines)
+
+
+@settings(max_examples=100, deadline=None)
+@given(text_strategy)
+def test_chunker_tail_coverage(text):
+    chunks = chunk_text(text)
+    data = text.encode("utf-8")
+    if not chunks:
+        return
+    # the final chunk reaches the end of the text unless it was dropped by
+    # the MIN filter, in which case the uncovered tail is < MIN bytes
+    tail = len(data) - chunks[-1].end_byte
+    assert 0 <= tail < MIN_CHUNK_SIZE
+
+
+def test_distributed_blocking_matches_local(ray_session):
+    """canonical_entities: groupby-banding scale path == driver-local path."""
+    import ray.data as rd
+
+    from sema_ray.pipelines.kg import canonical_entities
+
+    surfaces = (["Acme Corp"] * 5 + ["ACME CORP."] * 2 + ["Acme Corporation"]
+                + ["Globex Inc"] * 3 + ["globex incorporated"]
+                + ["Berlin"] * 4 + ["Alice Chen"] * 2 + ["Alide Chen"])
+    ds = rd.from_arrow(pa.table({"surface": pa.array(surfaces, pa.string())}))
+    cmap_local, ent_local = canonical_entities(ds, distributed_blocking=False)
+    cmap_dist, ent_dist = canonical_entities(ds, distributed_blocking=True)
+    assert cmap_local == cmap_dist
+    assert ent_local.sort_by("surface").equals(ent_dist.sort_by("surface"))
+    # sanity: variants actually merged
+    assert cmap_local["Acme Corp"][0] == cmap_local["ACME CORP."][0]
+    assert cmap_local["Acme Corp"][0] == cmap_local["Acme Corporation"][0]

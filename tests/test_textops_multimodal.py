@@ -67,3 +67,30 @@ def test_decode_stage_plumbing(ray_session):
 def test_decode_stage_real_codec_gated():
     with pytest.raises(NotImplementedError):
         multimodal.DecodeStage(fake=False)
+    with pytest.raises(NotImplementedError):
+        multimodal.ResizeStage(fake=False)
+    with pytest.raises(NotImplementedError):
+        multimodal.FrameSampleStage(fake=False)
+
+
+def test_resize_and_frame_sample_plumbing(ray_session):
+    items = multimodal.synthesize_binary_items(n=12)
+    ds = rd.from_arrow(items)
+    resized = ds.map_batches(
+        multimodal.ResizeStage, batch_format="pyarrow", batch_size=4,
+        concurrency=(1, 2),
+        fn_constructor_kwargs={"out_w": 32, "out_h": 32}).to_pandas()
+    assert len(resized) == 12
+    assert all(len(p) == (32 * 32 * 3) // 8 for p in resized["payload"])
+    assert all('"w": 32' in m for m in resized["meta_json"])
+
+    videos = rd.from_arrow(items).filter(
+        lambda r: r["modality"] == "video")
+    frames = videos.map_batches(
+        multimodal.FrameSampleStage, batch_format="pyarrow", batch_size=4,
+        concurrency=(1, 2),
+        fn_constructor_kwargs={"n_frames": 3}).to_pandas()
+    n_videos = len([m for m in items["modality"].to_pylist() if m == "video"])
+    assert len(frames) == 3 * n_videos
+    assert set(frames["frame_idx"]) == {0, 1, 2}
+    assert all(len(f) == multimodal.FEATURE_DIM for f in frames["feature"])
