@@ -61,11 +61,14 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
     rewritten (per-turn text-equality invariant, BASELINE.json input_hint).
 
     Adds ``n_bytes`` (UTF-8 length) and ``text_hash`` (content fingerprint,
-    reference T4 idea at row granularity).
+    reference T4 idea at row granularity). Null text rows get n_bytes=0 and
+    the empty-content hash (tagged, not dropped — SURVEY S2 note).
     """
-    n_bytes = pc.binary_length(pc.cast(batch["text"], pa.binary()))
+    n_bytes = pc.fill_null(
+        pc.binary_length(pc.cast(batch["text"], pa.binary())), 0)
     hashes = pa.array(
-        [content_hash(t) for t in batch["text"].to_pylist()], pa.string()
+        [content_hash(t if t is not None else "")
+         for t in batch["text"].to_pylist()], pa.string()
     )
     out = batch.append_column("n_bytes", pc.cast(n_bytes, pa.int64()))
     return out.append_column("text_hash", hashes)
@@ -86,6 +89,8 @@ def detect_mentions_batch(batch: pa.Table) -> pa.Table:
         batch["turn_idx"].to_pylist(),
         batch["text"].to_pylist(),
     ):
+        if text is None:  # malformed row: contributes nothing, never crashes
+            continue
         for m in golden.detect_mentions(text):
             conv_ids.append(cid)
             turn_idxs.append(tid)
@@ -120,7 +125,10 @@ def extract_triples_batch(batch: pa.Table) -> pa.Table:
     :func:`detect_mentions_batch` for the rationale). Rows without any
     relation verb literal are dropped vectorized before the per-row loop.
     """
-    mask = pc.match_substring_regex(batch["text"], _VERB_ALTERNATION)
+    # null text never matches -> malformed rows are filtered here, counted
+    # implicitly by rows_in - rows_out in the shard manifests
+    mask = pc.fill_null(
+        pc.match_substring_regex(batch["text"], _VERB_ALTERNATION), False)
     batch = batch.filter(mask)
     conv_ids, turn_idxs, subjs, preds, objs, confs = [], [], [], [], [], []
     for cid, tid, text in zip(

@@ -474,8 +474,10 @@ def run_kg(input_dir: str, out_dir: str, *, shards_per_wave: int = 4,
         wave = pending[w0 : w0 + shards_per_wave]
         for shard, path, fp in wave:
             tw = time.time()
+            # metadata-only row counts (no extra Ray read passes)
+            import pyarrow.parquet as pq
+            n_in = pq.ParquetFile(path).metadata.num_rows
             ds = read_transcripts(path, columns=["conv_id", "turn_idx", "text"])
-            n_in = ds.count()
             trip = triples_dataset(ds, batch_size=batch_size)
             tdir = os.path.join(out_dir, "triples", f"part={shard}")
             shutil.rmtree(tdir, ignore_errors=True)  # recompute = overwrite (S6)
@@ -487,7 +489,8 @@ def run_kg(input_dir: str, out_dir: str, *, shards_per_wave: int = 4,
             mdir = os.path.join(out_dir, "mentions", f"part={shard}")
             shutil.rmtree(mdir, ignore_errors=True)
             ment.write_parquet(mdir)
-            n_out = rd.read_parquet(tdir).count()
+            n_out = sum(pq.ParquetFile(os.path.join(tdir, f)).metadata.num_rows
+                        for f in os.listdir(tdir) if f.endswith(".parquet"))
             rows_in += n_in
             rows_out += n_out
             write_manifest(out_dir, shard, {

@@ -152,3 +152,30 @@ def test_salted_repartition_balances_heavy_convs(ray_session):
     # non-heavy conversations keep all turns in one partition
     light = keyed[~keyed["conv_id"].isin(heavy)]
     assert (light.groupby("conv_id")["part_key"].nunique() == 1).all()
+
+
+def test_null_text_rows_are_safe(ray_session):
+    """Malformed rows (null text) flow through every stage without crashing
+    and contribute nothing (SURVEY S2: tagged/dropped with accounting)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sema_ray.extract import (detect_mentions_batch, extract_triples_batch,
+                                  normalize_batch)
+
+    t = pa.table({
+        "conv_id": pa.array(["c1", "c1", "c2"], pa.string()),
+        "turn_idx": pa.array([0, 1, 0], pa.int32()),
+        "text": pa.array(["Alice Chen works at Acme Corp.", None, ""],
+                         pa.string()),
+    })
+    trips = extract_triples_batch(t)
+    assert trips.num_rows == 1
+    ments = detect_mentions_batch(t)
+    assert set(ments["surface"].to_pylist()) == {"Alice Chen", "Acme Corp"}
+    norm = normalize_batch(t)
+    assert norm["n_bytes"].to_pylist()[1] == 0
+    # and through the distributed pipeline
+    ds = rd.from_arrow(t)
+    got = kg.triples_dataset(ds).to_pandas()
+    assert len(got) == 1 and got.iloc[0]["pred"] == "works_at"
