@@ -65,6 +65,11 @@ def _kg_adjacency(sf_dir: str):
     return adjacency(kg_flagship(_kg_corpus(sf_dir)))
 
 
+def _kg_entity_degrees(sf_dir: str):
+    from sema_ray.pipelines.kg import adjacency, entity_degrees, kg_flagship
+    return entity_degrees(adjacency(kg_flagship(_kg_corpus(sf_dir))))
+
+
 def _kg_normalized(sf_dir: str):
     """Normalize stage (derived cols only: n_bytes + content hash)."""
     from sema_ray.extract import normalize_batch
@@ -209,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _kg_entities,
         "kg_linked_triples": _kg_linked,
         "kg_adjacency": _kg_adjacency,
+        "kg_entity_degrees": _kg_entity_degrees,
     }
 
 

@@ -346,6 +346,61 @@ def adjacency(linked: rd.Dataset) -> rd.Dataset:
     )
 
 
+def write_adjacency(adj: rd.Dataset, out_dir: str,
+                    num_buckets: int = 64) -> None:
+    """Graph materialize (SURVEY §7.6): adjacency partitioned by subj-id
+    bucket with stable (subj_id, pred, obj_id) ordering inside each
+    partition — so neighbor lookups touch one bucket directory and a
+    resumable writer can re-emit one bucket at a time.
+    """
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(t["subj_id"], pa.scalar(num_buckets - 1,
+                                                    pa.int64())),
+            pa.int32())
+        return t.append_column("subj_bucket", b)
+
+    def sort_group(g: pa.Table) -> pa.Table:
+        return g.sort_by([("subj_id", "ascending"), ("pred", "ascending"),
+                          ("obj_id", "ascending")])
+
+    (adj.map_batches(bucketed, batch_format="pyarrow", batch_size=None)
+        .groupby("subj_bucket")
+        .map_groups(sort_group, batch_format="pyarrow")
+        .write_parquet(out_dir, partition_cols=["subj_bucket"]))
+
+
+def entity_degrees(adj: rd.Dataset) -> rd.Dataset:
+    """Graph query: per-entity out-degree + total support, ranked desc.
+
+    Pre-combined per block before the (tiny) groupby.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["subj_id"]).aggregate(
+            [("obj_id", "count"), ("support", "sum")])
+        return g.rename_columns(["subj_id", "out_degree", "total_support"])
+
+    partials = adj.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+    return (partials.groupby("subj_id")
+            .aggregate(Sum("out_degree", alias_name="out_degree"),
+                       Sum("total_support", alias_name="total_support"))
+            .sort(["out_degree", "subj_id"], descending=[True, False]))
+
+
+def neighbors(adj_dir: str, subj_id: int, num_buckets: int = 64) -> pa.Table:
+    """Point lookup over the bucketed adjacency layout: read ONE bucket
+    partition, filter to the entity (the reference's file_index point-lookup
+    idea, ``lance_indexer.rs:165-189``, on graph data)."""
+    import pyarrow.parquet as pq_mod
+    bucket = subj_id & (num_buckets - 1)
+    part = os.path.join(adj_dir, f"subj_bucket={bucket}")
+    t = pq_mod.read_table(part)
+    return t.filter(pc.equal(t["subj_id"], pa.scalar(subj_id, pa.int64())))
+
+
 def coherent_turns(ds: rd.Dataset) -> rd.Dataset:
     """Stable turn ordering: per-conversation sort on turn_idx.
 
@@ -517,7 +572,7 @@ def run_kg(input_dir: str, out_dir: str, *, shards_per_wave: int = 4,
     adj = adjacency(rd.read_parquet(linked_dir))
     adj_dir = os.path.join(out_dir, "adjacency")
     shutil.rmtree(adj_dir, ignore_errors=True)
-    adj.write_parquet(adj_dir)
+    write_adjacency(adj, adj_dir)  # bucketed + sorted graph materialize
     n_adj = rd.read_parquet(adj_dir).count()
 
     return {

@@ -101,7 +101,8 @@ def test_run_kg_end_to_end_and_resume(ray_session, corpus, tmp_path):
     m1 = kg.run_kg(d, out, shards_per_wave=2)
     assert m1["shards_processed"] == m1["shards_total"] > 0
     assert m1["triples_out"] > 0 and m1["entities"] > 0
-    adj_files = sorted(glob.glob(os.path.join(out, "adjacency", "*.parquet")))
+    adj_files = sorted(glob.glob(
+        os.path.join(out, "adjacency", "**", "*.parquet"), recursive=True))
     assert adj_files
     adj1 = pq.read_table(os.path.join(out, "adjacency")).sort_by(
         [("subj_id", "ascending"), ("pred", "ascending"),
@@ -179,3 +180,33 @@ def test_null_text_rows_are_safe(ray_session):
     ds = rd.from_arrow(t)
     got = kg.triples_dataset(ds).to_pandas()
     assert len(got) == 1 and got.iloc[0]["pred"] == "works_at"
+
+
+def test_adjacency_materialize_and_neighbors(ray_session, corpus, tmp_path):
+    """Bucketed + sorted graph materialize; point neighbor lookup reads one
+    bucket partition only."""
+    d, _t = corpus
+    linked = kg.kg_flagship(d)
+    adj = kg.adjacency(linked)
+    out = str(tmp_path / "adj")
+    kg.write_adjacency(adj, out, num_buckets=8)
+    # partition dirs exist, rows sorted within each
+    buckets = sorted(glob.glob(os.path.join(out, "subj_bucket=*")))
+    assert buckets
+    t = pq.read_table(buckets[0])
+    keys = list(zip(t["subj_id"].to_pylist(), t["pred"].to_pylist(),
+                    t["obj_id"].to_pylist()))
+    assert keys == sorted(keys)
+    # neighbors: one-bucket point lookup matches a full-scan filter
+    full = pq.read_table(out)
+    some_subj = full["subj_id"][0].as_py()
+    got = kg.neighbors(out, some_subj, num_buckets=8)
+    import pyarrow.compute as pc
+    want = full.filter(pc.equal(full["subj_id"], some_subj))
+    assert got.num_rows == want.num_rows > 0
+
+    degrees = kg.entity_degrees(adj).to_pandas()
+    assert (degrees["out_degree"] >= 1).all()
+    # ranked descending
+    assert list(degrees["out_degree"]) == sorted(degrees["out_degree"],
+                                                 reverse=True)
