@@ -157,6 +157,7 @@ def build_index(root: str, index_dir: str, extensions=DEFAULT_EXTENSIONS,
     paths = crawl(root, extensions, max_file_size)
     index = load_file_index(index_dir)
     todo: list[str] = []
+    todo_hash: dict[str, str] = {}
     skipped = 0
     for p in paths:
         h = content_hash(open(p, "rb").read())
@@ -164,15 +165,20 @@ def build_index(root: str, index_dir: str, extensions=DEFAULT_EXTENSIONS,
             skipped += 1
         else:
             todo.append(p)
+            todo_hash[p] = h
     removed = [p for p in index if p not in set(paths)]
     for p in removed:  # S6: file gone -> drop its partition + index row
         shutil.rmtree(os.path.join(index_dir, "chunks",
-                                   f"file={stable_id64(p)}"),
+                                   f"file_key={stable_id64(p)}"),
                       ignore_errors=True)
         index.pop(p, None)
 
     n_chunks = 0
     if todo:
+        for p in todo:  # recompute = overwrite the file's partition (S6)
+            shutil.rmtree(os.path.join(index_dir, "chunks",
+                                       f"file_key={stable_id64(p)}"),
+                          ignore_errors=True)
         ds = rd.read_binary_files(todo, include_paths=True)
         ds = ds.map_batches(
             lambda t: pa.table({"path": t["path"], "bytes": t["bytes"]}),
@@ -184,22 +190,24 @@ def build_index(root: str, index_dir: str, extensions=DEFAULT_EXTENSIONS,
             batch_format="pyarrow", batch_size=256,
             concurrency=embed_concurrency,
         )
-        tbl = collect_table(embedded)  # index corpora are small per wave;
-        # at scale this becomes write_parquet per partition directly
-        n_chunks = tbl.num_rows
+
+        def keyed(t: pa.Table) -> pa.Table:
+            keys = pa.array([stable_id64(p) for p in
+                             t["file_path"].to_pylist()], pa.int64())
+            return t.drop_columns(["n_dropped"]).append_column(
+                "file_key", keys)
+
+        # distributed partitioned write: one dir per file, no driver collect
+        keyed_ds = embedded.map_batches(keyed, batch_format="pyarrow")
+        keyed_ds = keyed_ds.materialize()
+        n_chunks = keyed_ds.count()
+        if n_chunks:
+            keyed_ds.write_parquet(os.path.join(index_dir, "chunks"),
+                                   partition_cols=["file_key"])
+        # hashes were computed once during the diff and carried through —
+        # never re-read after processing (fixes the reference's TOCTOU)
         for p in todo:
-            part = tbl.filter(pc.equal(tbl["file_path"], p))
-            pdir = os.path.join(index_dir, "chunks", f"file={stable_id64(p)}")
-            shutil.rmtree(pdir, ignore_errors=True)
-            os.makedirs(pdir, exist_ok=True)
-            if part.num_rows:
-                import pyarrow.parquet as pq
-                pq.write_table(part.drop_columns(["n_dropped"]),
-                               os.path.join(pdir, "chunks.parquet"))
-                index[p] = part["file_hash"][0].as_py()
-            else:
-                # decode failure or all-too-short: indexed as empty
-                index[p] = content_hash(open(p, "rb").read())
+            index[p] = todo_hash[p]
     tmp = _file_index_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(index, f, indent=1)

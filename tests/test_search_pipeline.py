@@ -58,7 +58,7 @@ def test_build_index_and_incremental_skip(ray_session, tree, tmp_path):
     import pyarrow.parquet as pq
     notes = os.path.join(tree, "notes.md")
     part = pq.read_table(os.path.join(
-        idx, "chunks", f"file={sp.stable_id64(notes)}"))
+        idx, "chunks", f"file_key={sp.stable_id64(notes)}"))
     want = chunk_text(open(notes, encoding="utf-8").read())
     assert part.num_rows == len(want)
     got_contents = part.sort_by("ordinal")["content"].to_pylist()
@@ -83,7 +83,7 @@ def test_build_index_and_incremental_skip(ray_session, tree, tmp_path):
     m4 = sp.build_index(tree, idx)
     assert m4["files_removed"] == 1
     assert not os.path.exists(os.path.join(
-        idx, "chunks", f"file={sp.stable_id64(os.path.join(tree, 'src', 'data.csv'))}"))
+        idx, "chunks", f"file_key={sp.stable_id64(os.path.join(tree, 'src', 'data.csv'))}"))
 
 
 def test_search_modes_and_grouping(ray_session, tree, tmp_path):
