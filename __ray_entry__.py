@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search --------------------------------------------
         "knn_bruteforce": simsearch.knn_bruteforce,
         "knn_lsh": simsearch.knn_lsh,
+        "knn_ivf": simsearch.knn_ivf,
         "embedding_dup_pairs": _embedding_dup_pairs,
         "embedding_near_dup": simsearch.embedding_near_dup,
         "semantic_search": simsearch.semantic_search,

@@ -180,6 +180,79 @@ def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 5,
     return merged.select_columns(["query_id", "neighbor_id"])
 
 
+def _train_centroids(sample: np.ndarray, n_lists: int, n_iter: int = 8,
+                     seed: int = 0x1F5) -> np.ndarray:
+    """Deterministic k-means-lite on a sample (driver-side: centroids are the
+    small side, broadcast afterwards). Unit-norm centroids so assignment is
+    one matmul."""
+    sample = _normalize_rows(sample.astype(np.float64))
+    rng = np.random.default_rng(seed)
+    init = rng.choice(len(sample), size=min(n_lists, len(sample)),
+                      replace=False)
+    cents = sample[np.sort(init)].copy()
+    for _ in range(n_iter):
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize_rows(cents)
+    return cents
+
+
+def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
+            n_lists: int = 16, n_probe: int = 4,
+            sample_rows: int = 2048) -> rd.Dataset:
+    """Approximate top-k via IVF (inverted-file) bucketing — the second
+    scale path beside :func:`knn_lsh`.
+
+    Centroids are trained on a deterministic sample (first ``sample_rows``
+    by vec_id — the sample and the centroid table are the broadcast small
+    side), every vector is assigned to its nearest list per batch, and each
+    query only scores vectors whose list is among the query's ``n_probe``
+    closest lists. Output: query_id, neighbor_id.
+    """
+    ds = _load_embeddings(sf_dir)
+    sample_tbl = collect_table(ds.filter(expr=f"vec_id < {sample_rows}"))
+    cents = _train_centroids(_batch_matrix(sample_tbl), n_lists)
+    head = ds.filter(expr=f"vec_id < {n_queries}")
+    qt = collect_table(head).sort_by("vec_id")
+    qm = _normalize_rows(_batch_matrix(qt))
+    q_ids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    # lists each query probes
+    q_lists = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
+    probe_sets = [set(row.tolist()) for row in q_lists]
+    queries_ref = ray.put((q_ids, _batch_matrix(qt)))
+    cents_ref = ray.put(cents)
+    probes_ref = ray.put(probe_sets)
+
+    class IVFScore(TopKScoreStage):
+        def __init__(self):
+            super().__init__(queries_ref, k, True)
+            self.cents = ray.get(cents_ref)
+            self.probes = ray.get(probes_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return super().__call__(t)
+            m = _normalize_rows(_batch_matrix(t))
+            assign = (m @ self.cents.T).argmax(axis=1)
+            out = []
+            for qi in range(len(self.query_ids)):
+                hit = np.isin(assign, list(self.probes[qi]))
+                sub = super().__call__(t.filter(pa.array(hit)))
+                out.append(sub.filter(
+                    pc.equal(sub["query_id"],
+                             pa.scalar(int(self.query_ids[qi]), pa.int64()))))
+            return pa.concat_tables(out)
+
+    local = ds.map_batches(IVFScore, batch_format="pyarrow",
+                           concurrency=(1, 8))
+    merged = local.groupby("query_id").map_groups(_merge_topk(k),
+                                                  batch_format="pyarrow")
+    return merged.select_columns(["query_id", "neighbor_id"])
+
+
 def _signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     """[n, d] vectors x [T, P, d] planes -> [n, T] integer bucket signatures."""
     n = m.shape[0]

@@ -157,6 +157,22 @@ def test_knn_lsh_recall_vs_bruteforce(ray_session, vec_dir):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_knn_ivf_recall_vs_bruteforce(ray_session, vec_dir):
+    exact = simsearch.knn_bruteforce(vec_dir, k=5, n_queries=4).to_pandas()
+    approx = simsearch.knn_ivf(vec_dir, k=5, n_queries=4,
+                               n_lists=8, n_probe=4).to_pandas()
+    recalls = []
+    for q in range(4):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # the planted near-duplicate (cos ~0.999) must always be found
+    for q in range(4):
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        assert 100 + q in a
+
+
 def test_semantic_and_bm25_deterministic(ray_session, dup_dir):
     s1 = simsearch.semantic_search(dup_dir, query="alpha beta", k=5).to_pandas()
     s2 = simsearch.semantic_search(dup_dir, query="alpha beta", k=5).to_pandas()
