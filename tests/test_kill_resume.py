@@ -39,7 +39,7 @@ def test_kill_mid_run_then_resume(ray_session, tmp_path):
     corpus = str(tmp_path / "corpus")
     out = str(tmp_path / "out")
     t = generate_transcripts(n_convs=60, seed=23)
-    write_sharded(t, corpus, num_shards=5)
+    write_sharded(t, corpus, num_shards=8)
 
     script = VICTIM.format(repo="/root/repo", corpus=corpus, out=out)
     proc = subprocess.Popen([sys.executable, "-c", script],
@@ -64,14 +64,14 @@ def test_kill_mid_run_then_resume(ray_session, tmp_path):
 
     done_before = sorted(glob.glob(manifest_glob))
     assert done_before, "at least one shard must have finished before kill"
-    assert len(done_before) < 5, "kill landed too late to exercise resume"
+    assert len(done_before) < 8, "kill landed too late to exercise resume"
     stamps = {p: json.load(open(p))["written_unix"] for p in done_before}
 
     # resume in-process: finished shards skipped, the rest completed
     m = kg.run_kg(corpus, out, shards_per_wave=1)
-    assert m["shards_total"] == 5
+    assert m["shards_total"] == 8
     assert m["shards_skipped"] >= len(done_before)
-    assert m["shards_skipped"] + m["shards_processed"] == 5
+    assert m["shards_skipped"] + m["shards_processed"] == 8
     for p, stamp in stamps.items():  # skipped shards were not rewritten
         assert json.load(open(p))["written_unix"] == stamp
 
@@ -79,7 +79,7 @@ def test_kill_mid_run_then_resume(ray_session, tmp_path):
     import pyarrow.parquet as pq
     got = pq.read_table(os.path.join(out, "triples"))
     clean_out = str(tmp_path / "clean")
-    kg.run_kg(corpus, clean_out, shards_per_wave=5)
+    kg.run_kg(corpus, clean_out, shards_per_wave=8)
     want = pq.read_table(os.path.join(clean_out, "triples"))
     key = lambda tbl: sorted(zip(tbl["conv_id"].to_pylist(),
                                  tbl["turn_idx"].to_pylist(),
