@@ -89,9 +89,17 @@ def _kg_chunks(sf_dir: str):
 
 
 def _file_tree(sf_dir: str) -> tuple[str, str]:
-    """Materialize documents as .txt files + a built search index (cached)."""
+    """Materialize documents as .txt files + a built search index.
+
+    Cache key includes the source parquet's size+mtime fingerprint so a
+    regenerated corpus (or a different dir with the same basename) never
+    serves stale files.
+    """
     import pyarrow.parquet as pq
-    base = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    base = (f"{os.path.basename(os.path.normpath(sf_dir))}"
+            f"-{st.st_size}-{int(st.st_mtime)}")
     root = f"/tmp/sema_ray_files/{base}"
     idx = f"/tmp/sema_ray_files/{base}-idx"
     marker = os.path.join(root, "_COMPLETE")

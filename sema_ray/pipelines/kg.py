@@ -397,6 +397,11 @@ def neighbors(adj_dir: str, subj_id: int, num_buckets: int = 64) -> pa.Table:
     import pyarrow.parquet as pq_mod
     bucket = subj_id & (num_buckets - 1)
     part = os.path.join(adj_dir, f"subj_bucket={bucket}")
+    if not os.path.isdir(part):  # missing key -> empty result, not an error
+        return pa.schema([
+            ("subj_id", pa.int64()), ("pred", pa.string()),
+            ("obj_id", pa.int64()), ("support", pa.int64()),
+        ]).empty_table()
     t = pq_mod.read_table(part)
     return t.filter(pc.equal(t["subj_id"], pa.scalar(subj_id, pa.int64())))
 

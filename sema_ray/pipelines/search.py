@@ -111,14 +111,23 @@ def load_file_index(index_dir: str) -> dict[str, str]:
 
 def _chunk_file_batch(batch: pa.Table) -> pa.Table:
     """S2+M2 per batch of (path, bytes): decode, drop non-UTF-8, chunk."""
-    paths, ids, ordinals, sl, el, contents, hashes = ([] for _ in range(7))
-    n_dropped = 0
+    paths, ids, ordinals, sl, el, contents, hashes, dropped = \
+        ([] for _ in range(8))
     for path, data in zip(batch["path"].to_pylist(),
                           batch["bytes"].to_pylist()):
         try:
             text = data.decode("utf-8")
         except UnicodeDecodeError:
-            n_dropped += 1
+            # tagged tombstone row (ordinal=-1): drops are ACCOUNTED, not
+            # silent (the reference drops via .ok(), processor.rs:18)
+            paths.append(path)
+            ids.append(f"{path}:dropped")
+            ordinals.append(-1)
+            sl.append(0)
+            el.append(0)
+            contents.append("")
+            hashes.append(content_hash(data))
+            dropped.append(True)
             continue
         h = content_hash(data)
         for ch in chunk_text(text):
@@ -129,6 +138,7 @@ def _chunk_file_batch(batch: pa.Table) -> pa.Table:
             el.append(ch.end_line)
             contents.append(ch.content)
             hashes.append(h)
+            dropped.append(False)
     return pa.table({
         "id": pa.array(ids, pa.string()),
         "file_path": pa.array(paths, pa.string()),
@@ -137,8 +147,7 @@ def _chunk_file_batch(batch: pa.Table) -> pa.Table:
         "end_line": pa.array(el, pa.int64()),
         "content": pa.array(contents, pa.string()),
         "file_hash": pa.array(hashes, pa.string()),
-        "n_dropped": pa.array([n_dropped] * len(ids), pa.int32())
-        if ids else pa.array([], pa.int32()),
+        "dropped": pa.array(dropped, pa.bool_()),
     })
 
 
@@ -166,7 +175,8 @@ def build_index(root: str, index_dir: str, extensions=DEFAULT_EXTENSIONS,
         else:
             todo.append(p)
             todo_hash[p] = h
-    removed = [p for p in index if p not in set(paths)]
+    path_set = set(paths)
+    removed = [p for p in index if p not in path_set]
     for p in removed:  # S6: file gone -> drop its partition + index row
         shutil.rmtree(os.path.join(index_dir, "chunks",
                                    f"file_key={stable_id64(p)}"),
@@ -194,26 +204,37 @@ def build_index(root: str, index_dir: str, extensions=DEFAULT_EXTENSIONS,
         def keyed(t: pa.Table) -> pa.Table:
             keys = pa.array([stable_id64(p) for p in
                              t["file_path"].to_pylist()], pa.int64())
-            return t.drop_columns(["n_dropped"]).append_column(
-                "file_key", keys)
+            return t.append_column("file_key", keys)
 
         # distributed partitioned write: one dir per file, no driver collect
-        keyed_ds = embedded.map_batches(keyed, batch_format="pyarrow")
-        keyed_ds = keyed_ds.materialize()
-        n_chunks = keyed_ds.count()
+        keyed_ds = embedded.map_batches(keyed, batch_format="pyarrow") \
+            .materialize()
+        n_files_dropped = keyed_ds.map_batches(
+            lambda t: pa.table({"n": pa.array(
+                [int(pc.sum(pc.cast(t["dropped"], pa.int64())).as_py() or 0)],
+                pa.int64())}),
+            batch_format="pyarrow", batch_size=None).to_pandas()["n"].sum()
+        writable = keyed_ds.map_batches(
+            lambda t: t.filter(pc.equal(t["dropped"], False))
+                       .drop_columns(["dropped"]),
+            batch_format="pyarrow", batch_size=None)
+        n_chunks = writable.count()
         if n_chunks:
-            keyed_ds.write_parquet(os.path.join(index_dir, "chunks"),
+            writable.write_parquet(os.path.join(index_dir, "chunks"),
                                    partition_cols=["file_key"])
         # hashes were computed once during the diff and carried through —
         # never re-read after processing (fixes the reference's TOCTOU)
         for p in todo:
             index[p] = todo_hash[p]
+    else:
+        n_files_dropped = 0
     tmp = _file_index_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(index, f, indent=1)
     os.replace(tmp, _file_index_path(index_dir))
     return {"files_total": len(paths), "files_skipped": skipped,
             "files_indexed": len(todo), "files_removed": len(removed),
+            "files_dropped_non_utf8": int(n_files_dropped),
             "chunks_written": n_chunks}
 
 
@@ -229,12 +250,29 @@ def parse_query(query: str) -> tuple[str, str]:
     return "semantic", q
 
 
+RESULT_SCHEMA = pa.schema([
+    ("id", pa.string()),
+    ("file_path", pa.string()),
+    ("start_line", pa.int64()),
+    ("end_line", pa.int64()),
+    ("content", pa.string()),
+    ("score", pa.float64()),
+    ("total_matches_in_file", pa.int64()),
+])
+
+
+def _empty_results() -> pa.Table:
+    """Typed empty result — same schema whether a query is short, unmatched,
+    or the index has no chunks."""
+    return RESULT_SCHEMA.empty_table()
+
+
 def _group_rank_limit(hits: pa.Table, k: int) -> pa.Table:
     """A1+A2+K1: group by file (top-1 by score desc, ties by start_line asc),
     carry total_matches_in_file, rank groups desc, limit k
     (engine.rs:156-182)."""
     if hits.num_rows == 0:
-        return hits
+        return _empty_results()
     out_rows = []
     df = hits.to_pandas()
     for path, g in df.groupby("file_path", sort=True):
@@ -245,9 +283,9 @@ def _group_rank_limit(hits: pa.Table, k: int) -> pa.Table:
         out_rows.append(top)
     out_rows.sort(key=lambda r: (-r["score"], r["file_path"]))
     out_rows = out_rows[:k]
-    cols = ["id", "file_path", "start_line", "end_line", "content", "score",
-            "total_matches_in_file"]
-    return pa.table({c: pa.array([r[c] for r in out_rows]) for c in cols})
+    return pa.table(
+        {f.name: pa.array([r[f.name] for r in out_rows], f.type)
+         for f in RESULT_SCHEMA}, schema=RESULT_SCHEMA)
 
 
 def search(index_dir: str, query: str,
@@ -255,9 +293,10 @@ def search(index_dir: str, query: str,
     """Query path (reference §3.2/§3.3) over the built index."""
     mode, q = parse_query(query)
     if len(q.strip()) < MIN_QUERY_LEN:  # M5
-        return pa.table({c: pa.array([]) for c in
-                         ("id", "file_path", "start_line", "end_line",
-                          "content", "score", "total_matches_in_file")})
+        return _empty_results()
+    chunks_dir = os.path.join(index_dir, "chunks")
+    if not os.path.isdir(chunks_dir) or not any(os.scandir(chunks_dir)):
+        return _empty_results()  # index exists but holds no chunks
     chunks = _load_chunks(index_dir)
     if mode == "exact":
         needle = q.lower()
@@ -273,6 +312,8 @@ def search(index_dir: str, query: str,
         qv_ref = ray.put(qv)
 
         def score_semantic(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column("score", pa.array([], pa.float64()))
             vec = t["vector"]
             if isinstance(vec, pa.ChunkedArray):
                 vec = vec.combine_chunks()
@@ -285,9 +326,7 @@ def search(index_dir: str, query: str,
         hits = chunks.map_batches(score_semantic, batch_format="pyarrow")
     tbl = collect_table(hits)
     if tbl.num_columns == 0:
-        return pa.table({c: pa.array([]) for c in
-                         ("id", "file_path", "start_line", "end_line",
-                          "content", "score", "total_matches_in_file")})
+        return _empty_results()
     keep = ["id", "file_path", "start_line", "end_line", "content", "score"]
     return _group_rank_limit(tbl.select(keep), k)
 

@@ -72,6 +72,12 @@ class TopKScoreStage:
         self.exclude_self = exclude_self
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        return self.topk(t)
+
+    def topk(self, t: pa.Table,
+             cand_mask: np.ndarray | None = None) -> pa.Table:
+        """Local top-k; ``cand_mask`` ([n, q] bool) optionally restricts the
+        candidates per query (IVF probe lists) with scores computed ONCE."""
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
         if len(ids) == 0:
             return pa.table({"query_id": pa.array([], pa.int64()),
@@ -83,6 +89,8 @@ class TopKScoreStage:
         for j, qid in enumerate(self.query_ids):
             s = scores[:, j]
             mask = ids != qid if self.exclude_self else np.ones(len(ids), bool)
+            if cand_mask is not None:
+                mask = mask & cand_mask[:, j]
             cand_idx = np.nonzero(mask)[0]
             if len(cand_idx) == 0:
                 continue
@@ -230,21 +238,20 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
         def __init__(self):
             super().__init__(queries_ref, k, True)
             self.cents = ray.get(cents_ref)
-            self.probes = ray.get(probes_ref)
+            # [n_lists, q] membership: probe_of[l, j] == list l probed by qj
+            probe_of = np.zeros((len(self.cents), len(probe_sets)), bool)
+            for j, lists in enumerate(ray.get(probes_ref)):
+                for l in lists:
+                    probe_of[l, j] = True
+            self.probe_of = probe_of
 
         def __call__(self, t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
                 return super().__call__(t)
             m = _normalize_rows(_batch_matrix(t))
-            assign = (m @ self.cents.T).argmax(axis=1)
-            out = []
-            for qi in range(len(self.query_ids)):
-                hit = np.isin(assign, list(self.probes[qi]))
-                sub = super().__call__(t.filter(pa.array(hit)))
-                out.append(sub.filter(
-                    pc.equal(sub["query_id"],
-                             pa.scalar(int(self.query_ids[qi]), pa.int64()))))
-            return pa.concat_tables(out)
+            assign = (m @ self.cents.T).argmax(axis=1)  # [n]
+            # one scoring pass; per-query candidacy via the probe mask
+            return self.topk(t, cand_mask=self.probe_of[assign, :])
 
     local = ds.map_batches(IVFScore, batch_format="pyarrow",
                            concurrency=(1, 8))

@@ -299,7 +299,11 @@ def ensure_corpus(kind: str = "template", *, n_convs: int = 100, seed: int = 42,
     if kind == "template":
         key = f"c{n_convs}-s{seed}-sh{num_shards}"
     else:
-        key = f"{os.path.basename(os.path.normpath(sf_dir or ''))}-v{variants}-sh{num_shards}"
+        # source fingerprint in the key: a regenerated documents.parquet
+        # (or same-basename different dir) never reuses a stale cache
+        st = os.stat(os.path.join(sf_dir or "", "documents.parquet"))
+        key = (f"{os.path.basename(os.path.normpath(sf_dir or ''))}"
+               f"-{st.st_size}-{int(st.st_mtime)}-v{variants}-sh{num_shards}")
     d = corpus_dir(kind, key, root)
     marker = os.path.join(d, "_COMPLETE")
     if os.path.exists(marker):

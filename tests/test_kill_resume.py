@@ -41,7 +41,8 @@ def test_kill_mid_run_then_resume(ray_session, tmp_path):
     t = generate_transcripts(n_convs=60, seed=23)
     write_sharded(t, corpus, num_shards=8)
 
-    script = VICTIM.format(repo="/root/repo", corpus=corpus, out=out)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = VICTIM.format(repo=repo_root, corpus=corpus, out=out)
     proc = subprocess.Popen([sys.executable, "-c", script],
                             stdout=subprocess.DEVNULL,
                             stderr=subprocess.DEVNULL,

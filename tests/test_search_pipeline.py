@@ -119,3 +119,43 @@ def test_display_path_and_highlight():
     assert len(d) <= 50 and d.startswith("...")
     spans = sp.highlight_spans("Hello hello world", "hello wor")
     assert spans == [(0, 5), (6, 11), (12, 15)]
+
+
+def test_search_empty_and_unmatched_schema(ray_session, tmp_path):
+    """Empty / unmatched / chunk-less searches all return the same typed
+    7-column schema (never a crash or a 6-column table)."""
+    root = tmp_path / "only_bin"
+    root.mkdir()
+    (root / "data.txt").write_bytes(b"\xff\xfe invalid \xff" * 20)
+    idx = str(tmp_path / "binidx")
+    m = sp.build_index(str(root), idx)
+    assert m["files_dropped_non_utf8"] == 1 and m["chunks_written"] == 0
+    for q in ("hello world", "'zzz-not-there", "ab"):
+        res = sp.search(idx, q)
+        assert res.num_rows == 0
+        assert res.schema.equals(sp.RESULT_SCHEMA), q
+    # an indexed tree where the exact query matches nothing
+    (root / "ok.txt").write_text("plain words here " * 20)
+    sp.build_index(str(root), idx)
+    res = sp.search(idx, "'qqqqzzz")
+    assert res.num_rows == 0 and res.schema.equals(sp.RESULT_SCHEMA)
+
+
+def test_neighbors_missing_bucket_empty(ray_session, tmp_path):
+    from sema_ray.pipelines import kg
+    import pyarrow as pa
+    import ray.data as rd
+    adj = rd.from_arrow(pa.table({
+        "subj_id": pa.array([5], pa.int64()),
+        "pred": pa.array(["works_at"], pa.string()),
+        "obj_id": pa.array([9], pa.int64()),
+        "subj_canonical": pa.array(["A"], pa.string()),
+        "obj_canonical": pa.array(["B"], pa.string()),
+        "support": pa.array([1], pa.int64()),
+    }))
+    out = str(tmp_path / "adj")
+    kg.write_adjacency(adj, out, num_buckets=8)
+    # id hashing to a bucket that was never written -> empty, no crash
+    missing = 6  # 5 & 7 == 5 is the only written bucket
+    got = kg.neighbors(out, missing, num_buckets=8)
+    assert got.num_rows == 0
