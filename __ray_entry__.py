@@ -190,6 +190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_key_counts": relational.union_key_counts,
         "exact_text_search": relational.exact_text_search,
         "grouped_search": relational.grouped_search,
+        "asof_latest_order": relational.latest_order_before_event,
+        "sliding_window_counts": relational.sliding_window_counts,
         # --- text analysis ------------------------------------------------
         "doc_stats": textops.doc_stats,
         "token_count_by_lang": textops.token_count_by_lang,
@@ -302,6 +304,26 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT c_custkey AS key FROM customer) t
             GROUP BY key
+        """,
+        "asof_latest_order": """
+            WITH o AS (SELECT o_custkey, o_orderdate,
+                              MAX(o_orderkey) AS o_orderkey
+                       FROM orders GROUP BY 1, 2)
+            SELECT e.event_id, o.o_orderkey
+            FROM events e ASOF JOIN o
+              ON e.user_id + 1 = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "sliding_window_counts": """
+            WITH e AS (SELECT event_type, value,
+                              epoch_us(ts) // 1000000 AS ts_s FROM events),
+                 w AS (SELECT event_type, value,
+                              ((ts_s // 900) * 900 - 900 * i) AS win_start
+                       FROM e CROSS JOIN (SELECT unnest(range(4)) AS i) r
+                       WHERE ((ts_s // 900) * 900 - 900 * i) > ts_s - 3600)
+            SELECT win_start, event_type,
+                   COUNT(*) AS n_events,
+                   FLOOR(SUM(value) * 100 + 0.5) / 100 AS sum_value
+            FROM w GROUP BY 1, 2
         """,
         "exact_text_search": """
             SELECT doc_id,

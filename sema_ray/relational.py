@@ -353,6 +353,160 @@ def exact_text_search(sf_dir: str, pattern: str = "data") -> rd.Dataset:
     return ds.map_batches(scan, batch_format="pyarrow")
 
 
+def asof_join(left: rd.Dataset, right: rd.Dataset, *, key: str,
+              left_ts: str, right_ts: str, value_cols: list[str]) -> rd.Dataset:
+    """Generic partitioned as-of join: for every left row, the latest right
+    row with the same ``key`` and ``right_ts`` <= ``left_ts``.
+
+    Ray Data has no native as-of join, so it is composed (SURVEY §2 "Custom
+    operators" path (a)): tag both sides, union, hash-partition on the key
+    via ``groupby``, and merge within each group with one sort + vectorized
+    ``np.searchsorted``. Partitioning assumption: one key's rows fit in one
+    group task (keys are entities/users — bounded fan-in; salt first if a
+    key is pathological).
+    Output: left rows (inner join) + ``value_cols`` from the matched right
+    row.
+    """
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+    l_names = [n for n in l_schema.names]
+    r_only = [n for n in r_schema.names if n not in set(l_names)]
+    out_names = l_names + value_cols
+    all_fields = ([l_schema.field(n) for n in l_names]
+                  + [r_schema.field(n) for n in r_only]
+                  + [pa.field("_side", pa.string())])
+    union_schema = pa.schema(all_fields)
+    out_schema = pa.schema(
+        [union_schema.field(n) for n in out_names])
+
+    def _tag(side: str):
+        def tag(t: pa.Table) -> pa.Table:
+            cols = {}
+            for f in union_schema:
+                if f.name == "_side":
+                    cols[f.name] = pa.array([side] * t.num_rows, pa.string())
+                elif f.name in t.schema.names:
+                    cols[f.name] = pc.cast(t[f.name], f.type)
+                else:
+                    cols[f.name] = pa.nulls(t.num_rows, f.type)
+            return pa.table(cols, schema=union_schema)
+        return tag
+
+    def merge(g: pa.Table) -> pa.Table:
+        lhs = g.filter(pc.equal(g["_side"], "L"))
+        rhs = g.filter(pc.equal(g["_side"], "R")).sort_by(
+            [(right_ts, "ascending")])
+        if lhs.num_rows == 0 or rhs.num_rows == 0:
+            return out_schema.empty_table()
+        pos = np.searchsorted(
+            rhs[right_ts].to_numpy(zero_copy_only=False),
+            lhs[left_ts].to_numpy(zero_copy_only=False),
+            side="right") - 1
+        hit = pos >= 0
+        lhs = lhs.filter(pa.array(hit))
+        pos = pos[hit]
+        if lhs.num_rows == 0:
+            return out_schema.empty_table()
+        cols = {n: lhs[n] for n in l_names}
+        for c in value_cols:
+            cols[c] = rhs[c].take(pa.array(pos, pa.int64()))
+        return pa.table(cols, schema=out_schema)
+
+    tag_l = left.map_batches(_tag("L"), batch_format="pyarrow")
+    tag_r = right.map_batches(_tag("R"), batch_format="pyarrow")
+    return tag_l.union(tag_r).groupby(key).map_groups(
+        merge, batch_format="pyarrow")
+
+
+def latest_order_before_event(sf_dir: str) -> rd.Dataset:
+    """As-of join demo with a DuckDB ``ASOF JOIN`` oracle: for each event,
+    the customer's (user_id+1) latest order at or before the event time.
+
+    Orders are pre-deduplicated to one row per (custkey, orderdate) — max
+    orderkey — so the as-of pick is unambiguous on both engines.
+    """
+    ev = load(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def ev_key(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "k": pc.cast(pc.add(t["user_id"], 1), pa.int64()),
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    orders = load(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_custkey", "o_orderdate"]).aggregate(
+            [("o_orderkey", "max")])
+        return pa.table({
+            "k": pc.cast(g["o_custkey"], pa.int64()),
+            "od_us": pc.cast(g["o_orderdate"], pa.int64()),
+            "o_orderkey": g["o_orderkey_max"],
+        })
+
+    o_part = orders.map_batches(o_partial, batch_format="pyarrow",
+                                batch_size=None)
+    o_dedup = o_part.groupby(["k", "od_us"]).aggregate(
+        Max("o_orderkey", alias_name="o_orderkey"))
+    joined = asof_join(ev.map_batches(ev_key, batch_format="pyarrow"),
+                       o_dedup, key="k", left_ts="ts_us", right_ts="od_us",
+                       value_cols=["o_orderkey"])
+    return joined.map_batches(
+        lambda t: pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+        }) if t.num_rows else pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "o_orderkey": pa.array([], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def sliding_window_counts(sf_dir: str, window_s: int = 3600,
+                          slide_s: int = 900) -> rd.Dataset:
+    """Sliding-window aggregate: event count + rounded value sum per
+    (window_start, event_type), windows of ``window_s`` sliding ``slide_s``.
+
+    Each event replicates into ``window_s / slide_s`` window keys inside
+    ``map_batches`` (vectorized repeat), then a partial-aggregated groupby —
+    the streaming-window shape expressed as flat-map + shuffle-of-partials.
+    """
+    n_rep = window_s // slide_s
+    ds = load(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts_s = pc.cast(pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        # windows containing ts: starts in (ts - window, ts], on slide grid
+        last_start = (ts_s // slide_s) * slide_s
+        starts = last_start[:, None] - np.arange(n_rep)[None, :] * slide_s
+        keep = (starts > (ts_s[:, None] - window_s))
+        etype = np.repeat(np.asarray(t["event_type"].to_pylist(), object),
+                          n_rep)[keep.reshape(-1)]
+        vals = np.repeat(t["value"].to_numpy(zero_copy_only=False),
+                         n_rep)[keep.reshape(-1)]
+        return pa.table({
+            "win_start": pa.array(starts.reshape(-1)[keep.reshape(-1)],
+                                  pa.int64()),
+            "event_type": pa.array(etype, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              batch_size=None)
+    partials = partial_groupby(
+        exploded, ["win_start", "event_type"],
+        [("value", "sum"), ("value", "count")],
+        ["sum_value", "n"],
+    )
+    out = partials.groupby(["win_start", "event_type"]).aggregate(
+        Sum("n", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+    return round_result(out, {"sum_value": 2})
+
+
 def grouped_search(sf_dir: str, pattern: str = "vector") -> rd.Dataset:
     """Reference A1 end-to-end: search → group by container → top-1 + count.
 
