@@ -160,6 +160,18 @@ def _embed_documents(sf_dir: str):
     return emb.map_batches(norm_row, batch_format="pyarrow")
 
 
+def _approx_distinct_users(sf_dir: str):
+    """HLL sketch estimate of distinct users (rows-only; accuracy is
+    pytest-checked against the exact count)."""
+    import pandas as pd
+    import ray.data as rd
+    from sema_ray.sketches import approx_distinct
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pd.DataFrame({"approx_distinct_users": [round(est)]})
+
+
 def _embedding_dup_pairs(sf_dir: str):
     """Collected to a Table so an empty result keeps its (a, b) schema."""
     import pyarrow as pa
@@ -192,6 +204,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_search": relational.grouped_search,
         "asof_latest_order": relational.latest_order_before_event,
         "sliding_window_counts": relational.sliding_window_counts,
+        "value_band_counts": relational.value_band_counts,
+        "median_value_by_type": relational.median_value_by_type,
+        "approx_distinct_users": _approx_distinct_users,
         # --- text analysis ------------------------------------------------
         "doc_stats": textops.doc_stats,
         "token_count_by_lang": textops.token_count_by_lang,
@@ -312,6 +327,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, o.o_orderkey
             FROM events e ASOF JOIN o
               ON e.user_id + 1 = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "value_band_counts": """
+            SELECT i AS band_id, COUNT(*) AS n_events
+            FROM events e CROSS JOIN (SELECT unnest(range(10)) AS i) b
+            WHERE e.value >= i * 2.0 AND e.value < i * 2.0 + 5.0
+            GROUP BY i
+        """,
+        "median_value_by_type": """
+            SELECT event_type,
+                   list_sort(list(value))[CAST((COUNT(*) - 1) // 2 + 1
+                                               AS BIGINT)] AS median_value,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
         """,
         "sliding_window_counts": """
             WITH e AS (SELECT event_type, value,

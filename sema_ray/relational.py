@@ -507,6 +507,48 @@ def sliding_window_counts(sf_dir: str, window_s: int = 3600,
     return round_result(out, {"sum_value": 2})
 
 
+def value_band_counts(sf_dir: str, band_width: float = 5.0,
+                      band_step: float = 2.0, n_bands: int = 10) -> rd.Dataset:
+    """Broadcast range join: events against OVERLAPPING value bands
+    [i*step, i*step + width); an event matches every band containing its
+    value. The band table is the tiny side (broadcast as a constant into the
+    batch fn); matching is one vectorized comparison per batch — the
+    banded-range-join pattern (SURVEY §2 "Custom operators" path (a)).
+    Output: band_id, n_events.
+    """
+    lo = np.arange(n_bands) * band_step
+    hi = lo + band_width
+    ds = load(sf_dir, "events", columns=["value"])
+
+    def match(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        inside = (v[:, None] >= lo[None, :]) & (v[:, None] < hi[None, :])
+        band_ids, counts = np.nonzero(inside)[1], None
+        uniq, n = np.unique(band_ids, return_counts=True)  # per-batch partial
+        return pa.table({"band_id": pa.array(uniq, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    partials = ds.map_batches(match, batch_format="pyarrow", batch_size=None)
+    return partials.groupby("band_id").aggregate(Sum("n", alias_name="n_events"))
+
+
+def median_value_by_type(sf_dir: str) -> rd.Dataset:
+    """Exact per-group discrete median (lower middle): deterministic on both
+    engines — sort the group, take the element at (n-1)//2."""
+    ds = load(sf_dir, "events", columns=["event_type", "value"])
+
+    def med(g: pa.Table) -> pa.Table:
+        vals = np.sort(g["value"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "event_type": g["event_type"].slice(0, 1),
+            "median_value": pa.array([float(vals[(len(vals) - 1) // 2])],
+                                     pa.float64()),
+            "n": pa.array([len(vals)], pa.int64()),
+        })
+
+    return ds.groupby("event_type").map_groups(med, batch_format="pyarrow")
+
+
 def grouped_search(sf_dir: str, pattern: str = "vector") -> rd.Dataset:
     """Reference A1 end-to-end: search → group by container → top-1 + count.
 
