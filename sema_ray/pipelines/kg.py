@@ -329,19 +329,30 @@ def adjacency(linked: rd.Dataset) -> rd.Dataset:
     """
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["subj_id", "pred", "obj_id",
-                           "subj_canonical", "obj_canonical"]).aggregate(
+        # group on the int edge key only: canonical strings are 1:1 with ids
+        # and would inflate every shuffled partial row for nothing (the
+        # global aggregate keeps keys + support; names join back from the
+        # entities table when needed)
+        g = batch.group_by(["subj_id", "pred", "obj_id"]).aggregate(
             [("conf", "count")]
         )
-        return g.rename_columns(
-            ["subj_id", "pred", "obj_id", "subj_canonical", "obj_canonical", "n"]
-        )
+        return g.rename_columns(["subj_id", "pred", "obj_id", "n"])
 
-    # per-block partials: the shuffle moves O(blocks x distinct edges) rows
+    def recombine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["subj_id", "pred", "obj_id"]).aggregate(
+            [("n", "sum")])
+        return g.rename_columns(["subj_id", "pred", "obj_id", "n"])
+
+    # two-level partial aggregation: per-block partials, then a coalescing
+    # combine (large batch_size bundles many partial blocks per task with no
+    # shuffle), so the one sort-shuffle sees O(tasks x distinct edges) rows
+    # instead of O(blocks x distinct edges)
     partials = linked.map_batches(partial, batch_format="pyarrow",
                                   batch_size=None)
+    combined = partials.map_batches(recombine, batch_format="pyarrow",
+                                    batch_size=1 << 21)
     return (
-        partials.groupby(["subj_id", "pred", "obj_id"])
+        combined.groupby(["subj_id", "pred", "obj_id"])
         .aggregate(Sum("n", alias_name="support"))
     )
 
