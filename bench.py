@@ -41,7 +41,7 @@ def _init_ray(num_cpus: int):
 
 
 def _kg_variants() -> int:
-    return int(os.environ.get("GRAFT_KG_VARIANTS", "4"))
+    return int(os.environ.get("GRAFT_KG_VARIANTS", "256"))
 
 
 def _kg_corpus(sf_dir: str) -> str:
