@@ -480,10 +480,12 @@ def triple_surfaces(trip: rd.Dataset) -> rd.Dataset:
     the entity vocabulary the link stage needs to resolve."""
 
     def surf(t: pa.Table) -> pa.Table:
-        subj = t["subj"].combine_chunks() if isinstance(t["subj"], pa.ChunkedArray) else t["subj"]
-        obj = t["obj"].combine_chunks() if isinstance(t["obj"], pa.ChunkedArray) else t["obj"]
-        both = pa.concat_arrays([pa.array(subj.to_pylist(), pa.string()),
-                                 pa.array(obj.to_pylist(), pa.string())])
+        def chunks_of(col):
+            c = t[col]
+            return c.chunks if isinstance(c, pa.ChunkedArray) else [c]
+        # zero-copy: reuse the arrow buffers, no Python string round-trip
+        both = pa.chunked_array(chunks_of("subj") + chunks_of("obj"),
+                                pa.string())
         return pa.table({"surface": both})
 
     # batch_size=None => one call per block: the downstream count partials
