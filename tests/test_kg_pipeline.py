@@ -210,3 +210,22 @@ def test_adjacency_materialize_and_neighbors(ray_session, corpus, tmp_path):
     # ranked descending
     assert list(degrees["out_degree"]) == sorted(degrees["out_degree"],
                                                  reverse=True)
+
+
+def test_pr_on_documents_derived_corpus(ray_session):
+    """P/R gate on the docs-derived corpus (the entry()/driver corpus),
+    not just the template corpus."""
+    from sema_ray.sources.transcripts import ensure_corpus
+    import pyarrow.parquet as pq_mod
+    import glob as glob_mod
+
+    d = ensure_corpus(kind="docs", sf_dir="/root/testdata/sf0.001",
+                      variants=1, num_shards=8)
+    rows = pq_mod.read_table(d).to_pylist()
+    golden = _triple_keys(golden_triples(rows))
+    ds = kg.read_transcripts(d, columns=["conv_id", "turn_idx", "text"])
+    got = _triple_keys(kg.triples_dataset(ds).to_pandas().to_dict("records"))
+    assert golden
+    tp = len(golden & got)
+    assert tp / max(1, len(got)) == 1.0
+    assert tp / len(golden) == 1.0

