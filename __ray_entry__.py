@@ -24,6 +24,47 @@ if _REPO_DIR not in sys.path:  # make sema_ray importable however we're loaded
 TOKEN_RE = "[A-Za-z0-9]+"
 
 
+def _bm25_sql(terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of ``simsearch.bm25_search`` (identical IEEE754 op order:
+    the per-term summands appear in the same sorted-term order, and every
+    constant here equals its Python counterpart bit-for-bit)."""
+    dfs = ",\n               ".join(
+        f"SUM(CASE WHEN contains(norm, ' {w} ') THEN 1 ELSE 0 END)"
+        f" AS df_{w}" for w in terms)
+
+    def tf(w: str) -> str:
+        return (f"((length(norm) - length(replace(norm, ' {w} ', '')))"
+                f" / {len(w) + 2})")
+
+    summands = "\n          + ".join(
+        f"(ln(1 + (n_docs - df_{w} + 0.5) / (df_{w} + 0.5))"
+        f" * ({tf(w)} * {k1 + 1!r})"
+        f" / ({tf(w)} + {k1!r} * ({1 - b!r} + ({b!r} * dl) / avg_len)))"
+        for w in terms)
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 ' ' || regexp_replace(lower(text), '[^a-z0-9]+', '  ', 'g')
+                     || ' ' AS norm,
+                 CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                      AS DOUBLE) AS dl
+          FROM documents
+        ), s AS (
+          SELECT GREATEST(1, COUNT(*)) AS n_docs,
+                 GREATEST(1.0, SUM(dl) / GREATEST(1, COUNT(*))) AS avg_len,
+               {dfs}
+          FROM d
+        ), scored AS (
+          SELECT doc_id,
+            {summands} AS score
+          FROM d, s
+        )
+        SELECT doc_id, FLOOR(score * 1000000 + 0.5) / 1000000 AS score
+        FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
 def _kg_corpus(sf_dir: str) -> str:
     from sema_ray.sources.transcripts import ensure_corpus
     return ensure_corpus(kind="docs", sf_dir=sf_dir, variants=1, num_shards=8)
@@ -172,6 +213,24 @@ def _approx_distinct_users(sf_dir: str):
     return pd.DataFrame({"approx_distinct_users": [round(est)]})
 
 
+def _customers_without_orders(sf_dir: str):
+    """Collected to a Table so an empty result keeps its schema (the anti-
+    join is legitimately empty on the driver testdata: every customer has
+    orders)."""
+    import pyarrow as pa
+    from sema_ray import relational
+    from sema_ray.util import collect_table
+    tbl = collect_table(relational.customers_without_orders(sf_dir))
+    if tbl.num_columns == 0:
+        tbl = pa.table({"c_custkey": pa.array([], pa.int64())})
+    return tbl
+
+
+def _sample_events(sf_dir: str):
+    from sema_ray.sampling import sample_events
+    return sample_events(sf_dir, rate=0.25)
+
+
 def _embedding_dup_pairs(sf_dir: str):
     """Collected to a Table so an empty result keeps its (a, b) schema."""
     import pyarrow as pa
@@ -207,6 +266,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_band_counts": relational.value_band_counts,
         "median_value_by_type": relational.median_value_by_type,
         "approx_distinct_users": _approx_distinct_users,
+        "customers_without_orders": _customers_without_orders,
+        "top3_orders_per_customer": relational.top3_orders_per_customer,
+        "sample_events": _sample_events,
         # --- text analysis ------------------------------------------------
         "doc_stats": textops.doc_stats,
         "token_count_by_lang": textops.token_count_by_lang,
@@ -215,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": textops.doc_fingerprints,
         # --- dedup family -------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
+        "dedup_exact_clusters": dedup.exact_dup_clusters,
         "dedup_minhash": dedup.minhash_near_dup,
         "dedup_simhash": dedup.simhash_near_dup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -407,6 +470,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
             FROM documents GROUP BY text
         """,
+        "dedup_exact_clusters": """
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY text) AS rep_id
+            FROM documents
+        """,
+        "dedup_ngram_jaccard": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9]+')
+                                  AS toks
+                       FROM documents),
+            s AS (SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                          WHEN len(toks) < 3
+                              THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(
+                              [array_to_string(toks[i:i+2], ' ')
+                               FOR i IN generate_series(1, len(toks) - 2)])
+                     END AS sh
+                  FROM t),
+            p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS ni,
+                         CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS nu
+                  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+            j AS (SELECT a, b,
+                         CASE WHEN nu = 0 THEN 1.0 ELSE ni / nu END AS raw
+                  FROM p)
+            SELECT a, b, FLOOR(raw * 10000 + 0.5) / 10000 AS jac
+            FROM j WHERE raw >= 0.5
+        """,
+        "embedding_near_dup": """
+            WITH RECURSIVE e AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) >= 0.935),
+            ed AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+            reach(v, r) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT reach.v, ed.b FROM reach JOIN ed ON reach.r = ed.a)
+            SELECT v AS vec_id, MIN(r) AS rep_id FROM reach GROUP BY v
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+        """,
+        "top3_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC,
+                                                   o_orderkey) AS rn
+                FROM orders) t
+            WHERE rn <= 3
+        """,
+        "sample_events": """
+            SELECT event_id, user_id FROM events
+            WHERE ((CAST(event_id AS HUGEINT) % 4294967296) * 2654435761)
+                  % 4294967296 < 1073741824
+        """,
         "knn_bruteforce": """
             SELECT query_id, neighbor_id FROM (
                 SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -426,6 +551,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.5
         """,
+        "bm25_search": _bm25_sql(sorted({"vector", "table", "scan"})),
         "binary_meta": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -162,6 +162,32 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["doc_id", "n_copies"])
 
 
+def exact_dup_clusters(sf_dir: str) -> rd.Dataset:
+    """Cluster-assignment form of exact dedup: every doc_id -> min doc_id
+    sharing its text (rep=self for uniques).
+
+    Fully distributed, no driver reduction at all: the content-hash groupby
+    co-locates each exact-duplicate family and the group fn emits one row per
+    member. DuckDB-oracle-checked (``MIN(doc_id) OVER (PARTITION BY text)``).
+    """
+    ds = _load_docs(sf_dir, ["doc_id", "text"])
+
+    def hashed(t: pa.Table) -> pa.Table:
+        h = pa.array([content_hash(x) for x in t["text"].to_pylist()],
+                     pa.string())
+        return pa.table({"h": h, "doc_id": pc.cast(t["doc_id"], pa.int64())})
+
+    def family(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "rep_id": pa.array(np.full(len(ids), ids.min()), pa.int64()),
+        })
+
+    return ds.map_batches(hashed, batch_format="pyarrow") \
+        .groupby("h").map_groups(family, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # LSH machinery (shared by minhash / ngram-jaccard)
 # ---------------------------------------------------------------------------
@@ -477,6 +503,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
                  aggregator_ray_remote_args=agg_args)
 
     def verify(t: pa.Table) -> pa.Table:
+        import math
         a_ids, b_ids, jacs = [], [], []
         for a, b, sa, sb in zip(t["a"].to_pylist(), t["b"].to_pylist(),
                                 t["shingles"].to_pylist(),
@@ -488,7 +515,9 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
             if jac >= threshold:
                 a_ids.append(a)
                 b_ids.append(b)
-                jacs.append(round(jac, 4))
+                # half-up rounding, same IEEE ops as the DuckDB oracle's
+                # FLOOR(x*1e4+0.5)/1e4 (see sema_ray.util.round_half_up)
+                jacs.append(math.floor(jac * 10000.0 + 0.5) / 10000.0)
         return pa.table({"a": pa.array(a_ids, pa.int64()),
                          "b": pa.array(b_ids, pa.int64()),
                          "jac": pa.array(jacs, pa.float64())})

@@ -575,3 +575,61 @@ def grouped_search(sf_dir: str, pattern: str = "vector") -> rd.Dataset:
 
     hits = ds.map_batches(scan, batch_format="pyarrow")
     return hits.groupby("source").map_groups(top1, batch_format="pyarrow")
+
+
+def customers_without_orders(sf_dir: str,
+                             num_partitions: int = 8) -> rd.Dataset:
+    """Anti-join: customers with no order.
+
+    Distinct order custkeys first (per-batch partial distinct, then a
+    key-only groupby — the shuffle moves one row per key per batch), then a
+    partitioned ``left_outer`` hash join and a null filter. No driver-side
+    key set, so both sides stay fact-scale-safe.
+    """
+    cust = load(sf_dir, "customer", columns=["c_custkey"])
+    okeys = load(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        lambda t: t.group_by(["o_custkey"]).aggregate([]),
+        batch_format="pyarrow",
+    ).groupby("o_custkey").aggregate(Count(alias_name="_n"))
+    joined = cust.join(okeys, join_type="left_outer",
+                       num_partitions=num_partitions,
+                       on=("c_custkey",), right_on=("o_custkey",),
+                       aggregator_ray_remote_args={"num_cpus": 0.05})
+    return joined.map_batches(
+        lambda t: pa.table({"c_custkey": t.filter(
+            pc.is_null(t["_n"]))["c_custkey"]}),
+        batch_format="pyarrow",
+    )
+
+
+def top3_orders_per_customer(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Per-group top-k (reference K1-K3 generalized): each customer's k
+    highest-value orders.
+
+    Per-batch local top-k partials shrink the shuffle to ≤k rows per
+    (customer, batch) before the per-customer merge.
+    """
+    ds = load(sf_dir, "orders",
+              columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("o_custkey", "ascending"),
+                       ("o_totalprice", "descending"),
+                       ("o_orderkey", "ascending")])
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        first = np.ones(n, dtype=bool)
+        first[1:] = keys[1:] != keys[:-1]
+        # rank within run: position minus the run-start offset
+        run_start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+        rank = np.arange(n) - run_start
+        return t.filter(pa.array(rank < k))
+
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("o_totalprice", "descending"),
+                       ("o_orderkey", "ascending")])
+        return g.slice(0, k)
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+    return partials.groupby("o_custkey").map_groups(merge,
+                                                    batch_format="pyarrow")

@@ -465,27 +465,29 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
 
+    def _norm_dl(t: pa.Table) -> tuple[pa.Array, np.ndarray]:
+        """Tokenization as string normalization, fully in (C++) Arrow kernels:
+        lowercase, collapse non-alnum runs to TWO spaces, pad with spaces —
+        a term w then occurs as the literal ``" w "`` exactly tf(w) times
+        (double separators keep adjacent matches from overlapping)."""
+        low = pc.utf8_lower(t["text"])
+        norm = pc.binary_join_element_wise(
+            " ", pc.replace_substring_regex(low, pattern="[^a-z0-9]+",
+                                            replacement="  "), " ", "")
+        dl = pc.count_substring_regex(low, pattern="[a-z0-9]+") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        return norm, dl
+
     def df_partial(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        rows = {"term": [], "df": []}
-        counts = {w: 0 for w in terms}
-        total_len = 0
-        for x in texts:
-            toks = _TOKEN_RE.findall(x.lower())
-            total_len += len(toks)
-            tset = set(toks)
-            for w in terms:
-                if w in tset:
-                    counts[w] += 1
-        for w in terms:
-            rows["term"].append(w)
-            rows["df"].append(counts[w])
-        rows["term"].append("__n_docs__")
-        rows["df"].append(len(texts))
-        rows["term"].append("__total_len__")
-        rows["df"].append(total_len)
-        return pa.table({"term": pa.array(rows["term"], pa.string()),
-                         "df": pa.array(rows["df"], pa.int64())})
+        norm, dl = _norm_dl(t)
+        dfs = [int(pc.sum(pc.cast(pc.match_substring(
+            norm, pattern=f" {w} "), pa.int64())).as_py() or 0)
+            for w in terms]
+        return pa.table({
+            "term": pa.array(terms + ["__n_docs__", "__total_len__"],
+                             pa.string()),
+            "df": pa.array(dfs + [t.num_rows, int(dl.sum())], pa.int64()),
+        })
 
     stats = ds.map_batches(df_partial, batch_format="pyarrow") \
         .groupby("term").aggregate(Sum("df", alias_name="df"))
@@ -500,30 +502,27 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
     class Scorer:
         def __init__(self):
             self.idf, self.avg_len = ray.get(idf_ref)
-            self.tok = _TOKEN_RE
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = t["doc_id"].to_numpy(zero_copy_only=False)
-            scores = np.zeros(len(ids))
-            for i, x in enumerate(t["text"].to_pylist()):
-                toks = self.tok.findall(x.lower())
-                dl = len(toks)
-                if not dl:
-                    continue
-                tf: dict[str, int] = {}
-                for w in toks:
-                    if w in self.idf:
-                        tf[w] = tf.get(w, 0) + 1
-                s = 0.0
-                for w, f in tf.items():
-                    s += self.idf[w] * (f * (k1 + 1)) / (
-                        f + k1 * (1 - b + b * dl / self.avg_len))
-                scores[i] = s
             take = min(k, len(ids))
             if take == 0:
                 return pa.table({"doc_id": pa.array([], pa.int64()),
                                  "score": pa.array([], pa.float64())})
-            top = np.argpartition(-scores, take - 1)[:take]
+            norm, dl = _norm_dl(t)
+            denom_len = 1 - b + b * dl / self.avg_len
+            scores = np.zeros(len(ids))
+            for w in terms:  # fixed summation order — matches the SQL oracle
+                tf = pc.count_substring(norm, pattern=f" {w} ") \
+                    .to_numpy(zero_copy_only=False).astype(np.float64)
+                scores += self.idf[w] * (tf * (k1 + 1)) / (
+                    tf + k1 * denom_len)
+            if take < len(ids):  # widen to k-th-score ties (see TopKScoreStage)
+                kth = scores[np.argpartition(-scores, take - 1)[take - 1]]
+                sel = np.nonzero(scores >= kth)[0]
+            else:
+                sel = np.arange(len(ids))
+            top = sel[np.lexsort((ids[sel], -scores[sel]))][:take]
             return pa.table({"doc_id": pa.array(ids[top], pa.int64()),
                              "score": pa.array(scores[top], pa.float64())})
 

@@ -80,6 +80,17 @@ def test_exact_dedup(ray_session, dup_dir):
         assert survivors[j] == 1
 
 
+def test_exact_dup_clusters(ray_session, dup_dir):
+    out = dedup.exact_dup_clusters(dup_dir).to_pandas()
+    rep = dict(zip(out["doc_id"], out["rep_id"]))
+    assert len(rep) == 50
+    for j in range(10):
+        assert rep[100 + j] == j        # exact copy -> base doc
+        assert rep[200 + j] == 200 + j  # near copy is NOT an exact dup
+    for j in range(30):
+        assert rep[j] == j
+
+
 def test_minhash_near_dup_clusters(ray_session, dup_dir):
     tbl = dedup.minhash_near_dup(dup_dir, threshold=0.5).to_pandas()
     rep = dict(zip(tbl["doc_id"], tbl["rep_id"]))

@@ -1,0 +1,60 @@
+"""Fixture-based tests for the round-2 relational additions: deterministic
+hash-mod sampling, the anti-join (non-empty case — the driver testdata has no
+customer without orders), and per-group top-k vs a pandas oracle."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from sema_ray.sampling import hash_mod_sample, sample_events
+from sema_ray.relational import customers_without_orders, top3_orders_per_customer
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hash_mod_sample_deterministic_and_partition_invariant(ray_session):
+    ds = rd.read_parquet(os.path.join(SF_DIR, "events.parquet"),
+                         columns=["event_id", "user_id"])
+    a = sample_events(SF_DIR, rate=0.25).to_pandas().sort_values("event_id")
+    b = sample_events(SF_DIR, rate=0.25).to_pandas().sort_values("event_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    n = ds.count()
+    # Knuth multiplicative hash on sequential ids: rate within loose bounds
+    assert 0.15 * n < len(a) < 0.35 * n, (len(a), n)
+    # invariant under repartitioning (pure per-row predicate)
+    c = hash_mod_sample(ds.repartition(7), "event_id", 0.25) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert a.reset_index(drop=True).equals(c)
+    # monotone: a lower rate's sample is a subset
+    d = sample_events(SF_DIR, rate=0.1).to_pandas()
+    assert set(d["event_id"]) <= set(a["event_id"])
+
+
+def test_customers_without_orders_nonempty(ray_session, tmp_path):
+    cust = pa.table({"c_custkey": pa.array(list(range(1, 21)), pa.int64())})
+    # orders reference only even custkeys (with repeats)
+    okeys = [k for k in range(2, 21, 2) for _ in range(3)]
+    orders = pa.table({"o_custkey": pa.array(okeys, pa.int64())})
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    got = customers_without_orders(str(tmp_path)).to_pandas()
+    assert sorted(got["c_custkey"]) == list(range(1, 21, 2))
+
+
+def test_top3_orders_per_customer_vs_pandas(ray_session):
+    got = top3_orders_per_customer(SF_DIR).to_pandas()
+    df = pd.read_parquet(os.path.join(SF_DIR, "orders.parquet"),
+                         columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    want = (df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                           ascending=[True, False, True])
+            .groupby("o_custkey").head(3))
+    cols = ["o_custkey", "o_orderkey", "o_totalprice"]
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.equals(w)
