@@ -78,17 +78,96 @@ class HashEmbedder:
         return out
 
 
+class OnnxEmbedder:
+    """Real sentence-transformer via onnxruntime, behind the ``onnx`` flag
+    (the SURVEY §2 T1 promise: same interface as :class:`HashEmbedder`).
+
+    Loads ``model.onnx`` + ``tokenizer.json`` from ``model_dir`` once per
+    instance (i.e. once per actor — fixing the reference's per-call rebuild,
+    ``lance_indexer.rs:61,115``) and embeds in true batches (the reference
+    runs ONNX with batch dim 1, ``embeddings.rs:35-37``). Mean-pool over the
+    attention mask + L2-normalize, exactly ``embeddings.rs:61-91``.
+
+    onnxruntime/tokenizers are not installed in this sandbox and no model
+    can be downloaded, so construction raises a clear RuntimeError here; the
+    class is the drop-in real path for deployments that ship the model.
+    """
+
+    def __init__(self, model_dir: str | None, dim: int = EMBED_DIM,
+                 max_tokens: int = MAX_TOKENS):
+        if not model_dir:
+            raise RuntimeError(
+                "OnnxEmbedder needs model_dir (or SEMA_RAY_ONNX_DIR) "
+                "containing model.onnx + tokenizer.json")
+        try:
+            import onnxruntime  # noqa: F401
+            from tokenizers import Tokenizer
+        except ImportError as e:  # sandbox: no ML runtime — hash backend only
+            raise RuntimeError(
+                "onnx embedder backend requires onnxruntime + tokenizers "
+                f"(not available: {e}); use backend='hash'") from e
+        import os
+        self.dim = dim
+        self.max_tokens = max_tokens
+        self.tokenizer = Tokenizer.from_file(
+            os.path.join(model_dir, "tokenizer.json"))
+        self.tokenizer.enable_truncation(max_length=max_tokens)
+        self.tokenizer.enable_padding()
+        self.session = onnxruntime.InferenceSession(
+            os.path.join(model_dir, "model.onnx"),
+            providers=["CPUExecutionProvider"])
+
+    def embed_batch(self, texts: list[str]) -> np.ndarray:
+        if not len(texts):
+            return np.zeros((0, self.dim), dtype=np.float32)
+        enc = self.tokenizer.encode_batch([t if isinstance(t, str) else str(t)
+                                           for t in texts])
+        ids = np.array([e.ids for e in enc], dtype=np.int64)
+        mask = np.array([e.attention_mask for e in enc], dtype=np.int64)
+        out = self.session.run(None, {
+            "input_ids": ids,
+            "attention_mask": mask,
+            "token_type_ids": np.zeros_like(ids),
+        })[0]  # [n, seq, dim] token embeddings
+        m = mask[:, :, None].astype(np.float32)
+        pooled = (out * m).sum(axis=1) / np.maximum(m.sum(axis=1), 1e-9)
+        norms = np.linalg.norm(pooled, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return (pooled / norms).astype(np.float32)
+
+    def embed_one(self, text: str) -> np.ndarray:
+        return self.embed_batch([text])[0]
+
+
+def make_embedder(backend: str | None = None, dim: int = EMBED_DIM,
+                  model_dir: str | None = None):
+    """Embedder factory: ``hash`` (default, deterministic) or ``onnx`` (real
+    model). Resolution order: explicit arg > ``SEMA_RAY_EMBEDDER`` env var >
+    hash."""
+    import os
+    backend = backend or os.environ.get("SEMA_RAY_EMBEDDER", "hash")
+    if backend == "hash":
+        return HashEmbedder(dim)
+    if backend == "onnx":
+        return OnnxEmbedder(
+            model_dir or os.environ.get("SEMA_RAY_ONNX_DIR"), dim)
+    raise ValueError(f"unknown embedder backend {backend!r} "
+                     "(expected 'hash' or 'onnx')")
+
+
 class EmbedStage:
     """Actor-pool map_batches stage: adds a ``vector`` list<float32> column.
 
     Use as ``ds.map_batches(EmbedStage, fn_constructor_kwargs={"text_col": c},
     batch_format="pyarrow", concurrency=N, batch_size=B)``. Model state is
-    built once per actor (fixing reference ``lance_indexer.rs:61``).
+    built once per actor (fixing reference ``lance_indexer.rs:61``); pass
+    ``backend="onnx"`` to host the real model (:func:`make_embedder`).
     """
 
     def __init__(self, text_col: str = "text", out_col: str = "vector",
-                 dim: int = EMBED_DIM):
-        self.embedder = HashEmbedder(dim)
+                 dim: int = EMBED_DIM, backend: str | None = None,
+                 model_dir: str | None = None):
+        self.embedder = make_embedder(backend, dim, model_dir)
         self.text_col = text_col
         self.out_col = out_col
         self.dim = dim

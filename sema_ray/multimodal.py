@@ -3,16 +3,25 @@
 Images/audio/video are carried as Arrow ``binary`` columns with metadata
 columns alongside; decode / feature-extract / resize / frame-sample are
 actor-pool ``map_batches`` stages (small ``batch_size`` — payloads are big).
-The actual codec libraries are not in this container, so the decode kernel is
-STUBBED: ``DecodeStage(fake=True)`` produces a deterministic fake decode
-(seeded by content hash) so the Ray-side plumbing — schema, batch sizing,
-actor signature, output layout — is real and tested; ``fake=False`` raises
-``NotImplementedError`` unless PIL/soundfile are importable.
+
+Two decode paths:
+
+- ``fake=True`` (default): deterministic content-hash-seeded stand-in, so
+  the Ray-side plumbing — schema, batch sizing, actor signature, output
+  layout — is exercised for ANY mime type without codec libraries.
+- ``fake=False``: REAL pure-stdlib/NumPy kernels for uncompressed formats —
+  PPM (P6) images (:func:`decode_ppm`) and PCM WAV audio
+  (:func:`decode_wav`, stdlib ``wave``) — with real resize and real
+  feature extraction. Compressed formats (PNG/JPEG/MP4) still raise
+  ``NotImplementedError`` here because no codec library exists in this
+  container; the dispatch point is where PIL/ffmpeg would plug in.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 
 import numpy as np
 import pyarrow as pa
@@ -32,19 +41,117 @@ BINARY_SCHEMA = pa.schema([
 FEATURE_DIM = 64
 
 
-def _try_import_codecs() -> bool:
-    try:  # pragma: no cover - container has no codec libs
-        import PIL.Image  # noqa: F401
-        return True
-    except Exception:
-        return False
-
-
 def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic decode stand-in: feature vector seeded by content hash."""
     seed = int.from_bytes(
         hashlib.blake2b(payload, digest_size=8).digest(), "big")
     return np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (pure stdlib/NumPy): PPM P6 images, PCM WAV audio
+# ---------------------------------------------------------------------------
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval <= 255) -> uint8 array [h, w, 3]."""
+    toks: list[bytes] = []
+    i = 0
+    while len(toks) < 4:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            nl = payload.find(b"\n", i)
+            i = (nl + 1) if nl != -1 else len(payload)
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    if toks[0] != b"P6":
+        raise ValueError(f"not a binary PPM (magic {toks[0]!r})")
+    w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    raster = payload[i + 1:i + 1 + w * h * 3]  # exactly one ws after maxval
+    if len(raster) < w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """uint8 [h, w, 3] -> binary PPM (P6) bytes."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + \
+        np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV -> (float32 [n, channels] in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(payload)) as f:
+        ch, sw, sr = f.getnchannels(), f.getsampwidth(), f.getframerate()
+        raw = f.readframes(f.getnframes())
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+             - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    return x.reshape(-1, ch), sr
+
+
+def encode_wav(x: np.ndarray, sample_rate: int) -> bytes:
+    """float array in [-1, 1] (mono or [n, ch]) -> 16-bit PCM WAV bytes."""
+    if x.ndim == 1:
+        x = x[:, None]
+    pcm = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(x.shape[1])
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _grid_indices(n_src: int, n_dst: int) -> np.ndarray:
+    """Nearest-sample index grid (deterministic resize/resample)."""
+    return np.minimum((np.arange(n_dst) * n_src) // max(n_dst, 1),
+                      max(n_src - 1, 0)).astype(np.int64)
+
+
+def image_features(img: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """8x8 grayscale intensity grid in [0, 1] (dim must be a square)."""
+    side = int(np.sqrt(dim))
+    gray = img.astype(np.float32).mean(axis=2)
+    ri = _grid_indices(gray.shape[0], side)
+    ci = _grid_indices(gray.shape[1], side)
+    return (gray[np.ix_(ri, ci)] / 255.0).reshape(-1).astype(np.float32)
+
+
+def audio_features(x: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Per-segment RMS energy over ``dim`` equal time segments (mono mix)."""
+    mono = x.mean(axis=1) if x.ndim == 2 else x
+    if len(mono) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    bounds = (np.arange(dim + 1) * len(mono)) // dim
+    out = np.empty(dim, dtype=np.float32)
+    for i in range(dim):
+        seg = mono[bounds[i]:max(bounds[i + 1], bounds[i] + 1)]
+        out[i] = np.sqrt(np.mean(seg.astype(np.float64) ** 2))
+    return out
+
+
+def real_decode(payload: bytes, mime: str, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real decode+featurize for the formats a bare container can handle."""
+    if mime in ("image/x-portable-pixmap", "image/ppm"):
+        return image_features(decode_ppm(payload), dim)
+    if mime in ("audio/wav", "audio/x-wav"):
+        return audio_features(decode_wav(payload)[0], dim)
+    raise NotImplementedError(
+        f"no codec for {mime!r} in this container — compressed formats "
+        "(PNG/JPEG/MP4) need PIL/ffmpeg; PPM and WAV decode natively")
 
 
 class DecodeStage:
@@ -59,16 +166,15 @@ class DecodeStage:
     def __init__(self, fake: bool = True, dim: int = FEATURE_DIM):
         self.dim = dim
         self.fake = fake
-        if not fake and not _try_import_codecs():
-            raise NotImplementedError(
-                "real image/audio decode requires PIL/soundfile, which are "
-                "not available in this container; use DecodeStage(fake=True)")
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        feats = [
-            _fake_decode(p, self.dim)
-            for p in t["payload"].to_pylist()
-        ]
+        if self.fake:
+            feats = [_fake_decode(p, self.dim)
+                     for p in t["payload"].to_pylist()]
+        else:
+            feats = [real_decode(p, m, self.dim)
+                     for p, m in zip(t["payload"].to_pylist(),
+                                     t["mime"].to_pylist())]
         flat = (np.concatenate(feats) if feats
                 else np.empty(0, dtype=np.float32))
         fa = pa.FixedSizeListArray.from_arrays(
@@ -84,21 +190,30 @@ class DecodeStage:
 class ResizeStage:
     """Actor-pool image-resize stage (payload -> payload).
 
-    Stub decode/encode (deterministic: output payload is a content-hash-
-    seeded byte string of ``out_w*out_h*3 // 8`` bytes standing in for the
-    re-encoded image); the Ray-side contract — binary in/binary out, small
-    batches, metadata update — is real. ``fake=False`` requires PIL.
+    ``fake=False`` does a REAL nearest-neighbor resize for PPM payloads
+    (:func:`decode_ppm` -> index-grid resample -> :func:`encode_ppm`);
+    compressed formats would need PIL. The fake path emits a deterministic
+    content-hash-seeded byte string, keeping the binary-in/binary-out
+    contract testable for any mime.
     """
 
     def __init__(self, out_w: int = 224, out_h: int = 224, fake: bool = True):
         self.out_w, self.out_h = out_w, out_h
-        if not fake and not _try_import_codecs():
-            raise NotImplementedError("real resize requires PIL")
+        self.fake = fake
+
+    def _resize_real(self, p: bytes) -> bytes:
+        img = decode_ppm(p)
+        ri = _grid_indices(img.shape[0], self.out_h)
+        ci = _grid_indices(img.shape[1], self.out_w)
+        return encode_ppm(img[np.ix_(ri, ci)])
 
     def __call__(self, t: pa.Table) -> pa.Table:
         out_payloads = []
         n_bytes = (self.out_w * self.out_h * 3) // 8
         for p in t["payload"].to_pylist():
+            if not self.fake:
+                out_payloads.append(self._resize_real(p))
+                continue
             seed = int.from_bytes(
                 hashlib.blake2b(p, digest_size=8).digest(), "big")
             out_payloads.append(np.random.default_rng(seed).integers(
@@ -123,8 +238,11 @@ class FrameSampleStage:
                  fake: bool = True):
         self.n_frames = n_frames
         self.dim = dim
-        if not fake and not _try_import_codecs():
-            raise NotImplementedError("real frame sampling requires av/ffmpeg")
+        if not fake:
+            raise NotImplementedError(
+                "real frame sampling requires av/ffmpeg (no video codec is "
+                "possible in this container — unlike PPM/WAV, MP4 has no "
+                "uncompressed stdlib-decodable form)")
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, frames, feats = [], [], []
@@ -144,6 +262,33 @@ class FrameSampleStage:
             "frame_idx": pa.array(frames, pa.int32()),
             "feature": fa,
         })
+
+
+def synthesize_real_items(n: int = 12, seed: int = 7) -> pa.Table:
+    """Deterministic REAL-codec multimodal table: PPM images + PCM WAVs
+    (decodable by :func:`real_decode` with no external libraries)."""
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("item_id", "modality", "payload", "mime",
+                            "meta_json")}
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows["modality"].append("image")
+            rows["payload"].append(encode_ppm(img))
+            rows["mime"].append("image/x-portable-pixmap")
+            rows["meta_json"].append(f'{{"w": {w}, "h": {h}}}')
+        else:
+            sr = 8000
+            x = rng.standard_normal(int(rng.integers(800, 4000))) * 0.2
+            rows["modality"].append("audio")
+            rows["payload"].append(encode_wav(x, sr))
+            rows["mime"].append("audio/wav")
+            rows["meta_json"].append(f'{{"sr": {sr}}}')
+        rows["item_id"].append(i)
+    return pa.table(
+        {k: pa.array(v, BINARY_SCHEMA.field(k).type) for k, v in rows.items()},
+        schema=BINARY_SCHEMA)
 
 
 def synthesize_binary_items(n: int = 64, seed: int = 3) -> pa.Table:

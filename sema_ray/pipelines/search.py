@@ -65,28 +65,130 @@ def normalize_extensions(exts) -> set[str]:
     return out
 
 
+class _IgnoreRule:
+    """One gitignore-style rule (supported subset: blank/comment skip,
+    ``!`` negation, trailing-``/`` dir-only, leading-``/`` anchoring, ``*``
+    ``?`` ``[...]`` globs via fnmatch; ``**`` is treated as ``*``-per-level,
+    which covers the common layouts — documented deviation from the full
+    `ignore`-crate grammar the reference uses)."""
+
+    __slots__ = ("pattern", "negated", "dir_only", "anchored", "base")
+
+    def __init__(self, pattern: str, base: str):
+        self.negated = pattern.startswith("!")
+        if self.negated:
+            pattern = pattern[1:]
+        self.dir_only = pattern.endswith("/")
+        pattern = pattern.rstrip("/")
+        # a slash anywhere (not just leading) anchors to the ignore-file dir
+        self.anchored = pattern.startswith("/") or "/" in pattern
+        self.pattern = pattern.lstrip("/")
+        self.base = base  # relpath of the dir holding the ignore file
+
+    def matches(self, rel: str, name: str, is_dir: bool) -> bool:
+        import fnmatch
+        if self.dir_only and not is_dir:
+            return False
+        if self.base:
+            if not (rel == self.base or rel.startswith(self.base + os.sep)):
+                return False
+            rel = rel[len(self.base) + 1:]
+        if self.anchored:
+            return fnmatch.fnmatch(rel, self.pattern)
+        # unanchored: match the basename or any trailing path suffix
+        return fnmatch.fnmatch(name, self.pattern)
+
+
+def _load_gitignore(dirpath: str, base_rel: str) -> list[_IgnoreRule]:
+    rules: list[_IgnoreRule] = []
+    try:
+        with open(os.path.join(dirpath, ".gitignore")) as f:
+            for line in f:
+                line = line.rstrip("\n").rstrip()
+                if not line or line.startswith("#"):
+                    continue
+                rules.append(_IgnoreRule(line, base_rel))
+    except OSError:
+        pass
+    return rules
+
+
+def _ignored(rules: list[_IgnoreRule], rel: str, name: str,
+             is_dir: bool) -> bool:
+    """gitignore semantics: the LAST matching rule wins."""
+    verdict = False
+    for r in rules:
+        if r.matches(rel, name, is_dir):
+            verdict = not r.negated
+    return verdict
+
+
 def crawl(root: str, extensions=DEFAULT_EXTENSIONS,
           max_file_size: int = DEFAULT_MAX_FILE_SIZE,
-          include_hidden: bool = False) -> list[str]:
+          include_hidden: bool = False,
+          follow_symlinks: bool = False,
+          exclude_patterns: tuple[str, ...] = (),
+          respect_gitignore: bool = True,
+          same_file_system: bool = True) -> list[str]:
     """S1/M1: file paths under root passing the predicate filters.
 
     Keep iff regular, non-empty, ≤ max size, extension in the allowlist
-    (``src/crawler/mod.rs:73-103``). Metadata-only: contents are read later,
-    distributed.
+    (``src/crawler/mod.rs:73-103``); honor per-directory ``.gitignore``
+    files, gitignore-style ``exclude_patterns``, symlink following and the
+    same-filesystem guard (walker options ``src/crawler/mod.rs:44-55``).
+    Metadata-only: contents are read later, distributed.
     """
     allow = normalize_extensions(extensions)
+    excludes = [_IgnoreRule(p, "") for p in exclude_patterns]
+    try:
+        root_dev = os.stat(root).st_dev
+    except OSError:
+        return []
+    gitignores: dict[str, list[_IgnoreRule]] = {}
     out: list[str] = []
-    for dirpath, dirnames, filenames in os.walk(root):
-        if not include_hidden:
-            dirnames[:] = [d for d in dirnames if not d.startswith(".")]
+    for dirpath, dirnames, filenames in os.walk(root, topdown=True,
+                                                followlinks=follow_symlinks):
+        dir_rel = os.path.relpath(dirpath, root)
+        dir_rel = "" if dir_rel == "." else dir_rel
+        # rules active here: every ancestor's .gitignore + this dir's
+        parent_rules = gitignores.get(os.path.dirname(dir_rel), []) \
+            if dir_rel else []
+        rules = parent_rules + (_load_gitignore(dirpath, dir_rel)
+                                if respect_gitignore else [])
+        gitignores[dir_rel] = rules
+
+        def keep_dir(d: str) -> bool:
+            if not include_hidden and d.startswith("."):
+                return False
+            rel = os.path.join(dir_rel, d) if dir_rel else d
+            if _ignored(excludes, rel, d, True) or \
+                    _ignored(rules, rel, d, True):
+                return False
+            if same_file_system or not follow_symlinks:
+                try:
+                    st = os.stat(os.path.join(dirpath, d),
+                                 follow_symlinks=follow_symlinks)
+                except OSError:
+                    return False
+                if same_file_system and st.st_dev != root_dev:
+                    return False
+            return True
+
+        dirnames[:] = sorted(d for d in dirnames if keep_dir(d))
         for name in sorted(filenames):
             if not include_hidden and name.startswith("."):
+                continue
+            rel = os.path.join(dir_rel, name) if dir_rel else name
+            if _ignored(excludes, rel, name, False) or \
+                    _ignored(rules, rel, name, False):
                 continue
             ext = name.rsplit(".", 1)[-1].lower() if "." in name else ""
             if ext not in allow:
                 continue
             p = os.path.join(dirpath, name)
             try:
+                if not follow_symlinks and os.path.islink(p):
+                    continue  # reference skips non-followed symlink entries
                 st = os.stat(p)
             except OSError:
                 continue
@@ -153,17 +255,22 @@ def _chunk_file_batch(batch: pa.Table) -> pa.Table:
 
 def build_index(root: str, index_dir: str, extensions=DEFAULT_EXTENSIONS,
                 max_file_size: int = DEFAULT_MAX_FILE_SIZE,
-                embed_concurrency=(1, 4)) -> dict:
+                embed_concurrency=(1, 4), config=None) -> dict:
     """Index build (reference §3.1): crawl -> diff -> chunk -> embed -> write.
 
     Incremental (T4): files whose stored hash matches are skipped; changed
     files get their ``chunks/file=<pathhash>/`` partition overwritten (S6).
     Hashes are computed once on the read bytes and carried through — not
     re-read after processing (fixes the reference's TOCTOU,
-    ``storage/mod.rs:62-66``).
+    ``storage/mod.rs:62-66``). Pass a :class:`sema_ray.config.GeneralConfig`
+    as ``config`` to drive the crawl from the TOML/CLI surface instead of the
+    two positional filters.
     """
     os.makedirs(index_dir, exist_ok=True)
-    paths = crawl(root, extensions, max_file_size)
+    if config is not None:
+        paths = crawl(root, **config.crawl_kwargs())
+    else:
+        paths = crawl(root, extensions, max_file_size)
     index = load_file_index(index_dir)
     todo: list[str] = []
     todo_hash: dict[str, str] = {}
@@ -209,11 +316,14 @@ def build_index(root: str, index_dir: str, extensions=DEFAULT_EXTENSIONS,
         # distributed partitioned write: one dir per file, no driver collect
         keyed_ds = embedded.map_batches(keyed, batch_format="pyarrow") \
             .materialize()
-        n_files_dropped = keyed_ds.map_batches(
+        ndf = keyed_ds.map_batches(
             lambda t: pa.table({"n": pa.array(
                 [int(pc.sum(pc.cast(t["dropped"], pa.int64())).as_py() or 0)],
                 pa.int64())}),
-            batch_format="pyarrow", batch_size=None).to_pandas()["n"].sum()
+            batch_format="pyarrow", batch_size=None).to_pandas()
+        # every crawled file can be sub-MIN_CHUNK_SIZE (chunker emits nothing,
+        # processor.rs:34-36) -> empty dataset with no schema
+        n_files_dropped = int(ndf["n"].sum()) if "n" in ndf.columns else 0
         writable = keyed_ds.map_batches(
             lambda t: t.filter(pc.equal(t["dropped"], False))
                        .drop_columns(["dropped"]),

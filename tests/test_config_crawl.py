@@ -1,0 +1,150 @@
+"""Crawler-parity tests (gitignore / exclude patterns / symlinks /
+same-filesystem — reference ``src/crawler/mod.rs:44-55``), the TOML config +
+CLI override merge (``src/config/mod.rs``, ``src/main.rs:31-59``), and the
+embedder backend flag (SURVEY §2 T1)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sema_ray.config import (DEFAULT_EXCLUDE, GeneralConfig, apply_overrides,
+                             load_config)
+from sema_ray.embed import HashEmbedder, make_embedder
+from sema_ray.pipelines.search import crawl
+
+
+def _mk(root, rel, content="x"):
+    p = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as f:
+        f.write(content)
+    return p
+
+
+def _names(paths, root):
+    return sorted(os.path.relpath(p, root) for p in paths)
+
+
+def test_crawl_gitignore(tmp_path):
+    root = str(tmp_path)
+    _mk(root, "a.txt")
+    _mk(root, "debug.log")
+    _mk(root, "keep.log")
+    _mk(root, "build/out.txt")
+    _mk(root, "src/main.py")
+    _mk(root, "src/scratch.txt")
+    _mk(root, ".gitignore", "*.log\nbuild/\n!keep.log\n")
+    _mk(root, "src/.gitignore", "scratch.txt\n")
+    exts = ("txt", "log", "py")
+    got = _names(crawl(root, extensions=exts), root)
+    assert got == ["a.txt", "keep.log", "src/main.py"]
+    # gitignore off: everything (except the .gitignore files: no extension
+    # match needed — they're hidden files, dropped anyway)
+    got_all = _names(crawl(root, extensions=exts, respect_gitignore=False),
+                     root)
+    assert got_all == ["a.txt", "build/out.txt", "debug.log", "keep.log",
+                      "src/main.py", "src/scratch.txt"]
+
+
+def test_crawl_exclude_patterns(tmp_path):
+    root = str(tmp_path)
+    _mk(root, "a.txt")
+    _mk(root, "x.tmp.txt")
+    _mk(root, "node_modules/dep/lib.txt")
+    _mk(root, "deep/node_modules/d/m.txt")
+    got = _names(crawl(root, extensions=("txt",),
+                       exclude_patterns=("node_modules", "x.*")), root)
+    assert got == ["a.txt"]
+
+
+def test_crawl_follow_symlinks(tmp_path):
+    root = str(tmp_path / "root")
+    other = str(tmp_path / "other")
+    _mk(root, "real.txt")
+    _mk(other, "linked.txt")
+    os.symlink(os.path.join(other, "linked.txt"),
+               os.path.join(root, "link.txt"))
+    os.symlink(other, os.path.join(root, "linkdir"))
+    no_follow = _names(crawl(root, extensions=("txt",)), root)
+    assert no_follow == ["real.txt"]
+    follow = _names(crawl(root, extensions=("txt",), follow_symlinks=True,
+                          same_file_system=False), root)
+    assert follow == ["link.txt", "linkdir/linked.txt", "real.txt"]
+
+
+def test_config_load_and_overrides(tmp_path):
+    toml = tmp_path / "config.toml"
+    toml.write_text(
+        "[general]\n"
+        "max_file_size = 1234\n"
+        'file_extensions = ["py", "txt"]\n'
+        'exclude_patterns = ["vendor"]\n'
+        "follow_symlinks = false\n"
+        "include_hidden = false\n"
+        "ignore_gitignore = true\n")
+    cfg = load_config(str(toml))
+    assert cfg.max_file_size == 1234
+    assert cfg.file_extensions == ["py", "txt"]
+    assert cfg.exclude_patterns == ["vendor"]
+    assert cfg.respect_gitignore is True
+    # CLI merge: extensions REPLACE, excludes APPEND-dedup, flags only set
+    cfg = apply_overrides(cfg, max_file_size=99, include_hidden=True,
+                          extensions=["md"], exclude=["vendor", "dist"])
+    assert cfg.max_file_size == 99
+    assert cfg.include_hidden is True
+    assert cfg.file_extensions == ["md"]
+    assert cfg.exclude_patterns == ["vendor", "dist"]
+    # defaults (missing file) mirror the reference's GeneralConfig::default
+    d = load_config(None)
+    assert d.max_file_size == 10_485_760
+    assert d.exclude_patterns == DEFAULT_EXCLUDE
+    assert d.follow_symlinks is False and d.include_hidden is False
+
+
+def test_build_index_with_config(ray_session, tmp_path):
+    root = str(tmp_path / "tree")
+    _mk(root, "a.txt", "alpha beta gamma " * 10)
+    _mk(root, "skip.log", "log line " * 10)
+    _mk(root, ".gitignore", "*.log\n")
+    from sema_ray.pipelines.search import build_index
+    cfg = GeneralConfig(file_extensions=["txt", "log"])
+    stats = build_index(root, str(tmp_path / "idx"), config=cfg)
+    assert stats["files_indexed"] == 1  # skip.log gitignored
+    assert stats["chunks_written"] >= 1
+
+
+def test_build_index_all_files_below_min_chunk(ray_session, tmp_path):
+    """Sub-50-byte files chunk to nothing (processor.rs:34-36) — the build
+    must record them as indexed-with-0-chunks, not crash."""
+    root = str(tmp_path / "tree")
+    _mk(root, "tiny.txt", "short")
+    from sema_ray.pipelines.search import build_index
+    stats = build_index(root, str(tmp_path / "idx"))
+    assert stats["files_indexed"] == 1
+    assert stats["chunks_written"] == 0
+
+
+def test_embedder_backend_flag():
+    assert isinstance(make_embedder(), HashEmbedder)
+    assert isinstance(make_embedder("hash"), HashEmbedder)
+    with pytest.raises(RuntimeError, match="model_dir"):
+        make_embedder("onnx")
+    with pytest.raises(RuntimeError, match="onnxruntime"):
+        make_embedder("onnx", model_dir="/tmp/nonexistent-model")
+    with pytest.raises(ValueError, match="backend"):
+        make_embedder("bogus")
+
+
+def test_cli_index_and_search(ray_session, tmp_path, capsys):
+    root = str(tmp_path / "tree")
+    _mk(root, "a.txt", "the quick brown fox jumps over the lazy dog " * 4)
+    _mk(root, "b.txt", "vector table scan performance notes " * 4)
+    idx = str(tmp_path / "idx")
+    from sema_ray.__main__ import main
+    assert main(["index", root, "--index-dir", idx,
+                 "--extensions", "txt"]) == 0
+    assert main(["search", "'vector", "--index-dir", idx]) == 0
+    out = capsys.readouterr().out
+    assert "b.txt" in out
