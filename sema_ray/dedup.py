@@ -5,14 +5,18 @@ Pipeline shapes (all Ray-Data-first, SURVEY §2 "Set ops / dedup"):
 - **exact**: content-hash per row (reference T4 fingerprint idea,
   ``src/storage/mod.rs:72-94``) -> groupby(hash) -> keep min id. The shuffle
   moves 16-byte hashes, never the text.
-- **MinHash/LSH**: per-batch word-shingle minhash signatures -> explode to
-  (band, bucket) rows -> groupby(bucket) -> star candidate pairs verified by
-  signature agreement inside the group -> union-find (driver; pairs ≪ rows
-  by LSH construction) -> broadcast cluster map.
+- **MinHash/LSH**: two-pass hot-bucket blocking. Pass 1 shuffles only
+  ``(bucket, doc_id)`` (16 B/row) into a fully vectorized bucket-size
+  aggregate; buckets with ≥2 members — the duplicate families plus LSH
+  false positives, ≪ corpus by construction — are broadcast back, and pass
+  2 collects just those members (with signatures) for verification.
+  Round 1 instead carried 512-B signatures through the shuffle and ran one
+  Python ``map_groups`` call per bucket; with 99% singleton buckets the
+  per-group overhead dominated end to end.
 - **SimHash**: 64-bit weighted token fingerprint; hamming ≤ ``max_hamming``
   via pigeonhole band blocking (split 64 bits into ``max_hamming+1`` bands:
-  any pair within the hamming budget shares ≥1 exact band) -> verify
-  hamming in-group.
+  any pair within the hamming budget shares ≥1 exact band) -> same two-pass
+  hot-bucket shape.
 - **n-gram Jaccard**: LSH candidates + *exact* Jaccard verification as a
   distributed join of the pair list against the shingle-set table (no driver
   text processing) — the scale path for precise thresholds.
@@ -90,6 +94,14 @@ def _token_ids(toks: list[str]) -> np.ndarray:
 def _load_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=columns)
+
+
+def _doc_count(sf_dir: str) -> int:
+    """Row count from parquet metadata (no read) — drives the adaptive
+    local-vs-distributed choice in :func:`_hot_buckets`."""
+    import pyarrow.parquet as pq_mod
+    return pq_mod.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
 
 
 def word_shingles(text: str, k: int = 3) -> np.ndarray:
@@ -195,26 +207,34 @@ def exact_dup_clusters(sf_dir: str) -> rd.Dataset:
 class MinHashBandStage:
     """Per-batch: text -> minhash signature -> one row per LSH band.
 
-    Carries the signature on each band row so candidate verification happens
-    *inside* the bucket group with no extra join (tradeoff: BANDS× signature
-    shuffle volume ≈ ``BANDS*NUM_PERMS*8`` B/doc; the join-based alternative
-    used by :func:`ngram_jaccard_pairs` avoids it when precision matters).
+    The bucket id folds the band index into the band-segment hash, so a
+    single int64 column is the full blocking key. Two modes:
+
+    - ``carry_sig=False`` (pass 1): emit only ``(bucket, doc_id)`` — the
+      counting shuffle moves 16 B/doc/band, never signatures.
+    - ``carry_sig=True`` + ``hot_ref`` (pass 2): recompute, keep only rows
+      whose bucket is in the broadcast hot-bucket set, and attach the
+      signature for verification. Rows that survive ≈ members of duplicate
+      families — tiny by LSH construction.
     """
 
-    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text",
+                 carry_sig: bool = False, hot: np.ndarray | None = None):
         self.id_col = id_col
         self.text_col = text_col
+        self.carry_sig = carry_sig
+        self.hot = np.sort(hot) if hot is not None else None
 
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t[self.text_col].to_pylist()
         n = len(texts)
+        cols: dict = {}
         if n == 0:
-            return pa.table({
-                "doc_id": pa.array([], pa.int64()),
-                "band": pa.array([], pa.int32()),
-                "bucket": pa.array([], pa.int64()),
-                "sig": pa.array([], pa.list_(pa.int64(), NUM_PERMS)),
-            })
+            cols["bucket"] = pa.array([], pa.int64())
+            cols["doc_id"] = pa.array([], pa.int64())
+            if self.carry_sig:
+                cols["sig"] = pa.array([], pa.list_(pa.int64(), NUM_PERMS))
+            return pa.table(cols)
         ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         sigs = np.empty((n, NUM_PERMS), dtype=np.uint64)
         for i, text in enumerate(texts):
@@ -225,95 +245,138 @@ class MinHashBandStage:
         mult = _C[np.arange(ROWS_PER_BAND) % len(_C)]
         buckets = _mix64((seg * mult[None, None, :]).sum(axis=2)
                          + np.arange(BANDS, dtype=np.uint64)[None, :] * _GOLDEN)
-        return pa.table({
-            "doc_id": pa.array(np.repeat(ids, BANDS), pa.int64()),
-            "band": pa.array(np.tile(np.arange(BANDS, dtype=np.int32), n),
-                             pa.int32()),
-            "bucket": pa.array(buckets.reshape(-1).view(np.int64), pa.int64()),
-            # signature carried per band row (documented shuffle tradeoff);
-            # values < 2^61 so the int64 reinterpret is lossless
-            "sig": pa.FixedSizeListArray.from_arrays(
-                pa.array(np.repeat(sigs.view(np.int64), BANDS, axis=0)
-                         .reshape(-1)), NUM_PERMS),
-        })
+        flat_bucket = buckets.reshape(-1).view(np.int64)  # doc-major
+        flat_doc = np.repeat(ids, BANDS)
+        keep = (np.isin(flat_bucket, self.hot) if self.hot is not None
+                else slice(None))
+        cols["bucket"] = pa.array(flat_bucket[keep], pa.int64())
+        cols["doc_id"] = pa.array(flat_doc[keep], pa.int64())
+        if self.carry_sig:
+            sig_rows = np.repeat(sigs.view(np.int64), BANDS,
+                                 axis=0)[keep]
+            cols["sig"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(sig_rows.reshape(-1)), NUM_PERMS)
+        return pa.table(cols)
 
 
-def _sig_matrix(g: pa.Table) -> np.ndarray:
-    """FixedSizeList sig column -> [n, NUM_PERMS] int64 matrix, no pylist."""
-    col = g["sig"]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    return col.flatten().to_numpy(zero_copy_only=False) \
+# Below this many band rows the bucket count combines on the driver (the
+# per-block partials are a few MB); above it, the proper distributed
+# groupby-sum runs — its hash-shuffle setup costs seconds of fixed overhead,
+# which would dominate any small input.
+LOCAL_COUNT_MAX_ROWS = 4_000_000
+
+
+def _hot_buckets(light: rd.Dataset,
+                 approx_rows: int | None = None) -> np.ndarray:
+    """Bucket-size count -> the (tiny) set of buckets with ≥2 members.
+
+    Per-batch ``value_counts`` partials feed a vectorized global sum — no
+    per-group Python anywhere. Execution is adaptive: driver combine for
+    small inputs, distributed groupby-sum at scale (see
+    ``LOCAL_COUNT_MAX_ROWS``)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t["bucket"].value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"bucket": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    partials = light.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=None)
+    if approx_rows is not None and approx_rows <= LOCAL_COUNT_MAX_ROWS:
+        tbl = collect_table(partials)
+        if "bucket" not in tbl.column_names or tbl.num_rows == 0:
+            return np.empty(0, dtype=np.int64)
+        counts = tbl.group_by("bucket").aggregate([("n", "sum")])
+        hot_tbl = counts.filter(pc.greater(counts["n_sum"], 1))
+        return hot_tbl["bucket"].to_numpy(zero_copy_only=False)
+    counts = partials.groupby("bucket").aggregate(Sum("n", alias_name="n"))
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)).select(["bucket"]),
+        batch_format="pyarrow")
+    tbl = collect_table(hot)
+    if "bucket" not in tbl.column_names:
+        return np.empty(0, dtype=np.int64)
+    return tbl["bucket"].to_numpy(zero_copy_only=False)
+
+
+def _members_to_pairs(mt: pa.Table, threshold: float, all_pairs: bool,
+                      max_bucket: int) -> pa.Table:
+    """Colliding-bucket member rows -> verified (a < b) pairs.
+
+    Star pairing (min-id rep vs rest) for clustering; ``all_pairs`` for a
+    complete listing. Verification = signature-agreement Jaccard estimate,
+    identical math to the round-1 in-group version. ``max_bucket`` caps the
+    quadratic blowup on hot buckets."""
+    if mt.num_rows == 0 or "bucket" not in mt.column_names:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    buckets = mt["bucket"].to_numpy(zero_copy_only=False)
+    ids = mt["doc_id"].to_numpy(zero_copy_only=False)
+    sig_col = mt["sig"]
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    sigs = sig_col.flatten().to_numpy(zero_copy_only=False) \
         .reshape(-1, NUM_PERMS)
-
-
-def _star_pairs_verified(threshold: float):
-    """Group fn: star pairs (min-id rep vs rest) with signature-agreement
-    Jaccard estimate; emits only pairs over ``threshold``."""
-
-    def pairs(g: pa.Table) -> pa.Table:
-        ids = np.asarray(g["doc_id"].to_numpy(zero_copy_only=False))
-        order = np.argsort(ids, kind="stable")
-        uniq, first_idx = np.unique(ids[order], return_index=True)
+    order = np.lexsort((ids, buckets))
+    buckets, ids, sigs = buckets[order], ids[order], sigs[order]
+    starts = np.nonzero(np.r_[True, buckets[1:] != buckets[:-1]])[0]
+    ends = np.r_[starts[1:], len(buckets)]
+    out_a: list[int] = []
+    out_b: list[int] = []
+    for s, e in zip(starts, ends):
+        uniq, first = np.unique(ids[s:e], return_index=True)
         if len(uniq) < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        sigs = _sig_matrix(g)[order][first_idx]
-        rep_sig = sigs[0]
-        est = (sigs[1:] == rep_sig[None, :]).mean(axis=1)
-        keep = est >= threshold
-        bs = uniq[1:][keep]
-        return pa.table({
-            "a": pa.array(np.full(len(bs), uniq[0]), pa.int64()),
-            "b": pa.array(bs, pa.int64()),
-        })
-
-    return pairs
-
-
-def _all_pairs_verified(threshold: float, max_bucket: int = 256):
-    """Group fn: ALL in-bucket (i < j) pairs with signature-estimate filter.
-
-    Used when the op's contract is a complete pair *listing* (star pairs
-    only guarantee cluster connectivity). ``max_bucket`` caps the quadratic
-    blowup on hot buckets — a bucket that large at band width 4 is
-    near-identical content whose pairs the clustering path already covers.
-    """
-
-    def pairs(g: pa.Table) -> pa.Table:
-        ids = np.asarray(g["doc_id"].to_numpy(zero_copy_only=False))
-        order = np.argsort(ids, kind="stable")
-        uniq, first_idx = np.unique(ids[order], return_index=True)
-        if len(uniq) < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
+            continue
         uniq = uniq[:max_bucket]
-        sigs = _sig_matrix(g)[order][first_idx][:max_bucket]
-        n = len(uniq)
-        ii, jj = np.triu_indices(n, k=1)
-        est = (sigs[ii] == sigs[jj]).mean(axis=1)
-        keep = est >= threshold
-        return pa.table({
-            "a": pa.array(uniq[ii[keep]], pa.int64()),
-            "b": pa.array(uniq[jj[keep]], pa.int64()),
-        })
-
-    return pairs
+        sg = sigs[s:e][first][:max_bucket]
+        if all_pairs:
+            ii, jj = np.triu_indices(len(uniq), k=1)
+            est = (sg[ii] == sg[jj]).mean(axis=1)
+            kp = est >= threshold
+            out_a.extend(uniq[ii[kp]].tolist())
+            out_b.extend(uniq[jj[kp]].tolist())
+        else:
+            est = (sg[1:] == sg[0][None, :]).mean(axis=1)
+            kp = est >= threshold
+            out_a.extend([int(uniq[0])] * int(kp.sum()))
+            out_b.extend(uniq[1:][kp].tolist())
+    return pa.table({"a": pa.array(out_a, pa.int64()),
+                     "b": pa.array(out_b, pa.int64())})
 
 
 def minhash_candidate_pairs(ds: rd.Dataset, threshold: float = 0.7,
                             id_col: str = "doc_id",
                             text_col: str = "text",
-                            all_pairs: bool = False) -> rd.Dataset:
-    band_rows = ds.map_batches(
-        MinHashBandStage,
-        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
-        batch_format="pyarrow", concurrency=(1, 8),
-    )
-    group_fn = (_all_pairs_verified(threshold) if all_pairs
-                else _star_pairs_verified(threshold))
-    return band_rows.groupby(["band", "bucket"]).map_groups(
-        group_fn, batch_format="pyarrow")
+                            all_pairs: bool = False,
+                            max_bucket: int = 256,
+                            approx_rows: int | None = None) -> pa.Table:
+    """Verified LSH candidate pairs, two-pass (scale notes in module doc):
+
+    1. light band rows -> bucket-size aggregate -> hot buckets;
+    2. recompute with the hot set shipped in the (worker-cached) task
+       closure, collect only colliding members (bounded by duplicate
+       families), verify on the driver.
+
+    Replaces the round-1 shape (signatures carried through the shuffle +
+    one Python ``map_groups`` call per bucket — 80k buckets at sf0.1 made
+    per-group overhead the bottleneck, and 99% of groups were singletons).
+    Band stages run as task pools — their only state is the compiled hash
+    tables cached per worker process (CLAUDE.md: task pools beat actor
+    pools for light state).
+    """
+    light = ds.map_batches(MinHashBandStage(id_col, text_col),
+                           batch_format="pyarrow")
+    hot = _hot_buckets(light, approx_rows)
+    if len(hot) == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    full = ds.map_batches(
+        MinHashBandStage(id_col, text_col, carry_sig=True, hot=hot),
+        batch_format="pyarrow")
+    return _members_to_pairs(collect_table(full), threshold, all_pairs,
+                             max_bucket)
 
 
 SMALL_REP_MAP = 100_000
@@ -386,7 +449,8 @@ def minhash_near_dup(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
     broadcast back for a distributed assignment pass (default rep=self).
     """
     ds = _load_docs(sf_dir, ["doc_id", "text"])
-    pair_tbl = collect_table(minhash_candidate_pairs(ds, threshold))
+    pair_tbl = minhash_candidate_pairs(
+        ds, threshold, approx_rows=_doc_count(sf_dir) * BANDS)
     return assign_reps(_load_docs(sf_dir, ["doc_id"]),
                        rep_map_from_pairs(pair_tbl))
 
@@ -407,54 +471,83 @@ def simhash_near_dup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     n_bands = max_hamming + 1
     width = 64 // n_bands
 
-    def band_rows(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        n = len(texts)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        hs = np.fromiter((simhash64(x) for x in texts), dtype=np.uint64,
-                         count=n)
-        keys = np.empty((n_bands, n), dtype=np.uint64)
+    band_seed = np.arange(n_bands, dtype=np.uint64) * _GOLDEN  # wraps (array)
+
+    def _band_buckets(hs: np.ndarray) -> np.ndarray:
+        """[n] simhashes -> [n, n_bands] folded (band, segment) buckets.
+        The int64 reinterpret wraps the unsigned fold — safe even at band
+        width 64 (max_hamming=0), where int64() would overflow."""
+        n = len(hs)
+        keys = np.empty((n, n_bands), dtype=np.uint64)
         for b in range(n_bands):
             lo = b * width
             hi = 64 if b == n_bands - 1 else lo + width
             mask = np.uint64((1 << (hi - lo)) - 1)
-            keys[b] = (hs >> np.uint64(lo)) & mask
-        return pa.table({
-            "doc_id": pa.array(np.tile(ids, n_bands), pa.int64()),
-            "band": pa.array(np.repeat(np.arange(n_bands, dtype=np.int32), n),
-                             pa.int32()),
-            # int64 reinterpret wraps the unsigned segment — safe even at
-            # band width 64 (max_hamming=0), where int64() would overflow
-            "key": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
-            "simhash": pa.array(np.tile(hs.view(np.int64), n_bands),
-                                pa.int64()),
-        })
+            keys[:, b] = _mix64(((hs >> np.uint64(lo)) & mask) + band_seed[b])
+        return keys
 
-    def verified_pairs(g: pa.Table) -> pa.Table:
-        ids = np.asarray(g["doc_id"].to_numpy(zero_copy_only=False))
-        hs = np.asarray(g["simhash"].to_numpy(zero_copy_only=False)).astype(np.uint64)
-        order = np.argsort(ids, kind="stable")
-        uniq, first_idx = np.unique(ids[order], return_index=True)
-        if len(uniq) < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        hs = hs[order][first_idx]
-        x = hs[1:] ^ hs[0]
-        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
-                            axis=1).sum(axis=1)
-        keep = ham <= max_hamming
-        return pa.table({
-            "a": pa.array(np.full(int(keep.sum()), uniq[0]), pa.int64()),
-            "b": pa.array(uniq[1:][keep], pa.int64()),
-        })
+    class SimBandStage:
+        def __init__(self, carry_hash: bool = False,
+                     hot: np.ndarray | None = None):
+            self.carry_hash = carry_hash
+            self.hot = np.sort(hot) if hot is not None else None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t["text"].to_pylist()
+            n = len(texts)
+            cols: dict = {}
+            if n == 0:
+                cols["bucket"] = pa.array([], pa.int64())
+                cols["doc_id"] = pa.array([], pa.int64())
+                if self.carry_hash:
+                    cols["simhash"] = pa.array([], pa.int64())
+                return pa.table(cols)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            hs = np.fromiter((simhash64(x) for x in texts), dtype=np.uint64,
+                             count=n)
+            flat_bucket = _band_buckets(hs).reshape(-1).view(np.int64)
+            flat_doc = np.repeat(ids, n_bands)
+            keep = (np.isin(flat_bucket, self.hot)
+                    if self.hot is not None else slice(None))
+            cols["bucket"] = pa.array(flat_bucket[keep], pa.int64())
+            cols["doc_id"] = pa.array(flat_doc[keep], pa.int64())
+            if self.carry_hash:
+                cols["simhash"] = pa.array(
+                    np.repeat(hs.view(np.int64), n_bands)[keep], pa.int64())
+            return pa.table(cols)
 
     ds = _load_docs(sf_dir, ["doc_id", "text"])
-    pair_ds = ds.map_batches(band_rows, batch_format="pyarrow") \
-        .groupby(["band", "key"]).map_groups(verified_pairs,
-                                             batch_format="pyarrow")
-    pair_tbl = collect_table(pair_ds)
-    return assign_reps(_load_docs(sf_dir, ["doc_id"]),
-                       rep_map_from_pairs(pair_tbl))
+    light = ds.map_batches(SimBandStage(), batch_format="pyarrow")
+    hot = _hot_buckets(light, _doc_count(sf_dir) * n_bands)
+    rep_of: dict[int, int] = {}
+    if len(hot):
+        mt = collect_table(ds.map_batches(
+            SimBandStage(carry_hash=True, hot=hot),
+            batch_format="pyarrow"))
+        buckets = mt["bucket"].to_numpy(zero_copy_only=False)
+        ids = mt["doc_id"].to_numpy(zero_copy_only=False)
+        hs = mt["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, buckets))
+        buckets, ids, hs = buckets[order], ids[order], hs[order]
+        starts = np.nonzero(np.r_[True, buckets[1:] != buckets[:-1]])[0]
+        ends = np.r_[starts[1:], len(buckets)]
+        uf = UnionFind()
+        for s, e in zip(starts, ends):
+            uniq, first = np.unique(ids[s:e], return_index=True)
+            if len(uniq) < 2:
+                continue
+            seg = hs[s:e][first]
+            x = seg[1:] ^ seg[0]
+            ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                                axis=1).sum(axis=1)
+            for b in uniq[1:][ham <= max_hamming]:
+                uf.union(int(uniq[0]), int(b))
+        for members in uf.groups().values():
+            rep = min(members)
+            for m in members:
+                if m != rep:
+                    rep_of[m] = rep
+    return assign_reps(_load_docs(sf_dir, ["doc_id"]), rep_of)
 
 
 # ---------------------------------------------------------------------------
@@ -462,64 +555,58 @@ def simhash_near_dup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
-                        lsh_estimate_threshold: float = 0.35,
-                        num_partitions: int = 8) -> rd.Dataset:
+                        lsh_estimate_threshold: float = 0.35) -> rd.Dataset:
     """Pairs with *exact* word-3-gram Jaccard ≥ threshold.
 
-    Candidates from LSH (loose estimate threshold to keep recall), then exact
-    verification as two hash joins of the pair list against the distributed
-    (doc_id, shingles) table — no document text ever reaches the driver.
-    Output: a, b, jac (rounded to 4).
+    Candidates from LSH (loose estimate threshold to keep recall), then
+    exact verification over just the candidate members' shingle sets,
+    gathered with one distributed filter pass (members ≪ corpus by LSH
+    construction — the same boundedness argument as the near-dup cluster
+    maps). Round 1 verified via two partitioned ``Dataset.join`` passes;
+    correct, but each join's shuffle setup cost seconds on inputs whose
+    surviving pair list fits in one block (``relational.revenue_by_priority``
+    remains the partitioned-hash-join exemplar). Output: a, b, jac
+    (rounded half-up to 4, same IEEE ops as the DuckDB oracle).
     """
+    import math
     ds = _load_docs(sf_dir, ["doc_id", "text"])
     # complete pair listing => all in-bucket pairs, deduped across bands
-    raw = minhash_candidate_pairs(ds, lsh_estimate_threshold, all_pairs=True)
-    cands = raw.groupby(["a", "b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    raw = minhash_candidate_pairs(ds, lsh_estimate_threshold, all_pairs=True,
+                                  approx_rows=_doc_count(sf_dir) * BANDS)
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "jac": pa.array([], pa.float64())})
+    if raw.num_rows == 0:
+        return rd.from_arrow(empty)
+    pairs = np.unique(np.stack([raw["a"].to_numpy(zero_copy_only=False),
+                                raw["b"].to_numpy(zero_copy_only=False)],
+                               axis=1), axis=0)
+    members = np.unique(pairs)
 
-    def shingle_rows(t: pa.Table) -> pa.Table:
-        # shingle sets travel as binary blobs (uint64 little-endian bytes):
-        # Arrow hash joins don't support list-typed payload columns.
-        ids, sets_ = [], []
+    def member_shingles(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(np.isin(ids, members)))
+        out_ids, sets_ = [], []
         for i, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            ids.append(i)
+            out_ids.append(i)
             sets_.append(word_shingles(text).tobytes())
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
                          "shingles": pa.array(sets_, pa.binary())})
 
-    shingles = ds.map_batches(shingle_rows, batch_format="pyarrow")
-    # fractional-CPU aggregators: hash-join shuffle actors must never
-    # reserve whole cores, or back-to-back joins deadlock on small clusters
-    agg_args = {"num_cpus": 0.05}
-    j1 = cands.join(shingles, join_type="inner",
-                    num_partitions=num_partitions,
-                    on=("a",), right_on=("doc_id",),
-                    aggregator_ray_remote_args=agg_args)
-    sh_b = shingles.map_batches(
-        lambda t: t.rename_columns(["doc_id", "shingles_b"]),
-        batch_format="pyarrow")
-    j2 = j1.join(sh_b, join_type="inner", num_partitions=num_partitions,
-                 on=("b",), right_on=("doc_id",),
-                 aggregator_ray_remote_args=agg_args)
-
-    def verify(t: pa.Table) -> pa.Table:
-        import math
-        a_ids, b_ids, jacs = [], [], []
-        for a, b, sa, sb in zip(t["a"].to_pylist(), t["b"].to_pylist(),
-                                t["shingles"].to_pylist(),
-                                t["shingles_b"].to_pylist()):
-            xa = set(np.frombuffer(sa, dtype=np.uint64).tolist())
-            xb = set(np.frombuffer(sb, dtype=np.uint64).tolist())
-            union = len(xa | xb)
-            jac = (len(xa & xb) / union) if union else 1.0
-            if jac >= threshold:
-                a_ids.append(a)
-                b_ids.append(b)
-                # half-up rounding, same IEEE ops as the DuckDB oracle's
-                # FLOOR(x*1e4+0.5)/1e4 (see sema_ray.util.round_half_up)
-                jacs.append(math.floor(jac * 10000.0 + 0.5) / 10000.0)
-        return pa.table({"a": pa.array(a_ids, pa.int64()),
-                         "b": pa.array(b_ids, pa.int64()),
-                         "jac": pa.array(jacs, pa.float64())})
-
-    return j2.map_batches(verify, batch_format="pyarrow")
+    mt = collect_table(ds.map_batches(member_shingles,
+                                      batch_format="pyarrow"))
+    sh_of = {int(i): frozenset(np.frombuffer(s, dtype=np.uint64).tolist())
+             for i, s in zip(mt["doc_id"].to_pylist(),
+                             mt["shingles"].to_pylist())}
+    a_ids, b_ids, jacs = [], [], []
+    for a, b in pairs:
+        xa, xb = sh_of[int(a)], sh_of[int(b)]
+        union = len(xa | xb)
+        jac = (len(xa & xb) / union) if union else 1.0
+        if jac >= threshold:
+            a_ids.append(int(a))
+            b_ids.append(int(b))
+            jacs.append(math.floor(jac * 10000.0 + 0.5) / 10000.0)
+    return rd.from_arrow(pa.table({"a": pa.array(a_ids, pa.int64()),
+                                   "b": pa.array(b_ids, pa.int64()),
+                                   "jac": pa.array(jacs, pa.float64())}))

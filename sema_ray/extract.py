@@ -13,6 +13,7 @@ reference's per-call model rebuild, ``lance_indexer.rs:61,115``), batches in
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -118,18 +119,22 @@ _VERB_ALTERNATION = "|".join([
 ])
 
 
-def extract_triples_batch(batch: pa.Table) -> pa.Table:
-    """1->N flat map: transcript turns -> (subj, pred, obj, conf) triples.
+_CAP_STOP_ARR = pa.array(sorted(golden._CAP_STOP), pa.string())
 
-    Task-pool stage; state = module-level compiled patterns (see
-    :func:`detect_mentions_batch` for the rationale). Rows without any
-    relation verb literal are dropped vectorized before the per-row loop.
-    """
-    # null text never matches -> malformed rows are filtered here, counted
-    # implicitly by rows_in - rows_out in the shard manifests
-    mask = pc.fill_null(
-        pc.match_substring_regex(batch["text"], _VERB_ALTERNATION), False)
-    batch = batch.filter(mask)
+
+def _valid_mention_vec(col: pa.Array) -> pa.Array:
+    """Vectorized ``golden._valid_mention``: len >= 2 and not a single-word
+    capitalized stopword. Null-safe (null -> false)."""
+    long_enough = pc.greater_equal(pc.utf8_length(col), 2)
+    single = pc.equal(pc.count_substring(col, pattern=" "), 0)
+    stop = pc.is_in(col, value_set=_CAP_STOP_ARR)
+    ok = pc.and_(long_enough, pc.invert(pc.and_(single, stop)))
+    return pc.fill_null(ok, False)
+
+
+def _extract_python(batch: pa.Table) -> tuple[list, list, list, list, list,
+                                              list]:
+    """Exact golden path for rows that need finditer + in-turn dedup."""
     conv_ids, turn_idxs, subjs, preds, objs, confs = [], [], [], [], [], []
     for cid, tid, text in zip(
         batch["conv_id"].to_pylist(),
@@ -143,17 +148,77 @@ def extract_triples_batch(batch: pa.Table) -> pa.Table:
             preds.append(t.pred)
             objs.append(t.obj)
             confs.append(t.conf)
-    return pa.table(
-        {
-            "conv_id": pa.array(conv_ids, pa.string()),
-            "turn_idx": pa.array(turn_idxs, pa.int32()),
-            "subj": pa.array(subjs, pa.string()),
-            "pred": pa.array(preds, pa.string()),
-            "obj": pa.array(objs, pa.string()),
-            "conf": pa.array(confs, pa.float32()),
-        },
-        schema=TRIPLE_SCHEMA,
-    )
+    return conv_ids, turn_idxs, subjs, preds, objs, confs
+
+
+def extract_triples_batch(batch: pa.Table) -> pa.Table:
+    """1->N flat map: transcript turns -> (subj, pred, obj, conf) triples.
+
+    Vectorized fast path (one RE2 ``extract_regex`` per pattern over the
+    whole batch) for turns where every verb literal occurs at most once —
+    there a pattern can yield at most one match, every predicate is
+    distinct, so ``finditer`` + in-turn dedup degenerate to "first match,
+    validity-checked", which IS ``extract_regex``. Turns with a repeated
+    verb literal (rare) take the exact golden Python path. Output rows per
+    turn are identical to :func:`golden.extract_triples` as a set (order
+    across rows is pattern-major, not turn-major — the Dataset is unordered
+    anyway).
+    """
+    # null text never matches -> malformed rows are filtered here, counted
+    # implicitly by rows_in - rows_out in the shard manifests
+    mask = pc.fill_null(
+        pc.match_substring_regex(batch["text"], _VERB_ALTERNATION), False)
+    batch = batch.filter(mask)
+    if batch.num_rows == 0:
+        return TRIPLE_SCHEMA.empty_table()
+    text = batch["text"]
+    counts = [pc.count_substring(text, pattern=verb).to_numpy(
+        zero_copy_only=False) for _pred, verb, _rx, _conf in golden.PATTERNS]
+    multi = np.zeros(batch.num_rows, dtype=bool)
+    for c in counts:
+        multi |= c >= 2
+    simple = batch.filter(pa.array(~multi))
+    stext = simple["text"]
+    pieces: list[pa.Table] = []
+    for (pred, _verb, rx, conf), cnt in zip(golden.PATTERNS, counts):
+        has = cnt[~multi] == 1
+        if not has.any():
+            continue
+        ext = pc.extract_regex(stext, pattern=rx.pattern)
+        s = pc.struct_field(ext, "s")
+        o = pc.struct_field(ext, "o")
+        ok = pc.and_(pc.is_valid(ext),
+                     pc.and_(_valid_mention_vec(s), _valid_mention_vec(o)))
+        ok = pc.and_(ok, pa.array(has))
+        idx = pa.array(np.nonzero(
+            ok.to_numpy(zero_copy_only=False))[0], pa.int64())
+        if len(idx) == 0:
+            continue
+        pieces.append(pa.table({
+            "conv_id": pc.cast(simple["conv_id"].take(idx), pa.string()),
+            "turn_idx": pc.cast(simple["turn_idx"].take(idx), pa.int32()),
+            "subj": s.take(idx),
+            "pred": pa.array([pred] * len(idx), pa.string()),
+            "obj": o.take(idx),
+            "conf": pa.array(np.full(len(idx), conf, dtype=np.float32)),
+        }, schema=TRIPLE_SCHEMA))
+    if multi.any():
+        conv_ids, turn_idxs, subjs, preds, objs, confs = _extract_python(
+            batch.filter(pa.array(multi)))
+        pieces.append(pa.table(
+            {
+                "conv_id": pa.array(conv_ids, pa.string()),
+                "turn_idx": pa.array(turn_idxs, pa.int32()),
+                "subj": pa.array(subjs, pa.string()),
+                "pred": pa.array(preds, pa.string()),
+                "obj": pa.array(objs, pa.string()),
+                "conf": pa.array(confs, pa.float32()),
+            },
+            schema=TRIPLE_SCHEMA,
+        ))
+    if not pieces:
+        return TRIPLE_SCHEMA.empty_table()
+    return pa.concat_tables(pieces)
 
 
 class MentionDetectStage:

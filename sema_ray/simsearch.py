@@ -319,50 +319,62 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.935,
     distributed assignment (:func:`sema_ray.dedup.assign_reps`).
     Output: vec_id, rep_id.
     """
-    from .dedup import assign_reps
+    from .dedup import _hot_buckets, assign_reps
     ds = _load_embeddings(sf_dir)
     probe = collect_table(ds.limit(1))
     d = len(probe["embedding"][0])
     planes = np.random.default_rng(0xBEEF).standard_normal((n_tables, n_planes, d))
-    planes_ref = ray.put(planes)
+    table_seed = (np.arange(n_tables, dtype=np.uint64)
+                  * np.uint64(0x9E3779B97F4A7C15))  # wraps (array op)
 
     class BandRows:
-        def __init__(self):
-            self.planes = ray.get(planes_ref)
+        """Task-pool stage: one (bucket, vec_id) row per (vector, table) —
+        the table index folds into the bucket, and ``hot`` (when given)
+        drops non-colliding rows at the source."""
+
+        def __init__(self, hot: np.ndarray | None = None):
+            self.planes = planes
+            self.hot = np.sort(hot) if hot is not None else None
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             m = _normalize_rows(_batch_matrix(t))
-            sigs = _signatures(m, self.planes)
+            sigs = _signatures(m, self.planes).astype(np.uint64)  # [n, T]
             n, T = sigs.shape
+            buckets = (sigs + table_seed[None, :]).T.reshape(-1) \
+                .view(np.int64)
+            vec = np.tile(ids, T)
+            keep = (np.isin(buckets, self.hot) if self.hot is not None
+                    else slice(None))
             return pa.table({
-                "tbl": pa.array(np.repeat(np.arange(T, dtype=np.int32), n),
-                                pa.int32()),
-                "key": pa.array(sigs.T.reshape(-1), pa.int64()),
-                "vec_id": pa.array(np.tile(ids, T), pa.int64()),
+                "bucket": pa.array(buckets[keep], pa.int64()),
+                "vec_id": pa.array(vec[keep], pa.int64()),
             })
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        """All (i < j) unique-id candidate pairs of one bucket (capped)."""
-        ids = np.unique(g["vec_id"].to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        ids = ids[:max_bucket]
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pa.table({"a": pa.array(ids[ii], pa.int64()),
-                         "b": pa.array(ids[jj], pa.int64())})
-
-    band = ds.map_batches(BandRows, batch_format="pyarrow", concurrency=(1, 8))
-    pair_ds = band.groupby(["tbl", "key"]).map_groups(bucket_pairs,
-                                                      batch_format="pyarrow")
-    cand = collect_table(pair_ds)
-    if "a" in cand.column_names and cand.num_rows:
-        pairs = np.unique(np.stack([cand["a"].to_numpy(zero_copy_only=False),
-                                    cand["b"].to_numpy(zero_copy_only=False)],
-                                   axis=1), axis=0)
-    else:
-        pairs = np.zeros((0, 2), dtype=np.int64)
+    import pyarrow.parquet as pq_mod
+    n_vecs = pq_mod.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    light = ds.map_batches(BandRows(), batch_format="pyarrow")
+    hot = _hot_buckets(light, n_vecs * n_tables)
+    pairs = np.zeros((0, 2), dtype=np.int64)
+    if len(hot):
+        mt = collect_table(ds.map_batches(BandRows(hot=hot),
+                                          batch_format="pyarrow"))
+        buckets = mt["bucket"].to_numpy(zero_copy_only=False)
+        vids = mt["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vids, buckets))
+        buckets, vids = buckets[order], vids[order]
+        starts = np.nonzero(np.r_[True, buckets[1:] != buckets[:-1]])[0]
+        ends = np.r_[starts[1:], len(buckets)]
+        pl: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            uniq = np.unique(vids[s:e])[:max_bucket]
+            if len(uniq) < 2:
+                continue
+            ii, jj = np.triu_indices(len(uniq), k=1)
+            pl.append(np.stack([uniq[ii], uniq[jj]], axis=1))
+        if pl:
+            pairs = np.unique(np.concatenate(pl), axis=0)
 
     rep_of: dict[int, int] = {}
     if len(pairs):
@@ -489,10 +501,15 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
             "df": pa.array(dfs + [t.num_rows, int(dl.sum())], pa.int64()),
         })
 
-    stats = ds.map_batches(df_partial, batch_format="pyarrow") \
-        .groupby("term").aggregate(Sum("df", alias_name="df"))
-    stats_tbl = collect_table(stats)
-    stat = dict(zip(stats_tbl["term"].to_pylist(), stats_tbl["df"].to_pylist()))
+    # per-block partials are (n_terms + 2) rows each — combine on the driver
+    # (rows = blocks x terms, tiny at any corpus size); a distributed
+    # groupby here would spend more on shuffle actors than the data
+    partials = collect_table(ds.map_batches(df_partial,
+                                            batch_format="pyarrow",
+                                            batch_size=None))
+    stats_tbl = partials.group_by("term").aggregate([("df", "sum")])
+    stat = dict(zip(stats_tbl["term"].to_pylist(),
+                    stats_tbl["df_sum"].to_pylist()))
     n_docs = max(1, stat.pop("__n_docs__", 1))
     avg_len = max(1.0, stat.pop("__total_len__", 1) / n_docs)
     idf = {w: math.log(1.0 + (n_docs - stat.get(w, 0) + 0.5)
