@@ -61,7 +61,8 @@ def _bm25_sql(terms: list[str], k: int = 20,
           FROM d, s
         )
         SELECT doc_id, FLOOR(score * 1000000 + 0.5) / 1000000 AS score
-        FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+        FROM scored WHERE score > 0  -- Tantivy: only matching docs returned
+        ORDER BY score DESC, doc_id LIMIT {k}
     """
 
 

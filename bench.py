@@ -115,6 +115,46 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def _burn(_i: int) -> int:
+    """3-second pure-Python CPU burn (control workload for _parallel_cap)."""
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 3.0:
+        x += 1
+    return x
+
+
+def _burn_mem(_i: int) -> int:
+    """3-second memory-bandwidth-bound burn: stream-copy 128 MB/iteration
+    (the control matching string-heavy extraction, which is bandwidth-bound
+    rather than ALU-bound)."""
+    import numpy as np
+    buf = np.frombuffer(np.random.bytes(64 * 1024 * 1024), dtype=np.uint8)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 3.0:
+        b = buf.copy()
+        n += 1 if b[::4096].sum() >= 0 else 0
+    return n
+
+
+def _parallel_cap(lo: int, hi: int, fn=_burn, reps: int = 2) -> float:
+    """The MACHINE's own lo->hi process-scaling efficiency for a given
+    control workload (no Ray, no shuffle): the hard upper bound any engine
+    can reach on this box. Two controls are recorded — a pure-Python ALU
+    burn (`_burn`) and a memory-streaming burn (`_burn_mem`) — so a
+    host-level ceiling (co-tenancy, shared memory bandwidth) is not misread
+    as an engine bottleneck."""
+    import multiprocessing as mp
+    best: dict[int, int] = {}
+    for _ in range(reps):
+        for n in (lo, hi):
+            with mp.Pool(n) as p:
+                r = p.map(fn, range(n))
+            best[n] = max(best.get(n, 0), sum(r))
+    return (best[hi] / best[lo]) / (hi / lo)
+
+
 def _child_throughput(num_cpus: int, sf_dir: str, runs: int = 2) -> dict:
     """Run the KG headline in fresh processes at the given parallelism,
     ``runs`` times; keep the fastest (object-store/page-cache variance is
@@ -150,10 +190,12 @@ def main() -> None:
     if "--scaling" in sys.argv:
         # Bigger corpus for the scaling run: parallel compute must dominate
         # fixed costs for the efficiency number to reflect the engine, not
-        # session startup. Warm the corpus cache (distributed generation) so
-        # no child pays it; each level runs twice in fresh processes and the
-        # faster run counts (see _child_throughput).
-        os.environ.setdefault("GRAFT_KG_VARIANTS", "2048")
+        # session startup (at 305 M turns the ~2 s serial tail — driver
+        # union-find + materialize barrier — is <2% of the 32-cpu wall).
+        # Warm the corpus cache (distributed generation) so no child pays
+        # it; each level runs twice in fresh processes and the faster run
+        # counts (see _child_throughput).
+        os.environ.setdefault("GRAFT_KG_VARIANTS", "8192")
         _init_ray(_num_cpus())
         _kg_corpus(sf_dir)
         import ray
@@ -171,6 +213,9 @@ def main() -> None:
             turns = r_lo["turns"]
             tp_lo = r_lo["turns"] / r_lo["wall_s"]
             tp_hi = r_hi["turns"] / r_hi["wall_s"]
+            eff = round((tp_hi / tp_lo) / (hi / lo), 3)
+            cap = round(_parallel_cap(lo, hi), 3)
+            bw_cap = round(_parallel_cap(lo, hi, fn=_burn_mem), 3)
             pairs_out.append({
                 "N_cpus": lo, "throughput_N": round(tp_lo, 1),
                 "4N_cpus": hi, "throughput_4N": round(tp_hi, 1),
@@ -180,7 +225,11 @@ def main() -> None:
                 "stages_4N": r_hi.get("stages"),
                 "triples_per_sec_4N": round(r_hi.get("triples", 0)
                                             / r_hi["wall_s"], 1),
-                "scaling_efficiency": round((tp_hi / tp_lo) / (hi / lo), 3),
+                "scaling_efficiency": eff,
+                "machine_parallel_cap": cap,
+                "machine_bandwidth_cap": bw_cap,
+                "efficiency_vs_bandwidth_cap":
+                    round(eff / bw_cap, 3) if bw_cap else None,
             })
         print(json.dumps({
             "metric": "kg_turns_per_sec_scaling",

@@ -55,9 +55,13 @@ from ..hashing import stable_id64
 from ..state.manifest import (load_manifests, shard_fingerprint,
                               shard_is_done, write_manifest)
 
-# Batch sizing: turns average ~100-500 B of text; 4096 rows ≈ 0.5-2 MB per
-# batch keeps actor calls amortized without ballooning heap (SURVEY §4.3(4)).
+# Batch sizing: the vectorized extraction stages want WHOLE BLOCKS
+# (batch_size=None) — per-batch Arrow-kernel overhead at 4096-row batches
+# measured 2.3x slower at 32 cpus; block memory is already bounded by
+# DataContext.target_max_block_size (128 MB). 4096 remains the default for
+# ACTOR stages whose per-call outputs balloon (SURVEY §4.3(4)).
 DEFAULT_BATCH_SIZE = 4096
+EXTRACT_BATCH_SIZE = None  # per block
 
 
 def _pool() -> tuple[int, int]:
@@ -78,14 +82,16 @@ def read_transcripts(path: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(path, columns=columns)
 
 
-def triples_dataset(ds: rd.Dataset, batch_size: int = DEFAULT_BATCH_SIZE) -> rd.Dataset:
+def triples_dataset(ds: rd.Dataset,
+                    batch_size: int | None = EXTRACT_BATCH_SIZE) -> rd.Dataset:
     """Turns -> triples (reads only conv_id, turn_idx, text).
 
-    Task-pool ``map_batches`` — the extractor's only state is module-level
-    compiled regex, cached per worker process; measured ~3x faster than the
-    autoscaling actor pool at bench scale and elastic at cluster scale. Swap
-    in ``TripleExtractStage`` + ``concurrency=(n, m)`` when the extractor
-    loads real model weights.
+    Task-pool ``map_batches`` over WHOLE blocks — the extractor's only state
+    is module-level compiled regex, cached per worker process; measured ~3x
+    faster than the autoscaling actor pool at bench scale, and per-block
+    batches ~2.3x faster than 4096-row batches (vectorized RE2 kernels
+    amortize per-call overhead). Swap in ``TripleExtractStage`` +
+    ``concurrency=(n, m)`` when the extractor loads real model weights.
     """
     return ds.map_batches(
         extract_triples_batch,
@@ -94,7 +100,8 @@ def triples_dataset(ds: rd.Dataset, batch_size: int = DEFAULT_BATCH_SIZE) -> rd.
     )
 
 
-def mentions_dataset(ds: rd.Dataset, batch_size: int = DEFAULT_BATCH_SIZE) -> rd.Dataset:
+def mentions_dataset(ds: rd.Dataset,
+                     batch_size: int | None = EXTRACT_BATCH_SIZE) -> rd.Dataset:
     """Turns -> entity mentions (task-pool; see :func:`triples_dataset`)."""
     return ds.map_batches(
         detect_mentions_batch,
@@ -507,7 +514,7 @@ def kg_flagship(input_dir: str, batch_size: int = DEFAULT_BATCH_SIZE) -> rd.Data
     """
     cols = ["conv_id", "turn_idx", "text"]
     trip = triples_dataset(read_transcripts(input_dir, columns=cols),
-                           batch_size=batch_size).materialize()
+                           batch_size=EXTRACT_BATCH_SIZE).materialize()
     cmap, _ent = canonical_entities(triple_surfaces(trip))
     return link_triples(trip, cmap, batch_size=batch_size)
 
@@ -551,13 +558,13 @@ def run_kg(input_dir: str, out_dir: str, *, shards_per_wave: int = 4,
             import pyarrow.parquet as pq
             n_in = pq.ParquetFile(path).metadata.num_rows
             ds = read_transcripts(path, columns=["conv_id", "turn_idx", "text"])
-            trip = triples_dataset(ds, batch_size=batch_size)
+            trip = triples_dataset(ds, batch_size=EXTRACT_BATCH_SIZE)
             tdir = os.path.join(out_dir, "triples", f"part={shard}")
             shutil.rmtree(tdir, ignore_errors=True)  # recompute = overwrite (S6)
             trip.write_parquet(tdir)
             ment = mentions_dataset(
                 read_transcripts(path, columns=["conv_id", "turn_idx", "text"]),
-                batch_size=batch_size,
+                batch_size=EXTRACT_BATCH_SIZE,
             )
             mdir = os.path.join(out_dir, "mentions", f"part={shard}")
             shutil.rmtree(mdir, ignore_errors=True)

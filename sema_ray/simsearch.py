@@ -468,12 +468,25 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
                 k1: float = 1.2, b: float = 0.75) -> rd.Dataset:
     """BM25 top-k over documents (reference T3 semantics, index-free).
 
+    The query goes through :mod:`sema_ray.queryparse` (the Tantivy
+    QueryParser subset the reference exposes, ``text_indexer.rs:78-82``):
+    ``"quoted phrases"`` must-match as adjacent token sequences, ``+``/``-``
+    prefixes are MUST/MUST_NOT filters, bare terms are SHOULD clauses; only
+    matching documents are returned. Scoring is term-wise BM25 over the
+    SHOULD+MUST terms (documented deviation: phrase clauses filter exactly
+    but score by their component terms, not a positional phrase-frequency).
+
     Pass 1 (distributed, partial-aggregated): per-term document frequencies
     and corpus size/avg length for the query terms only. Pass 2: broadcast
-    idf table, score per batch, local top-k, global merge.
+    idf table, match-filter + score per batch, local top-k, global merge.
     Output: doc_id, score (rounded to 6).
     """
-    terms = sorted(set(_TOKEN_RE.findall(query.lower())))
+    from .queryparse import clause_pattern, parse
+    pq_parsed = parse(query)
+    terms = list(pq_parsed.scoring_terms)
+    must_pats = [clause_pattern(c) for c in pq_parsed.must]
+    must_not_pats = [clause_pattern(c) for c in pq_parsed.must_not]
+    should_pats = [clause_pattern(c) for c in pq_parsed.should]
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
 
@@ -534,12 +547,35 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
                     .to_numpy(zero_copy_only=False).astype(np.float64)
                 scores += self.idf[w] * (tf * (k1 + 1)) / (
                     tf + k1 * denom_len)
-            if take < len(ids):  # widen to k-th-score ties (see TopKScoreStage)
-                kth = scores[np.argpartition(-scores, take - 1)[take - 1]]
-                sel = np.nonzero(scores >= kth)[0]
+
+            def _has(pat: str) -> np.ndarray:
+                return pc.greater(pc.count_substring(norm, pattern=pat), 0) \
+                    .to_numpy(zero_copy_only=False)
+
+            # Tantivy boolean semantics: every MUST present, no MUST_NOT,
+            # and (when no MUST clauses anchor the match) ≥1 SHOULD present
+            matched = np.ones(len(ids), dtype=bool)
+            for pat in must_pats:
+                matched &= _has(pat)
+            for pat in must_not_pats:
+                matched &= ~_has(pat)
+            if not must_pats and should_pats:
+                any_should = np.zeros(len(ids), dtype=bool)
+                for pat in should_pats:
+                    any_should |= _has(pat)
+                matched &= any_should
+            cand = np.nonzero(matched)[0]
+            take2 = min(take, len(cand))
+            if take2 == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            sc = scores[cand]
+            if take2 < len(cand):  # widen to k-th-score ties (TopKScoreStage)
+                kth = sc[np.argpartition(-sc, take2 - 1)[take2 - 1]]
+                sel = cand[sc >= kth]
             else:
-                sel = np.arange(len(ids))
-            top = sel[np.lexsort((ids[sel], -scores[sel]))][:take]
+                sel = cand
+            top = sel[np.lexsort((ids[sel], -scores[sel]))][:take2]
             return pa.table({"doc_id": pa.array(ids[top], pa.int64()),
                              "score": pa.array(scores[top], pa.float64())})
 

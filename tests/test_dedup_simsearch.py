@@ -192,3 +192,34 @@ def test_semantic_and_bm25_deterministic(ray_session, dup_dir):
     assert len(b1) == 5
     # doc 200 (the only one containing zzz0, rare term) must rank first
     assert b1.iloc[0]["doc_id"] == 200
+
+
+def test_query_parser():
+    from sema_ray import queryparse as qp
+    p = qp.parse('alpha "beta gamma" +delta -"epsilon zeta" -eta')
+    assert [c.terms for c in p.should] == [("alpha",), ("beta", "gamma")]
+    assert [c.terms for c in p.must] == [("delta",)]
+    assert [c.terms for c in p.must_not] == [("epsilon", "zeta"), ("eta",)]
+    assert p.scoring_terms == ("alpha", "beta", "delta", "gamma")
+    assert qp.clause_pattern(qp.Clause("should", ("beta", "gamma"))) \
+        == " beta  gamma "
+    # punctuation-only / empty clauses vanish
+    assert qp.parse('"" ... +').should == ()
+
+
+def test_bm25_query_language(ray_session, dup_dir):
+    # doc 200 is the only one containing zzz0 -> MUST excludes all others
+    r = simsearch.bm25_search(dup_dir, query="+zzz0 alpha", k=10).to_pandas()
+    assert list(r["doc_id"]) == [200]
+    # MUST_NOT removes it even though it scores highest on zzz0
+    r2 = simsearch.bm25_search(dup_dir, query="zzz0 -zzz0", k=10).to_pandas()
+    assert len(r2) == 0
+    # phrase must-match: only docs with the adjacent sequence survive
+    t = pq.read_table(os.path.join(dup_dir, "documents.parquet"))
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    two = [i for i, x in texts.items() if "alpha beta" in x]
+    r3 = simsearch.bm25_search(dup_dir, query='+"alpha beta"', k=60).to_pandas()
+    assert set(r3["doc_id"]) == set(two)
+    # only matching docs are returned (Tantivy semantics)
+    r4 = simsearch.bm25_search(dup_dir, query="doesnotexistterm", k=10).to_pandas()
+    assert len(r4) == 0
