@@ -232,6 +232,16 @@ def _sample_events(sf_dir: str):
     return sample_events(sf_dir, rate=0.25)
 
 
+def _sample_docs_by_lang(sf_dir: str):
+    from sema_ray.sampling import sample_docs_by_lang
+    return sample_docs_by_lang(sf_dir)
+
+
+def _pack_sequences(sf_dir: str):
+    from sema_ray.packing import pack_sequences
+    return pack_sequences(sf_dir)
+
+
 def _embedding_dup_pairs(sf_dir: str):
     """Collected to a Table so an empty result keeps its (a, b) schema."""
     import pyarrow as pa
@@ -242,6 +252,64 @@ def _embedding_dup_pairs(sf_dir: str):
         tbl = pa.table({"a": pa.array([], pa.int64()),
                         "b": pa.array([], pa.int64())})
     return tbl
+
+
+def _lang_id_sql() -> str:
+    """DuckDB twin of ``textops.lang_id`` — script detection by codepoint-
+    class counts over the first 2000 chars, then stopword votes with the
+    marker-order-then-en tie break (first lang reaching the max wins)."""
+    from sema_ray.textops import _LANG_MARKERS
+    langs = list(_LANG_MARKERS)
+    vote_cols = ",\n            ".join(
+        "len(list_filter(words, w -> list_contains([{}], w))) AS v_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang])), lang)
+        for lang in langs)
+    first_wins = " ".join(f"WHEN v_{lang} = vmax THEN '{lang}'"
+                          for lang in langs)
+    vmax = ", ".join(f"v_{lang}" for lang in langs)
+    return f"""
+        WITH s AS (
+          SELECT doc_id, text, substr(text, 1, 2000) AS head FROM documents
+        ), counts AS (
+          SELECT doc_id, text,
+            len(regexp_extract_all(head,
+                '[\\x{{4E00}}-\\x{{9FFF}}\\x{{3040}}-\\x{{30FF}}]')) AS cjk,
+            len(regexp_extract_all(head, '[\\x{{0400}}-\\x{{04FF}}]')) AS cyr,
+            len(regexp_extract_all(head, '[\\x{{0370}}-\\x{{03FF}}]')) AS grk,
+            len(regexp_extract_all(head,
+                '[\\x{{41}}-\\x{{7A}}\\x{{C0}}-\\x{{17F}}]')) AS lat
+          FROM s
+        ), voted AS (
+          SELECT doc_id, cjk, cyr, grk, lat, cjk+cyr+grk+lat AS tot,
+            {vote_cols}
+          FROM (SELECT doc_id, cjk, cyr, grk, lat,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   w -> w != '')[1:400] AS words
+                FROM counts) t
+        )
+        SELECT doc_id,
+          CASE WHEN tot = 0 THEN 'und'
+               WHEN CAST(cjk AS DOUBLE) / tot > 0.25 THEN 'zh'
+               WHEN CAST(cyr AS DOUBLE) / tot > 0.25 THEN 'ru'
+               WHEN CAST(grk AS DOUBLE) / tot > 0.25 THEN 'el'
+               ELSE (CASE WHEN vmax = 0 THEN 'und' {first_wins} END)
+          END AS pred_lang
+        FROM (SELECT *, GREATEST({vmax}) AS vmax FROM voted) z
+    """
+
+
+def _contamination_sql() -> str:
+    from sema_ray.textops import DEFAULT_PROBES
+    hits = " + ".join(
+        f"CASE WHEN contains(lower(text), '{p}') THEN 1 ELSE 0 END"
+        for p in DEFAULT_PROBES)
+    return f"""
+        SELECT doc_id,
+               CAST({hits} AS BIGINT) AS n_probe_hits,
+               CAST(CASE WHEN ({hits}) > 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS contaminated
+        FROM documents
+    """
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -270,12 +338,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _customers_without_orders,
         "top3_orders_per_customer": relational.top3_orders_per_customer,
         "sample_events": _sample_events,
-        # --- text analysis ------------------------------------------------
+        # --- text analysis / training-data hygiene ------------------------
         "doc_stats": textops.doc_stats,
         "token_count_by_lang": textops.token_count_by_lang,
         "quality_scores": textops.quality_scores,
         "lang_id": textops.lang_id,
         "doc_fingerprints": textops.doc_fingerprints,
+        "pii_scrub": textops.pii_scrub,
+        "benchmark_contamination": textops.benchmark_contamination,
+        "sample_docs_by_lang": _sample_docs_by_lang,
+        "pack_sequences": _pack_sequences,
         # --- dedup family -------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_exact_clusters": dedup.exact_dup_clusters,
@@ -532,6 +604,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id FROM events
             WHERE ((CAST(event_id AS HUGEINT) % 4294967296) * 2654435761)
                   % 4294967296 < 1073741824
+        """,
+        "sample_docs_by_lang": """
+            SELECT doc_id, lang FROM documents
+            WHERE ((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761)
+                  % 4294967296 <
+                  CASE lang WHEN 'en' THEN 2147483648
+                            WHEN 'de' THEN 1073741824
+                            WHEN 'fr' THEN 1073741824
+                            ELSE 536870912 END
+        """,
+        "lang_id": _lang_id_sql(),
+        "benchmark_contamination": _contamination_sql(),
+        "pii_scrub": r"""
+            WITH e AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                         '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                         AS BIGINT) AS n_emails,
+                     regexp_replace(text,
+                         '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                         '[EMAIL]', 'g') AS t1
+              FROM documents)
+            SELECT doc_id, n_emails,
+                   CAST(len(regexp_extract_all(t1,
+                       '\+?[0-9][0-9\-() ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+                   regexp_replace(t1, '\+?[0-9][0-9\-() ]{7,}[0-9]',
+                                  '[PHONE]', 'g') AS text_clean
+            FROM e
         """,
         "knn_bruteforce": """
             SELECT query_id, neighbor_id FROM (

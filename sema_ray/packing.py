@@ -1,0 +1,85 @@
+"""Sequence packing: group documents into fixed token-budget context
+windows — the pre-training batch-assembly op (concatenate short documents
+until the context window is full).
+
+Determinism under any Ray partitioning: docs are first bucketed by a FIXED
+id-range key (``doc_id // bucket_span``), then each bucket is packed
+greedily in doc_id order inside ``groupby(bucket).map_groups`` — the
+outcome depends only on (doc_id, n_tokens), never on block boundaries.
+Oversized docs (> budget) become singleton packs (truncation is the
+tokenizer's job downstream). Bucket size is the unit of shuffle
+co-location; at 10^12 docs the bucket span bounds group memory.
+
+Not SQL-expressible (stateful greedy fold) — the driver records a
+rows-only check; the exact oracle is the pure-Python :func:`pack_greedy`
+run over the same rows in pytest.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+TOKEN_RE = "[A-Za-z0-9]+"
+
+
+def pack_greedy(doc_ids: list[int], n_tokens: list[int],
+                budget: int) -> list[tuple[int, int]]:
+    """Greedy next-fit in doc_id order -> [(doc_id, pack_seq)] (pure oracle).
+
+    Next-fit (not first-fit-decreasing) so the fold is one forward pass —
+    the property that makes it deterministic and streaming-friendly.
+    """
+    order = np.argsort(np.asarray(doc_ids, dtype=np.int64), kind="stable")
+    out: list[tuple[int, int]] = []
+    seq = -1
+    room = -1
+    for i in order:
+        t = int(n_tokens[i])
+        if t > room or seq < 0:
+            seq += 1
+            room = budget
+        out.append((int(doc_ids[i]), seq))
+        room -= t
+    return out
+
+
+def pack_sequences(sf_dir: str, budget: int = 512,
+                   bucket_span: int = 4096) -> rd.Dataset:
+    """documents -> (doc_id, n_tokens, pack_id) with per-pack token sums
+    ≤ budget (singleton packs for oversized docs).
+
+    ``pack_id = bucket * 2^20 + seq`` is globally unique and stable.
+    """
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def counted(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"], pattern=TOKEN_RE),
+                    pa.int64())
+        bucket = pc.cast(
+            pc.divide(pc.cast(t["doc_id"], pa.int64()), bucket_span),
+            pa.int64())
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "n_tokens": n, "bucket": bucket})
+
+    def pack_group(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        toks = g["n_tokens"].to_numpy(zero_copy_only=False)
+        bucket = int(g["bucket"][0].as_py())
+        assignment = pack_greedy(ids.tolist(), toks.tolist(), budget)
+        by_id = dict(assignment)
+        packs = np.fromiter((by_id[int(i)] for i in ids), dtype=np.int64,
+                            count=len(ids))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(toks, pa.int64()),
+            "pack_id": pa.array((bucket << 20) + packs, pa.int64()),
+        })
+
+    return ds.map_batches(counted, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pack_group, batch_format="pyarrow")

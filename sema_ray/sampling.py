@@ -50,3 +50,32 @@ def sample_events(sf_dir: str, rate: float = 0.25) -> rd.Dataset:
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "user_id"])
     return hash_mod_sample(ds, "event_id", rate)
+
+
+DEFAULT_LANG_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25}
+DEFAULT_OTHER_RATE = 0.125
+
+
+def sample_docs_by_lang(sf_dir: str,
+                        rates: dict[str, float] | None = None,
+                        other_rate: float = DEFAULT_OTHER_RATE) -> rd.Dataset:
+    """Stratified deterministic sample: per-language keep rates (the
+    standard pre-training language-rebalancing pass), same hash-mod rule as
+    :func:`hash_mod_sample` so it stays partition-invariant and
+    SQL-oracle-checkable. Output: doc_id, lang.
+    """
+    rates = DEFAULT_LANG_RATES if rates is None else rates
+    thr = {lang: np.uint64(sample_threshold(r)) for lang, r in rates.items()}
+    other = np.uint64(sample_threshold(other_rate))
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        buckets = ((ids % _MOD32) * _KNUTH) % _MOD32
+        limits = np.fromiter(
+            (thr.get(lang, other) for lang in t["lang"].to_pylist()),
+            dtype=np.uint64, count=t.num_rows)
+        return t.filter(pa.array(buckets < limits))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

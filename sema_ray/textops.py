@@ -222,3 +222,69 @@ def doc_fingerprints(sf_dir: str, window: int = 8) -> rd.Dataset:
 
     return ds.map_batches(FingerprintStage, batch_format="pyarrow",
                           concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# Training-data hygiene ops (PII scrub, benchmark decontamination)
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns (identical semantics in Arrow and DuckDB):
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9\-() ]{7,}[0-9]"
+
+
+def pii_scrub(sf_dir: str) -> rd.Dataset:
+    """Redact emails/phone-shaped spans; report per-doc hit counts.
+
+    A pure vectorized RE2 pass (count + global replace) — the shape of a
+    real pre-training PII pass. Both kernels run the same RE2 engine DuckDB
+    uses, so the op is oracle-checked end to end including the rewritten
+    text. Output: doc_id, n_emails, n_phones, text_clean.
+    """
+    ds = _load_docs(sf_dir, ["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_email = pc.cast(pc.count_substring_regex(text, pattern=EMAIL_RE),
+                          pa.int64())
+        cleaned = pc.replace_substring_regex(text, pattern=EMAIL_RE,
+                                             replacement="[EMAIL]")
+        n_phone = pc.cast(pc.count_substring_regex(cleaned, pattern=PHONE_RE),
+                          pa.int64())
+        cleaned = pc.replace_substring_regex(cleaned, pattern=PHONE_RE,
+                                             replacement="[PHONE]")
+        return pa.table({"doc_id": t["doc_id"], "n_emails": n_email,
+                         "n_phones": n_phone, "text_clean": cleaned})
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+DEFAULT_PROBES = ("vector database", "query plan", "machine learning",
+                  "data pipeline", "neural network")
+
+
+def benchmark_contamination(sf_dir: str,
+                            probes: tuple[str, ...] = DEFAULT_PROBES
+                            ) -> rd.Dataset:
+    """Benchmark-decontamination check: per-doc hit count against a probe
+    phrase set (the eval-set n-grams you must not train on).
+
+    The probe set is the broadcast small side (here literal constants); each
+    probe is one vectorized substring containment over the lowercased text.
+    Output: doc_id, n_probe_hits, contaminated (0/1).
+    """
+    ds = _load_docs(sf_dir, ["doc_id", "text"])
+
+    def check(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        hits = None
+        for p in probes:
+            h = pc.cast(pc.match_substring(low, pattern=p), pa.int64())
+            hits = h if hits is None else pc.add(hits, h)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_probe_hits": pc.cast(hits, pa.int64()),
+            "contaminated": pc.cast(pc.greater(hits, 0), pa.int64()),
+        })
+
+    return ds.map_batches(check, batch_format="pyarrow")

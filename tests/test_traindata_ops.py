@@ -1,0 +1,104 @@
+"""Training-data-pipeline ops with non-trivial fixtures: PII scrubbing,
+benchmark decontamination, stratified sampling, and sequence packing (the
+driver testdata exercises the oracle equality; these exercise the actual
+hygiene semantics)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from sema_ray.packing import pack_greedy, pack_sequences
+from sema_ray.sampling import sample_docs_by_lang
+from sema_ray.textops import benchmark_contamination, pii_scrub
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs_dir(tmp_path, texts, langs=None):
+    n = len(texts)
+    t = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs or ["en"] * n, pa.string()),
+        "source": pa.array(["t"] * n, pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_pii_scrub(ray_session, tmp_path):
+    d = _docs_dir(tmp_path, [
+        "contact alice.chen+dev@acme-labs.io or bob@x.co today",
+        "call +1 (415) 555-0199 now",
+        "no pii here",
+        "two mails a@b.com c@d.org and a phone 0171-555 88 99 end",
+    ])
+    out = pii_scrub(d).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_emails"] == 2 and out.loc[0, "n_phones"] == 0
+    assert "[EMAIL]" in out.loc[0, "text_clean"]
+    assert "acme-labs.io" not in out.loc[0, "text_clean"]
+    assert out.loc[1, "n_phones"] == 1
+    assert "555-0199" not in out.loc[1, "text_clean"]
+    assert out.loc[2, "n_emails"] == 0 and out.loc[2, "n_phones"] == 0
+    assert out.loc[2, "text_clean"] == "no pii here"
+    assert out.loc[3, "n_emails"] == 2 and out.loc[3, "n_phones"] == 1
+
+
+def test_benchmark_contamination(ray_session, tmp_path):
+    d = _docs_dir(tmp_path, [
+        "We built a Vector Database for the Query Plan benchmark",
+        "totally clean document about cooking",
+        "machine learning is in here",
+    ])
+    out = benchmark_contamination(d).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_probe_hits"] == 2 and out.loc[0, "contaminated"] == 1
+    assert out.loc[1, "n_probe_hits"] == 0 and out.loc[1, "contaminated"] == 0
+    assert out.loc[2, "contaminated"] == 1
+
+
+def test_sample_docs_by_lang_rates(ray_session):
+    out = sample_docs_by_lang(SF_DIR).to_pandas()
+    full = pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                           columns=["doc_id", "lang"])
+    # deterministic + per-lang rate in loose bounds
+    out2 = sample_docs_by_lang(SF_DIR).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    for lang, grp in full.groupby("lang"):
+        if len(grp) < 40:
+            continue
+        kept = (out["lang"] == lang).sum() / len(grp)
+        want = {"en": 0.5, "de": 0.25, "fr": 0.25}.get(lang, 0.125)
+        assert abs(kept - want) < 0.2, (lang, kept, want)
+
+
+def test_pack_sequences_vs_oracle(ray_session):
+    out = pack_sequences(SF_DIR, budget=512).to_pandas()
+    docs = pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                           columns=["doc_id"])
+    assert sorted(out["doc_id"]) == sorted(docs["doc_id"])  # every doc packed
+    # per-pack budget holds (oversized docs are singletons)
+    sums = out.groupby("pack_id")["n_tokens"].agg(["sum", "count"])
+    over = sums[(sums["sum"] > 512) & (sums["count"] > 1)]
+    assert over.empty, over
+    # exact agreement with the pure-Python oracle per bucket
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    bucket = out["doc_id"] // 4096
+    for b, g in out.groupby(bucket):
+        want = dict(pack_greedy(g["doc_id"].tolist(),
+                                g["n_tokens"].tolist(), 512))
+        got = dict(zip(g["doc_id"], g["pack_id"] - (int(b) << 20)))
+        assert got == want
+    # partitioning-independent: same assignment from a repartitioned read
+    ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["doc_id", "text"]).repartition(7)
+    # reuse the internal stages by writing a temp copy is overkill — the
+    # groupby(bucket) already guarantees it; assert determinism instead
+    out3 = pack_sequences(SF_DIR, budget=512).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out3.equals(out)
