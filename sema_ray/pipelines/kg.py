@@ -63,6 +63,12 @@ from ..state.manifest import (load_manifests, shard_fingerprint,
 DEFAULT_BATCH_SIZE = 4096
 EXTRACT_BATCH_SIZE = None  # per block
 
+# Transient-failure policy for the long extraction stages: a worker killed
+# mid-task (preemption, OOM) retries the task instead of failing the run —
+# the reference silently SKIPS failed files (processor.rs:18); we retry and
+# then fail loudly, never drop (SURVEY §4.1 "Retries").
+RETRY_ARGS = {"retry_exceptions": True, "max_retries": 3}
+
 
 def _pool() -> tuple[int, int]:
     """Autoscaling actor-pool bounds sized to the current session."""
@@ -97,6 +103,7 @@ def triples_dataset(ds: rd.Dataset,
         extract_triples_batch,
         batch_format="pyarrow",
         batch_size=batch_size,
+        **RETRY_ARGS,
     )
 
 
@@ -107,6 +114,7 @@ def mentions_dataset(ds: rd.Dataset,
         detect_mentions_batch,
         batch_format="pyarrow",
         batch_size=batch_size,
+        **RETRY_ARGS,
     )
 
 
