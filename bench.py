@@ -177,8 +177,38 @@ def _child_throughput(num_cpus: int, sf_dir: str, runs: int = 2) -> dict:
     return best
 
 
+def run_stats(sf_dir: str) -> None:
+    """Print Ray Data's per-operator execution stats for the flagship — the
+    feedback loop used to size batches/pools (e.g. the 4096-row -> per-block
+    extraction change came from the MapBatches row here dominating wall
+    while CPU time per row stayed flat)."""
+    import ray.data as rd
+    from sema_ray.pipelines.kg import (canonical_entities, link_triples,
+                                       read_transcripts, triple_surfaces,
+                                       triples_dataset)
+    from sema_ray.util import warm_workers
+    corpus = _kg_corpus(sf_dir)
+    warm_workers()
+    cols = ["conv_id", "turn_idx", "text"]
+    trip = triples_dataset(read_transcripts(corpus, columns=cols)).materialize()
+    print("=== extract (read -> extract_triples_batch -> materialize) ===")
+    print(trip.stats())
+    cmap, _ent = canonical_entities(triple_surfaces(trip))
+    linked = link_triples(trip, cmap)
+    linked.count()
+    print("=== link (broadcast map join) + count ===")
+    print(linked.stats())
+
+
 def main() -> None:
     sf_dir = _sf_dir()
+    if "--stats" in sys.argv:
+        _init_ray(_num_cpus())
+        run_stats(sf_dir)
+        import ray
+        ray.shutdown()
+        return
+
     if "--kg-only" in sys.argv:
         _init_ray(_num_cpus())
         kg = run_kg_headline(sf_dir)

@@ -194,6 +194,33 @@ def test_semantic_and_bm25_deterministic(ray_session, dup_dir):
     assert b1.iloc[0]["doc_id"] == 200
 
 
+def test_hot_buckets_distributed_path_matches_local(ray_session, dup_dir):
+    """The distributed groupby branch of the bucket count (taken above
+    LOCAL_COUNT_MAX_ROWS) must find the same pairs as the driver-combine
+    branch — forced here by omitting the row hint."""
+    ds = dedup._load_docs(dup_dir, ["doc_id", "text"])
+    local = dedup.minhash_candidate_pairs(
+        ds, 0.5, approx_rows=50 * dedup.BANDS)
+    dist = dedup.minhash_candidate_pairs(ds, 0.5, approx_rows=None)
+    as_set = lambda t: set(zip(t["a"].to_pylist(), t["b"].to_pylist()))
+    assert as_set(local) == as_set(dist) and local.num_rows > 0
+
+
+def test_assign_reps_actor_pool_path(ray_session, dup_dir, monkeypatch):
+    """Force the large-map (ray.put + actor pool) branch of assign_reps and
+    check it matches the closure branch."""
+    ds = dedup._load_docs(dup_dir, ["doc_id"])
+    rep_of = {100 + j: j for j in range(10)}
+    small = dedup.assign_reps(ds, dict(rep_of)).to_pandas()
+    monkeypatch.setattr(dedup, "SMALL_REP_MAP", 0)
+    big = dedup.assign_reps(dedup._load_docs(dup_dir, ["doc_id"]),
+                            dict(rep_of)).to_pandas()
+    s = small.sort_values("doc_id").reset_index(drop=True)
+    b = big.sort_values("doc_id").reset_index(drop=True)
+    assert s.equals(b)
+    assert (s.set_index("doc_id").loc[105, "rep_id"] == 5)
+
+
 def test_query_parser():
     from sema_ray import queryparse as qp
     p = qp.parse('alpha "beta gamma" +delta -"epsilon zeta" -eta')
