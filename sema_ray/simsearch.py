@@ -5,10 +5,10 @@ Re-expresses the reference's two query paths as Ray Data pipelines:
 
 - vector k-NN (``src/storage/lance_indexer.rs:107-141``): the reference does
   an exact scan over the Lance table (no ANN index is ever built), score =
-  distance on unit vectors. Here: broadcast the query matrix once via
-  ``ray.put``, score each Arrow batch with one NumPy matmul, keep a local
-  top-k per batch, then a tiny global groupby-merge — a scan-shaped top-k
-  whose shuffle moves k rows per (query, batch), never the vectors.
+  distance on unit vectors. Here: the query matrix ships once per worker
+  (cached serialized callable), each Arrow batch scores with one NumPy
+  matmul and keeps a local top-k, then the classic scatter-gather merge
+  ranks the ≤ queries x k x blocks surviving rows — vectors never move.
 - BM25 text ranking (``src/storage/text_indexer.rs:75-157``): two passes —
   a distributed partial-aggregated document-frequency pass for the query
   terms, then a broadcast-idf scoring pass. No inverted index: at pipeline
@@ -57,16 +57,20 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
 
 
 class TopKScoreStage:
-    """Actor-pool stage: per-batch cosine scores against a broadcast query
-    matrix, emitting each batch's local top-k per query.
+    """Task-pool stage (pass an INSTANCE to ``map_batches``): per-batch
+    cosine scores against the query matrix, emitting each batch's local
+    top-k per query.
 
-    The query matrix travels once per actor (``ray.get`` in ``__init__``),
-    per the broadcast-small-side rule.
+    The query matrix is tiny (k queries x d), so it ships inside the
+    serialized callable — Ray caches the deserialized function per worker
+    process, i.e. broadcast-once-per-worker with zero actor-pool startup
+    (the round-1 actor pools spent more wall on pool bring-up than on
+    scoring at bench scale).
     """
 
-    def __init__(self, queries_ref, k: int, exclude_self: bool):
-        q = ray.get(queries_ref)  # (query_ids [m], matrix [m, d])
-        self.query_ids, qm = q
+    def __init__(self, query_ids: np.ndarray, qm: np.ndarray, k: int,
+                 exclude_self: bool):
+        self.query_ids = query_ids
         self.qm = _normalize_rows(qm).T  # [d, m]
         self.k = k
         self.exclude_self = exclude_self
@@ -116,11 +120,28 @@ class TopKScoreStage:
         })
 
 
-def _merge_topk(k: int):
-    def merge(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("score", "descending"), ("neighbor_id", "ascending")])
-        return g.slice(0, k)
-    return merge
+def _gather_topk(local: rd.Dataset, k: int) -> rd.Dataset:
+    """Scatter-gather search tail: collect the per-batch local top-k rows
+    (≤ queries x k x blocks — tiny by construction, the classic distributed
+    top-k merge) and rank per query on the driver. Output sorted by
+    (query_id, rank) with (score desc, neighbor_id asc) tie-break."""
+    tbl = collect_table(local)
+    if tbl.num_columns == 0 or tbl.num_rows == 0:
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64())}))
+    q = tbl["query_id"].to_numpy(zero_copy_only=False)
+    n = tbl["neighbor_id"].to_numpy(zero_copy_only=False)
+    s = tbl["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((n, -s, q))  # query asc, score desc, id asc
+    q, n = q[order], n[order]
+    starts = np.r_[True, q[1:] != q[:-1]]
+    run_start = np.maximum.accumulate(np.where(starts, np.arange(len(q)), 0))
+    rank = np.arange(len(q)) - run_start
+    keep = rank < k
+    return rd.from_arrow(pa.table({
+        "query_id": pa.array(q[keep], pa.int64()),
+        "neighbor_id": pa.array(n[keep], pa.int64())}))
 
 
 def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> rd.Dataset:
@@ -132,16 +153,12 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> rd.Dataset:
     ds = _load_embeddings(sf_dir)
     head = ds.filter(expr=f"vec_id < {n_queries}")
     qt = collect_table(head).sort_by("vec_id")
-    queries_ref = ray.put((qt["vec_id"].to_numpy(zero_copy_only=False),
-                           _batch_matrix(qt)))
     local = ds.map_batches(
-        TopKScoreStage,
-        fn_constructor_args=(queries_ref, k, True),
-        batch_format="pyarrow", concurrency=(1, 8),
+        TopKScoreStage(qt["vec_id"].to_numpy(zero_copy_only=False),
+                       _batch_matrix(qt), k, True),
+        batch_format="pyarrow",
     )
-    merged = local.groupby("query_id").map_groups(_merge_topk(k),
-                                                 batch_format="pyarrow")
-    return merged.select_columns(["query_id", "neighbor_id"])
+    return _gather_topk(local, k)
 
 
 def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 5,
@@ -166,15 +183,12 @@ def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 5,
     # per-table sorted arrays of bucket keys any query lands in — the probe
     # is one vectorized np.isin per table, no per-row dict lookups
     wanted_keys = [np.unique(q_sigs[:, tbl]) for tbl in range(n_tables)]
-    queries_ref = ray.put((q_ids, qm))
-    wanted_ref = ray.put(wanted_keys)
-    planes_ref = ray.put(planes)
 
     class BucketScore(TopKScoreStage):
         def __init__(self):
-            super().__init__(queries_ref, k, True)
-            self.wanted_keys = ray.get(wanted_ref)
-            self.planes = ray.get(planes_ref)
+            super().__init__(q_ids, qm, k, True)
+            self.wanted_keys = wanted_keys
+            self.planes = planes
 
         def __call__(self, t: pa.Table) -> pa.Table:
             m = _batch_matrix(t)
@@ -184,11 +198,8 @@ def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 5,
                 hit |= np.isin(sigs[:, tbl], keys)
             return super().__call__(t.filter(pa.array(hit)))
 
-    local = ds.map_batches(BucketScore, batch_format="pyarrow",
-                           concurrency=(1, 8))
-    merged = local.groupby("query_id").map_groups(_merge_topk(k),
-                                                 batch_format="pyarrow")
-    return merged.select_columns(["query_id", "neighbor_id"])
+    local = ds.map_batches(BucketScore(), batch_format="pyarrow")
+    return _gather_topk(local, k)
 
 
 def _train_centroids(sample: np.ndarray, n_lists: int, n_iter: int = 8,
@@ -233,17 +244,14 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
     # lists each query probes
     q_lists = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
     probe_sets = [set(row.tolist()) for row in q_lists]
-    queries_ref = ray.put((q_ids, _batch_matrix(qt)))
-    cents_ref = ray.put(cents)
-    probes_ref = ray.put(probe_sets)
 
     class IVFScore(TopKScoreStage):
         def __init__(self):
-            super().__init__(queries_ref, k, True)
-            self.cents = ray.get(cents_ref)
+            super().__init__(q_ids, _batch_matrix(qt), k, True)
+            self.cents = cents
             # [n_lists, q] membership: probe_of[l, j] == list l probed by qj
-            probe_of = np.zeros((len(self.cents), len(probe_sets)), bool)
-            for j, lists in enumerate(ray.get(probes_ref)):
+            probe_of = np.zeros((len(cents), len(probe_sets)), bool)
+            for j, lists in enumerate(probe_sets):
                 for l in lists:
                     probe_of[l, j] = True
             self.probe_of = probe_of
@@ -256,11 +264,8 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
             # one scoring pass; per-query candidacy via the probe mask
             return self.topk(t, cand_mask=self.probe_of[assign, :])
 
-    local = ds.map_batches(IVFScore, batch_format="pyarrow",
-                           concurrency=(1, 8))
-    merged = local.groupby("query_id").map_groups(_merge_topk(k),
-                                                  batch_format="pyarrow")
-    return merged.select_columns(["query_id", "neighbor_id"])
+    local = ds.map_batches(IVFScore(), batch_format="pyarrow")
+    return _gather_topk(local, k)
 
 
 def _signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -284,12 +289,15 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.935) -> rd.Dataset:
     """
     ds = _load_embeddings(sf_dir)
     full = collect_table(ds).sort_by("vec_id")
-    all_ids = full["vec_id"].to_numpy(zero_copy_only=False)
-    mat_ref = ray.put((all_ids, _normalize_rows(_batch_matrix(full))))
 
     class PairStage:
+        """Task-pool instance: the full matrix ships once per worker via the
+        cached serialized callable (same broadcast cost as an actor init,
+        none of the pool startup)."""
+
         def __init__(self):
-            self.ids, self.mat = ray.get(mat_ref)
+            self.ids = full["vec_id"].to_numpy(zero_copy_only=False)
+            self.mat = _normalize_rows(_batch_matrix(full))
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = t["vec_id"].to_numpy(zero_copy_only=False)
@@ -302,8 +310,7 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.935) -> rd.Dataset:
                 "b": pa.array(self.ids[cols][keep], pa.int64()),
             })
 
-    return ds.map_batches(PairStage, batch_format="pyarrow",
-                          concurrency=(1, 8))
+    return ds.map_batches(PairStage(), batch_format="pyarrow")
 
 
 def embedding_near_dup(sf_dir: str, threshold: float = 0.935,
@@ -427,12 +434,11 @@ def semantic_search(sf_dir: str, query: str = "fast vector scan", k: int = 20) -
     """
     emb = HashEmbedder()
     qv = emb.embed_one(query).astype(np.float64)
-    qv_ref = ray.put(qv)
 
     class ScoreStage:
         def __init__(self):
-            self.embedder = HashEmbedder()
-            self.qv = ray.get(qv_ref)
+            self.embedder = HashEmbedder()  # token cache fills per worker
+            self.qv = qv
 
         def __call__(self, t: pa.Table) -> pa.Table:
             vecs = self.embedder.embed_batch(t["text"].to_pylist()).astype(np.float64)
@@ -450,8 +456,7 @@ def semantic_search(sf_dir: str, query: str = "fast vector scan", k: int = 20) -
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
-    local = ds.map_batches(ScoreStage, batch_format="pyarrow",
-                           concurrency=(1, 8))
+    local = ds.map_batches(ScoreStage(), batch_format="pyarrow")
 
     def merge(t: pa.Table) -> pa.Table:
         t = t.sort_by([("score", "descending"), ("doc_id", "ascending")])
@@ -527,11 +532,9 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
     avg_len = max(1.0, stat.pop("__total_len__", 1) / n_docs)
     idf = {w: math.log(1.0 + (n_docs - stat.get(w, 0) + 0.5)
                        / (stat.get(w, 0) + 0.5)) for w in terms}
-    idf_ref = ray.put((idf, avg_len))
-
     class Scorer:
         def __init__(self):
-            self.idf, self.avg_len = ray.get(idf_ref)
+            self.idf, self.avg_len = idf, avg_len
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -579,7 +582,7 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
             return pa.table({"doc_id": pa.array(ids[top], pa.int64()),
                              "score": pa.array(scores[top], pa.float64())})
 
-    local = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 8))
+    local = ds.map_batches(Scorer(), batch_format="pyarrow")
     merged = collect_table(local) \
         .sort_by([("score", "descending"), ("doc_id", "ascending")]) \
         .slice(0, k)
