@@ -51,16 +51,29 @@ def normalize_surface(surface: str) -> str:
     return " ".join(toks)
 
 
+# memoized per process: char-shingle -> uint64 (the vocabulary of 3-char
+# shingles is tiny, so blake2b runs once per distinct shingle ever seen —
+# this path is driver-serial in canonical_entities, so it is on the
+# pipeline's serial fraction)
+_shingle_cache: dict[str, int] = {}
+
+
 def char_shingle_hashes(key: str, k: int = 3) -> np.ndarray:
     """uint64 hashes of the k-char shingles of ``key`` (padded)."""
     s = f"^{key}$"
     if len(s) < k:
         s = s.ljust(k, "$")
     shingles = {s[i : i + k] for i in range(len(s) - k + 1)}
+    cache = _shingle_cache
     out = np.empty(len(shingles), dtype=np.uint64)
     for i, sh in enumerate(sorted(shingles)):
-        d = hashlib.blake2b(sh.encode("utf-8"), digest_size=8).digest()
-        out[i] = int.from_bytes(d, "big")
+        v = cache.get(sh)
+        if v is None:
+            v = int.from_bytes(
+                hashlib.blake2b(sh.encode("utf-8"), digest_size=8).digest(),
+                "big")
+            cache[sh] = v
+        out[i] = v
     return out
 
 

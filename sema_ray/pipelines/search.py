@@ -404,20 +404,30 @@ def _top1_combine(g: pa.Table) -> pa.Table:
         "total_matches_in_file", pa.array([total], pa.int64()))
 
 
+def _local_rank_limit(k: int):
+    def local(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("score", "descending"), ("file_path", "ascending")])
+        return t.slice(0, k)
+    return local
+
+
 def _group_rank_limit(hits: rd.Dataset, k: int) -> pa.Table:
     """A1+A2+K1, distributed (engine.rs:156-182 semantics): per-batch
-    top-1-per-file partials -> ``groupby(file_path)`` merge -> global rank by
-    (score desc, file_path) -> limit k. Only the ≤k result rows ever reach
-    the driver (round-1 collected every hit and ran a pandas group loop —
-    VERDICT r1 "What's wrong" #1)."""
+    top-1-per-file partials -> ``groupby(file_path)`` merge -> per-batch
+    local rank partials -> scatter-gather final rank. Only ≤ k x blocks
+    rows ever reach the driver (round-1 collected every hit and ran a
+    pandas group loop — VERDICT r1 "What's wrong" #1); the global rank is
+    a gather, not a full range-shuffle sort (a top-k never needs one)."""
     ranked = (hits.map_batches(_top1_partial, batch_format="pyarrow")
               .groupby("file_path")
               .map_groups(_top1_combine, batch_format="pyarrow")
-              .sort(["score", "file_path"], descending=[True, False])
-              .limit(k))
+              .map_batches(_local_rank_limit(k), batch_format="pyarrow",
+                           batch_size=None))
     tbl = collect_table(ranked)
     if tbl.num_columns == 0 or tbl.num_rows == 0:
         return _empty_results()
+    tbl = tbl.sort_by([("score", "descending"),
+                       ("file_path", "ascending")]).slice(0, k)
     return pa.table({f.name: pc.cast(tbl[f.name], f.type)
                      for f in RESULT_SCHEMA}, schema=RESULT_SCHEMA)
 
