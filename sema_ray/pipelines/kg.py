@@ -49,8 +49,7 @@ from ..canonicalize import (band_hashes, build_canonical_map,
                             char_shingle_hashes, minhash_signature,
                             normalize_surface)
 from ..extract import (MentionDetectStage, TripleExtractStage,
-                       detect_mentions_batch, extract_triples_batch,
-                       normalize_batch)
+                       detect_mentions_batch, extract_triples_batch)
 from ..hashing import stable_id64
 from ..state.manifest import (load_manifests, shard_fingerprint,
                               shard_is_done, write_manifest)

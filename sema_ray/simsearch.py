@@ -26,7 +26,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from .canonicalize import UnionFind
 from .util import collect_table, round_half_up
