@@ -250,3 +250,55 @@ def test_bm25_query_language(ray_session, dup_dir):
     # only matching docs are returned (Tantivy semantics)
     r4 = simsearch.bm25_search(dup_dir, query="doesnotexistterm", k=10).to_pandas()
     assert len(r4) == 0
+
+
+def test_distributed_verification_matches_local(ray_session, dup_dir,
+                                                vec_dir, monkeypatch):
+    """Scale-path guarantee (VERDICT r2 #1): with the local-verification
+    thresholds forced to 0 every near-dup operator must (a) produce exactly
+    the local path's output and (b) never materialize member payload
+    columns (signatures / simhashes / vectors / shingle sets / hashes) on
+    the driver. The fixtures are ~40%-duplicate — the heavily-duplicated
+    regime where the old driver collect was the scale-killer."""
+    import pandas as pd
+
+    from sema_ray.util import collect_table as real_collect
+
+    def run_all():
+        return {
+            "minhash": dedup.minhash_near_dup(dup_dir, threshold=0.5),
+            "simhash": dedup.simhash_near_dup(dup_dir, max_hamming=3),
+            "ngram": dedup.ngram_jaccard_pairs(dup_dir),
+            "exact": dedup.exact_dup_clusters(dup_dir),
+            "emb": simsearch.embedding_near_dup(vec_dir, threshold=0.9),
+        }
+
+    def norm(ds) -> pd.DataFrame:
+        df = ds.to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    local = {k: norm(v) for k, v in run_all().items()}
+
+    payload_cols = {"sig", "simhash", "embedding", "shingles", "shingles_b",
+                    "h", "text"}
+
+    def guarded(ds):
+        t = real_collect(ds)
+        heavy = payload_cols & set(t.column_names)
+        # the 1-row dimension probe in embedding_near_dup is the only
+        # permitted vector on the driver
+        assert not heavy or t.num_rows <= 2, (
+            f"driver materialized member payloads {heavy} "
+            f"({t.num_rows} rows)")
+        return t
+
+    monkeypatch.setattr(dedup, "collect_table", guarded)
+    monkeypatch.setattr(simsearch, "collect_table", guarded)
+    monkeypatch.setattr(dedup, "LOCAL_VERIFY_MAX_ROWS", 0)
+    monkeypatch.setattr(dedup, "LOCAL_COUNT_MAX_ROWS", 0)
+    monkeypatch.setattr(dedup, "NGRAM_LOCAL_VERIFY_MAX_MEMBERS", 0)
+    monkeypatch.setattr(simsearch, "EMB_LOCAL_VERIFY_MAX_ROWS", 0)
+
+    dist = {k: norm(v) for k, v in run_all().items()}
+    for k in local:
+        pd.testing.assert_frame_equal(local[k], dist[k]), k
