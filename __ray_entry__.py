@@ -61,7 +61,10 @@ def _bm25_sql(terms: list[str], k: int = 20,
           FROM d, s
         )
         SELECT doc_id, FLOOR(score * 1000000 + 0.5) / 1000000 AS score
-        FROM scored WHERE score > 0  -- Tantivy: only matching docs returned
+        FROM scored
+        -- Tantivy: only matching docs returned; both engines filter AND
+        -- rank on the ROUNDED score (the Ray side rounds before top-k)
+        WHERE FLOOR(score * 1000000 + 0.5) / 1000000 > 0
         ORDER BY score DESC, doc_id LIMIT {k}
     """
 
@@ -600,14 +603,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders) t
             WHERE rn <= 3
         """,
+        # the inner ((k % m + m) % m) matches numpy's unsigned wrap for
+        # negative keys (HUGEINT % alone returns a negative remainder)
         "sample_events": """
             SELECT event_id, user_id FROM events
-            WHERE ((CAST(event_id AS HUGEINT) % 4294967296) * 2654435761)
+            WHERE (((CAST(event_id AS HUGEINT) % 4294967296) + 4294967296)
+                  % 4294967296 * 2654435761)
                   % 4294967296 < 1073741824
         """,
         "sample_docs_by_lang": """
             SELECT doc_id, lang FROM documents
-            WHERE ((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761)
+            WHERE (((CAST(doc_id AS HUGEINT) % 4294967296) + 4294967296)
+                  % 4294967296 * 2654435761)
                   % 4294967296 <
                   CASE lang WHEN 'en' THEN 2147483648
                             WHEN 'de' THEN 1073741824

@@ -141,9 +141,14 @@ def crawl(root: str, extensions=DEFAULT_EXTENSIONS,
     allow = normalize_extensions(extensions)
     excludes = [_IgnoreRule(p, "") for p in exclude_patterns]
     try:
-        root_dev = os.stat(root).st_dev
+        root_st = os.stat(root)
+        root_dev = root_st.st_dev
     except OSError:
         return []
+    # directory identity set: with followlinks a symlink cycle would make
+    # os.walk loop forever (the reference's ignore-crate walker detects
+    # cycles); prune any directory whose (dev, ino) was already visited
+    visited_dirs: set[tuple[int, int]] = {(root_st.st_dev, root_st.st_ino)}
     gitignores: dict[str, list[_IgnoreRule]] = {}
     out: list[str] = []
     for dirpath, dirnames, filenames in os.walk(root, topdown=True,
@@ -164,7 +169,7 @@ def crawl(root: str, extensions=DEFAULT_EXTENSIONS,
             if _ignored(excludes, rel, d, True) or \
                     _ignored(rules, rel, d, True):
                 return False
-            if same_file_system or not follow_symlinks:
+            if same_file_system or follow_symlinks:
                 try:
                     st = os.stat(os.path.join(dirpath, d),
                                  follow_symlinks=follow_symlinks)
@@ -172,6 +177,11 @@ def crawl(root: str, extensions=DEFAULT_EXTENSIONS,
                     return False
                 if same_file_system and st.st_dev != root_dev:
                     return False
+                if follow_symlinks:
+                    key = (st.st_dev, st.st_ino)
+                    if key in visited_dirs:
+                        return False  # symlink cycle / re-entered directory
+                    visited_dirs.add(key)
             return True
 
         dirnames[:] = sorted(d for d in dirnames if keep_dir(d))

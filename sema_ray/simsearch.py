@@ -566,6 +566,11 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
                     .to_numpy(zero_copy_only=False).astype(np.float64)
                 scores += self.idf[w] * (tf * (k1 + 1)) / (
                     tf + k1 * denom_len)
+            # round BEFORE any selection so local top-k, the global merge
+            # and the SQL twin (which orders by the rounded alias) rank by
+            # the same doubles — a <1e-6 raw-score gap straddling the k-th
+            # slot can no longer diverge (ADVICE r2)
+            scores = np.floor(scores * 1e6 + 0.5) / 1e6
 
             def _has(pat: str) -> np.ndarray:
                 return pc.greater(pc.count_substring(norm, pattern=pat), 0) \
@@ -583,7 +588,10 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
                 for pat in should_pats:
                     any_should |= _has(pat)
                 matched &= any_should
-            cand = np.nonzero(matched)[0]
+            # Tantivy returns matching docs only; both engines express that
+            # as rounded score > 0 (the SQL twin's WHERE uses the same
+            # rounded expression)
+            cand = np.nonzero(matched & (scores > 0))[0]
             take2 = min(take, len(cand))
             if take2 == 0:
                 return pa.table({"doc_id": pa.array([], pa.int64()),

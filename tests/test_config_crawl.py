@@ -74,6 +74,20 @@ def test_crawl_follow_symlinks(tmp_path):
     assert follow == ["link.txt", "linkdir/linked.txt", "real.txt"]
 
 
+def test_crawl_symlink_cycle_terminates(tmp_path):
+    """A directory symlink cycle must not hang the crawl (ADVICE r2): the
+    walker prunes any directory whose (dev, ino) was already visited."""
+    root = str(tmp_path / "root")
+    _mk(root, "a/deep/file.txt")
+    os.symlink(root, os.path.join(root, "a", "deep", "loop"))
+    os.symlink(os.path.join(root, "a"), os.path.join(root, "selfa"))
+    got = _names(crawl(root, extensions=("txt",), follow_symlinks=True,
+                       same_file_system=False), root)
+    # the cycle edge is pruned; the real file is found exactly once (under
+    # whichever alias of the directory the walker reached first)
+    assert got in (["a/deep/file.txt"], ["selfa/deep/file.txt"])
+
+
 def test_config_load_and_overrides(tmp_path):
     toml = tmp_path / "config.toml"
     toml.write_text(
