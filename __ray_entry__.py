@@ -24,24 +24,37 @@ if _REPO_DIR not in sys.path:  # make sema_ray importable however we're loaded
 TOKEN_RE = "[A-Za-z0-9]+"
 
 
-def _bm25_sql(terms: list[str], k: int = 20,
+def _bm25_sql(clauses: list[tuple[str, ...]], k: int = 20,
               k1: float = 1.2, b: float = 0.75) -> str:
     """DuckDB twin of ``simsearch.bm25_search`` (identical IEEE754 op order:
-    the per-term summands appear in the same sorted-term order, and every
-    constant here equals its Python counterpart bit-for-bit)."""
+    clause summands appear in the same sorted-pattern order the Ray scorer
+    uses, phrase idfs sum left-associatively over component terms, and every
+    constant here equals its Python counterpart bit-for-bit). A clause is a
+    tuple of tokens; len > 1 means a phrase scored positionally — tf counts
+    the double-space-normalized adjacent literal, idf sums the terms'."""
+    def lit(c: tuple[str, ...]) -> str:
+        return " " + "  ".join(c) + " "
+
+    clauses = sorted(clauses, key=lit)
+    terms = sorted({w for c in clauses for w in c})
     dfs = ",\n               ".join(
         f"SUM(CASE WHEN contains(norm, ' {w} ') THEN 1 ELSE 0 END)"
         f" AS df_{w}" for w in terms)
 
-    def tf(w: str) -> str:
-        return (f"((length(norm) - length(replace(norm, ' {w} ', '')))"
-                f" / {len(w) + 2})")
+    def tf(c: tuple[str, ...]) -> str:
+        s = lit(c)
+        return (f"((length(norm) - length(replace(norm, '{s}', '')))"
+                f" / {len(s)})")
+
+    def idf(c: tuple[str, ...]) -> str:
+        return " + ".join(
+            f"ln(1 + (n_docs - df_{w} + 0.5) / (df_{w} + 0.5))" for w in c)
 
     summands = "\n          + ".join(
-        f"(ln(1 + (n_docs - df_{w} + 0.5) / (df_{w} + 0.5))"
-        f" * ({tf(w)} * {k1 + 1!r})"
-        f" / ({tf(w)} + {k1!r} * ({1 - b!r} + ({b!r} * dl) / avg_len)))"
-        for w in terms)
+        f"(({idf(c)})"
+        f" * ({tf(c)} * {k1 + 1!r})"
+        f" / ({tf(c)} + {k1!r} * ({1 - b!r} + ({b!r} * dl) / avg_len)))"
+        for c in clauses)
     return f"""
         WITH d AS (
           SELECT doc_id,
@@ -245,6 +258,12 @@ def _pack_sequences(sf_dir: str):
     return pack_sequences(sf_dir)
 
 
+def _bm25_phrase_search(sf_dir: str):
+    """BM25 with a quoted phrase clause — positional phrase scoring."""
+    from sema_ray import simsearch
+    return simsearch.bm25_search(sf_dir, query='"table hash" scan')
+
+
 def _embedding_dup_pairs(sf_dir: str):
     """Collected to a Table so an empty result keeps its (a, b) schema."""
     import pyarrow as pa
@@ -389,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": simsearch.embedding_near_dup,
         "semantic_search": simsearch.semantic_search,
         "bm25_search": simsearch.bm25_search,
+        "bm25_phrase_search": _bm25_phrase_search,
         # --- multimodal plumbing ------------------------------------------
         "binary_meta": multimodal.binary_meta,
         # --- reference file-search lifecycle (crawl/chunk/embed/index/query)
@@ -690,7 +710,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.5
         """,
-        "bm25_search": _bm25_sql(sorted({"vector", "table", "scan"})),
+        "bm25_search": _bm25_sql([("scan",), ("table",), ("vector",)]),
+        # phrase variant: '"table hash" scan' — the quoted clause scores
+        # positionally (tf = adjacent-bigram count, idf = sum of the two
+        # terms' idfs), exercising the Tantivy phrase-scoring semantics
+        "bm25_phrase_search": _bm25_sql([("scan",), ("table", "hash")]),
         "binary_meta": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

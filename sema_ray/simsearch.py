@@ -572,9 +572,15 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
     QueryParser subset the reference exposes, ``text_indexer.rs:78-82``):
     ``"quoted phrases"`` must-match as adjacent token sequences, ``+``/``-``
     prefixes are MUST/MUST_NOT filters, bare terms are SHOULD clauses; only
-    matching documents are returned. Scoring is term-wise BM25 over the
-    SHOULD+MUST terms (documented deviation: phrase clauses filter exactly
-    but score by their component terms, not a positional phrase-frequency).
+    matching documents are returned. Scoring is clause-wise BM25 over the
+    SHOULD+MUST clauses (Tantivy/Lucene semantics, ``text_indexer.rs:
+    75-157``): a single-term clause scores tf(term); a phrase clause scores
+    positionally — tf = exact adjacent-sequence frequency (the double-space
+    normalized literal counts it directly) and idf = the SUM of the
+    component terms' idfs (Lucene ``PhraseQuery`` weighting). One remaining
+    deviation: self-overlapping phrases ("a a" in "a a a") count
+    non-overlapping occurrences, where Tantivy's position intersection
+    counts both.
 
     Pass 1 (distributed, partial-aggregated): per-term document frequencies
     and corpus size/avg length for the query terms only. Pass 2: broadcast
@@ -584,6 +590,11 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
     from .queryparse import clause_pattern, parse
     pq_parsed = parse(query)
     terms = list(pq_parsed.scoring_terms)
+    # scoring clauses in sorted-pattern order: the SQL twin emits its
+    # summands in the same order, so the IEEE754 additions associate
+    # identically on both engines
+    scoring_clauses = sorted(pq_parsed.should + pq_parsed.must,
+                             key=clause_pattern)
     must_pats = [clause_pattern(c) for c in pq_parsed.must]
     must_not_pats = [clause_pattern(c) for c in pq_parsed.must_not]
     should_pats = [clause_pattern(c) for c in pq_parsed.should]
@@ -640,11 +651,14 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
             norm, dl = _norm_dl(t)
             denom_len = 1 - b + b * dl / self.avg_len
             scores = np.zeros(len(ids))
-            for w in terms:  # fixed summation order — matches the SQL oracle
-                tf = pc.count_substring(norm, pattern=f" {w} ") \
+            # fixed (sorted-pattern) clause order — matches the SQL oracle
+            for clause in scoring_clauses:
+                tf = pc.count_substring(norm, pattern=clause_pattern(clause)) \
                     .to_numpy(zero_copy_only=False).astype(np.float64)
-                scores += self.idf[w] * (tf * (k1 + 1)) / (
-                    tf + k1 * denom_len)
+                idf_c = 0.0
+                for w in clause.terms:  # left-assoc sum, as in the SQL twin
+                    idf_c += self.idf[w]
+                scores += idf_c * (tf * (k1 + 1)) / (tf + k1 * denom_len)
             # round BEFORE any selection so local top-k, the global merge
             # and the SQL twin (which orders by the rounded alias) rank by
             # the same doubles — a <1e-6 raw-score gap straddling the k-th
