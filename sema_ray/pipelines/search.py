@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 import numpy as np
@@ -65,14 +66,83 @@ def normalize_extensions(exts) -> set[str]:
     return out
 
 
-class _IgnoreRule:
-    """One gitignore-style rule (supported subset: blank/comment skip,
-    ``!`` negation, trailing-``/`` dir-only, leading-``/`` anchoring, ``*``
-    ``?`` ``[...]`` globs via fnmatch; ``**`` is treated as ``*``-per-level,
-    which covers the common layouts — documented deviation from the full
-    `ignore`-crate grammar the reference uses)."""
+def _seg_regex(seg: str) -> str:
+    """One path segment of a gitignore pattern -> regex. Unlike fnmatch,
+    ``*`` and ``?`` never cross ``/`` (git semantics); ``[...]`` classes
+    pass through with ``!`` negation; consecutive ``*`` inside a segment
+    collapse (git: 'other consecutive asterisks are regular asterisks')."""
+    out: list[str] = []
+    i = 0
+    while i < len(seg):
+        c = seg[i]
+        if c == "*":
+            while i + 1 < len(seg) and seg[i + 1] == "*":
+                i += 1
+            out.append("[^/]*")
+        elif c == "?":
+            out.append("[^/]")
+        elif c == "[":
+            j = i + 1
+            neg = j < len(seg) and seg[j] in "!^"
+            if neg:
+                j += 1
+            if j < len(seg) and seg[j] == "]":  # ']' first in class: literal
+                j += 1
+            while j < len(seg) and seg[j] != "]":
+                j += 1
+            if j >= len(seg):
+                out.append(re.escape(c))  # unterminated '[': literal
+            else:
+                inner = seg[i + 1 + (1 if neg else 0):j]
+                out.append("[" + ("^" if neg else "")
+                           + inner.replace("\\", "\\\\") + "]")
+                i = j
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "".join(out)
 
-    __slots__ = ("pattern", "negated", "dir_only", "anchored", "base")
+
+def _gitignore_regex(pattern: str) -> "re.Pattern[str]":
+    """Full gitignore ``**`` grammar (the `ignore` crate's semantics the
+    reference gets via ``WalkBuilder``, ``src/crawler/mod.rs:44-55``):
+    leading ``**/`` matches in all directories, trailing ``/**`` matches
+    everything inside, a middle ``/**/`` matches zero or more directories;
+    a ``**`` inside a segment behaves like ``*``."""
+    segs = pattern.split("/")
+    r = ""
+    need_sep = False
+    for i, seg in enumerate(segs):
+        last = i == len(segs) - 1
+        if seg == "**":
+            if i == 0 and last:
+                r += ".*"
+            elif i == 0:
+                r += "(?:[^/]+/)*"
+                need_sep = False
+                continue
+            elif last:
+                r += "/.*"
+            else:
+                r += "/(?:[^/]+/)*"
+                need_sep = False
+                continue
+            need_sep = True
+        else:
+            if need_sep:
+                r += "/"
+            r += _seg_regex(seg)
+            need_sep = True
+    return re.compile(r + r"\Z")
+
+
+class _IgnoreRule:
+    """One gitignore-style rule: blank/comment skip, ``!`` negation,
+    trailing-``/`` dir-only, leading-``/`` anchoring, ``*`` ``?`` ``[...]``
+    globs that never cross ``/``, and the full ``**`` grammar
+    (:func:`_gitignore_regex`)."""
+
+    __slots__ = ("pattern", "negated", "dir_only", "anchored", "base", "rx")
 
     def __init__(self, pattern: str, base: str):
         self.negated = pattern.startswith("!")
@@ -84,9 +154,9 @@ class _IgnoreRule:
         self.anchored = pattern.startswith("/") or "/" in pattern
         self.pattern = pattern.lstrip("/")
         self.base = base  # relpath of the dir holding the ignore file
+        self.rx = _gitignore_regex(self.pattern)
 
     def matches(self, rel: str, name: str, is_dir: bool) -> bool:
-        import fnmatch
         if self.dir_only and not is_dir:
             return False
         if self.base:
@@ -94,9 +164,9 @@ class _IgnoreRule:
                 return False
             rel = rel[len(self.base) + 1:]
         if self.anchored:
-            return fnmatch.fnmatch(rel, self.pattern)
-        # unanchored: match the basename or any trailing path suffix
-        return fnmatch.fnmatch(name, self.pattern)
+            return self.rx.match(rel) is not None
+        # unanchored: match the basename at any depth
+        return self.rx.match(name) is not None
 
 
 def _load_gitignore(dirpath: str, base_rel: str) -> list[_IgnoreRule]:

@@ -162,3 +162,51 @@ def test_cli_index_and_search(ray_session, tmp_path, capsys):
     assert main(["search", "'vector", "--index-dir", idx]) == 0
     out = capsys.readouterr().out
     assert "b.txt" in out
+
+
+def test_crawl_doublestar_grammar(tmp_path):
+    """Full ``**`` semantics (reference gets these from the ignore crate):
+    ``a/**/b`` spans zero or more directories, leading ``**/`` matches at
+    any depth, trailing ``/**`` matches everything inside, and ``*`` never
+    crosses a slash."""
+    root = str(tmp_path)
+    for rel in ["a/b/x.txt", "a/m/b/x.txt", "a/m/n/b/x.txt", "a/c/x.txt",
+                "top.txt", "d/top.txt", "d/e/top.txt",
+                "logs/x.txt", "logs/sub/y.txt", "logs.txt",
+                "s/one.txt", "s/deep/two.txt"]:
+        _mk(root, rel)
+    _mk(root, ".gitignore",
+        "a/**/b/\n"      # dirs named b under a, any depth (incl. a/b)
+        "**/top.txt\n"   # top.txt at any depth
+        "logs/**\n"      # everything inside logs/, not logs.txt
+        "s/*.txt\n")     # only directly inside s/ — '*' must not cross '/'
+    got = _names(crawl(root, extensions=("txt",)), root)
+    assert got == ["a/c/x.txt", "logs.txt", "s/deep/two.txt"]
+
+
+def test_crawl_gitignore_matches_git_check_ignore(tmp_path):
+    """Authoritative cross-check: the same tree + .gitignore evaluated by
+    ``git check-ignore`` must keep exactly the files our crawl keeps."""
+    import shutil
+    import subprocess
+    if shutil.which("git") is None:
+        pytest.skip("git not available")
+    root = str(tmp_path)
+    files = ["a/b/x.txt", "a/m/b/y.txt", "a/m/n/b/z.txt", "a/keep.txt",
+             "v/w.txt", "v/sub/w.txt", "deep/er/est/n.txt", "deep/n.txt",
+             "q/one.txt", "q/r/two.txt", "top.txt", "e/f/g.txt",
+             "cls/ab.txt", "cls/cb.txt", "neg/drop.txt", "neg/keep.txt"]
+    for rel in files:
+        _mk(root, rel)
+    _mk(root, ".gitignore",
+        "a/**/b/\n**/w.txt\ndeep/**\nq/*.txt\ne/f\ncls/[ac]b.txt\n"
+        "neg/*\n!neg/keep.txt\n")
+    subprocess.run(["git", "init", "-q", root], check=True,
+                   env={**os.environ, "HOME": root})
+    proc = subprocess.run(
+        ["git", "-C", root, "check-ignore", "--no-index", "--stdin"],
+        input="\n".join(files), capture_output=True, text=True)
+    git_ignored = set(proc.stdout.split())
+    expected = sorted(f for f in files if f not in git_ignored)
+    got = _names(crawl(root, extensions=("txt",)), root)
+    assert got == expected, (got, expected, sorted(git_ignored))
