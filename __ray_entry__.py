@@ -219,15 +219,23 @@ def _embed_documents(sf_dir: str):
 
 
 def _approx_distinct_users(sf_dir: str):
-    """HLL sketch estimate of distinct users (rows-only; accuracy is
-    pytest-checked against the exact count)."""
-    import pandas as pd
+    """HLL estimate checked against the exact distributed distinct count.
+
+    Output: ``(exact_users, est_ok)`` — the exact count is real distributed
+    work the DuckDB twin recomputes (COUNT(DISTINCT)); ``est_ok`` asserts
+    the HLL estimate lands within the p=12 sketch's ~3*1.04/sqrt(2^12)
+    ≈ 5% envelope, so an estimator regression becomes a hash mismatch
+    (same check shape as knn_lsh/knn_ivf)."""
+    import pyarrow as pa
     import ray.data as rd
     from sema_ray.sketches import approx_distinct
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id"])
     est = approx_distinct(ds, "user_id")
-    return pd.DataFrame({"approx_distinct_users": [round(est)]})
+    exact = ds.groupby("user_id").count().count()
+    ok = abs(est - exact) <= 0.05 * exact
+    return pa.table({"exact_users": pa.array([exact], pa.int64()),
+                     "est_ok": pa.array([ok], pa.bool_())})
 
 
 def _customers_without_orders(sf_dir: str):
@@ -256,6 +264,12 @@ def _sample_docs_by_lang(sf_dir: str):
 def _pack_sequences(sf_dir: str):
     from sema_ray.packing import pack_sequences
     return pack_sequences(sf_dir)
+
+
+def _value_quantiles(sf_dir: str):
+    """Distributed exact quantile_cont via histogram-guided selection."""
+    from sema_ray.sketches import quantiles_value
+    return quantiles_value(sf_dir)
 
 
 def _bm25_phrase_search(sf_dir: str):
@@ -381,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_band_counts": relational.value_band_counts,
         "median_value_by_type": relational.median_value_by_type,
         "approx_distinct_users": _approx_distinct_users,
+        "value_quantiles": _value_quantiles,
         "customers_without_orders": _customers_without_orders,
         "top3_orders_per_customer": relational.top3_orders_per_customer,
         "sample_events": _sample_events,
@@ -393,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": textops.pii_scrub,
         "benchmark_contamination": textops.benchmark_contamination,
         "sample_docs_by_lang": _sample_docs_by_lang,
+        "ngram_counts": textops.ngram_counts,
         "pack_sequences": _pack_sequences,
         # --- dedup family -------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
@@ -495,6 +511,37 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        # list-comprehension bigrams; total order (n desc, ngram asc) makes
+        # the k-boundary deterministic on both engines
+        "ngram_counts": """
+            SELECT u.bg AS ngram, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT unnest([l[i] || ' ' || l[i+1]
+                               for i in range(1, len(l))]) AS bg
+                FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+')
+                          AS l
+                      FROM documents)
+            ) u
+            GROUP BY 1
+            ORDER BY n DESC, ngram
+            LIMIT 20
+        """,
+        # exact quantile_cont recomputed by SQL; est_ok is the Ray-side
+        # histogram-sketch accuracy assertion (constant TRUE here)
+        "value_quantiles": " UNION ALL ".join(
+            f"""SELECT {q} AS q,
+                   FLOOR(quantile_cont(value, {q}) * 1000000 + 0.5)
+                       / 1000000 AS exact_q,
+                   TRUE AS est_ok
+                FROM events"""
+            for q in (0.25, 0.5, 0.75, 0.95)),
+        # exact side recomputed by SQL; est_ok is the Ray-side HLL-accuracy
+        # assertion (constant TRUE here — see _approx_distinct_users)
+        "approx_distinct_users": """
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   TRUE AS est_ok
+            FROM events
         """,
         "union_key_counts": """
             SELECT key, COUNT(*) AS n FROM (

@@ -288,3 +288,69 @@ def benchmark_contamination(sf_dir: str,
         })
 
     return ds.map_batches(check, batch_format="pyarrow")
+
+
+def ngram_counts(sf_dir: str, k: int = 20) -> pa.Table:
+    """Corpus-wide top-k word bigrams: (ngram, n), n desc then ngram asc.
+
+    The canonical partial-aggregation shape for an unbounded key space:
+    bigram formation and per-block counting are fully vectorized (split ->
+    flatten -> adjacent-pair join inside each row via parent indices — the
+    same zero-Python "findall" machinery as
+    :func:`sema_ray.extract.detect_mentions_batch`), the shuffle moves one
+    row per distinct bigram per block, and the top-k tail is a per-block
+    local top-k + bounded driver merge, never a global sort. Deterministic
+    total order (n desc, ngram asc) keeps the k-boundary oracle-exact.
+    """
+    from .util import collect_table
+    ds = _load_docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"ngram": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        low = pc.utf8_lower(t["text"])
+        parts = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = pc.list_flatten(parts)
+        if len(flat) == 0:
+            return empty
+        parents = pc.list_parent_indices(parts) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # splitting leaves empty pieces at row edges only — drop them, then
+        # adjacency within a row is adjacency in the filtered arrays
+        keep = np.nonzero(pc.not_equal(flat, "")
+                          .to_numpy(zero_copy_only=False))[0]
+        if len(keep) < 2:
+            return empty
+        toks = flat.take(pa.array(keep, pa.int64()))
+        par = parents[keep]
+        left = np.nonzero(par[1:] == par[:-1])[0]
+        if len(left) == 0:
+            return empty
+        a = toks.take(pa.array(left, pa.int64()))
+        b = toks.take(pa.array(left + 1, pa.int64()))
+        grams = pc.binary_join_element_wise(a, b, " ")
+        vc = grams.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"ngram": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    agg = partials.groupby("ngram").aggregate(Sum("n", alias_name="n"))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        return t.sort_by([("n", "descending"),
+                          ("ngram", "ascending")]).slice(0, k)
+
+    tbl = collect_table(agg.map_batches(local_topk, batch_format="pyarrow",
+                                        batch_size=None))
+    if tbl.num_rows == 0 or "ngram" not in tbl.column_names:
+        return pa.table({"ngram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    tbl = tbl.sort_by([("n", "descending"), ("ngram", "ascending")]) \
+        .slice(0, k)
+    return pa.table({"ngram": pc.cast(tbl["ngram"], pa.string()),
+                     "n": pc.cast(tbl["n"], pa.int64())})

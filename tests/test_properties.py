@@ -76,3 +76,60 @@ def test_distributed_blocking_matches_local(ray_session):
     # sanity: variants actually merged
     assert cmap_local["Acme Corp"][0] == cmap_local["ACME CORP."][0]
     assert cmap_local["Acme Corp"][0] == cmap_local["Acme Corporation"][0]
+
+
+# ---------------------------------------------------------------------------
+# Vectorized extraction == golden, under adversarial text (the r3 rewrite
+# routes rows by verb-occurrence count; these strategies force every path:
+# zero/one/many verbs, embedded literals, repeated patterns, unicode, nulls)
+# ---------------------------------------------------------------------------
+
+_ENTITY_WORDS = ["Alice", "Bob Chen", "ACME Corp", "The", "A", "OK",
+                 "Ünïcødé", "X9-Y", "B&B", "End"]
+_VERBS = [" works at ", " is the CEO of ", " uses ", " met with ",
+          " lives in ", " acquired "]
+_FILLERS = ["", " and ", " then ", ". ", " reuses ", " networks at ",
+            " abuses ", " \x00 ", " lowercase filler "]
+
+
+@st.composite
+def _turn_text(draw):
+    parts = draw(st.lists(
+        st.one_of(st.sampled_from(_ENTITY_WORDS), st.sampled_from(_VERBS),
+                  st.sampled_from(_FILLERS),
+                  st.text(alphabet="aA zZ.9&-", max_size=8)),
+        min_size=0, max_size=8))
+    return "".join(parts)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(st.none(), _turn_text()), min_size=1, max_size=20))
+def test_extract_batches_match_golden(texts):
+    import collections
+
+    from sema_ray import golden
+    from sema_ray.extract import (_detect_mentions_python,
+                                  detect_mentions_batch,
+                                  extract_triples_batch)
+    t = pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(len(texts))]),
+        "turn_idx": pa.array(list(range(len(texts))), pa.int32()),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = extract_triples_batch(t)
+    want = golden.golden_triples(
+        [r for r in t.to_pylist() if r["text"] is not None])
+    g = collections.Counter(zip(got["conv_id"].to_pylist(),
+                                got["turn_idx"].to_pylist(),
+                                got["subj"].to_pylist(),
+                                got["pred"].to_pylist(),
+                                got["obj"].to_pylist()))
+    w = collections.Counter((r["conv_id"], r["turn_idx"], r["subj"],
+                             r["pred"], r["obj"]) for r in want)
+    assert g == w
+    gm, wm = detect_mentions_batch(t), _detect_mentions_python(t)
+    ga = sorted(zip(*[gm[c].to_pylist() for c in gm.column_names])) \
+        if gm.num_rows else []
+    wa = sorted(zip(*[wm[c].to_pylist() for c in wm.column_names])) \
+        if wm.num_rows else []
+    assert ga == wa
