@@ -409,6 +409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_contamination": textops.benchmark_contamination,
         "sample_docs_by_lang": _sample_docs_by_lang,
         "ngram_counts": textops.ngram_counts,
+        "repetition_stats": textops.repetition_stats,
+        "dup_span_counts": dedup.dup_span_counts,
         "pack_sequences": _pack_sequences,
         # --- dedup family -------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
@@ -527,6 +529,45 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n DESC, ngram
             LIMIT 20
         """,
+        # Gopher-style within-doc repetition signals — all-integer outputs
+        "repetition_stats": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9]+')
+                                  AS l
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(len(l) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(l)) AS BIGINT)
+                       AS n_distinct_tokens,
+                   CAST(GREATEST(len(l) - 1, 0) AS BIGINT) AS n_bigrams,
+                   CAST(len(list_distinct(
+                       [l[i] || ' ' || l[i+1] for i in range(1, len(l))]))
+                       AS BIGINT) AS n_distinct_bigrams
+            FROM t
+        """,
+        # cross-doc duplicated 8-token spans (substring-dedup signal); the
+        # Ray side groups spans by 64-bit sequence hash, the twin by the
+        # literal string — equal up to ~n^2/2^63 hash collisions
+        "dup_span_counts": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9]+')
+                                  AS l
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         unnest([{joins}
+                                 for i in range(1, len(l) - 6)]) AS gram
+                  FROM t),
+            d AS (SELECT gram FROM g
+                  GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2)
+            SELECT t.doc_id,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n_dup_windows
+            FROM t LEFT JOIN (
+                SELECT g.doc_id, COUNT(*) AS n
+                FROM g JOIN d USING (gram)
+                GROUP BY g.doc_id) c
+            ON t.doc_id = c.doc_id
+        """.format(joins=" || ' ' || ".join(
+            f"l[i+{j}]" for j in range(8))),
         # exact quantile_cont recomputed by SQL; est_ok is the Ray-side
         # histogram-sketch accuracy assertion (constant TRUE here)
         "value_quantiles": " UNION ALL ".join(

@@ -811,3 +811,91 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     return rd.from_arrow(pa.table({"a": pa.array(a_ids, pa.int64()),
                                    "b": pa.array(b_ids, pa.int64()),
                                    "jac": pa.array(jacs, pa.float64())}))
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated n-gram spans (substring-level dedup signal —
+# the Lee et al. "Deduplicating Training Data" idea at word-n-gram
+# granularity: how much of each document is text that also appears
+# verbatim elsewhere in the corpus)
+# ---------------------------------------------------------------------------
+
+def _window_hashes_batch(t: pa.Table, window: int
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """(row_index, hash) for every ``window``-token span of every doc —
+    fully vectorized: split -> flatten -> dictionary-encode, token ids
+    via the memoized blake2b cache ONCE PER DISTINCT TOKEN, positional
+    odd-multiplier combine + splitmix64 (same hash family as
+    :func:`word_shingles`), row boundaries respected via parent indices."""
+    low = pc.utf8_lower(t["text"])
+    parts = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = pc.list_flatten(parts)
+    empty = np.empty(0, dtype=np.int64)
+    if len(flat) == 0:
+        return empty, empty
+    parents = pc.list_parent_indices(parts) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = np.nonzero(pc.not_equal(flat, "")
+                      .to_numpy(zero_copy_only=False))[0]
+    if len(keep) < window:
+        return empty, empty
+    toks = flat.take(pa.array(keep, pa.int64()))
+    par = parents[keep]
+    enc = toks.dictionary_encode()
+    vocab_ids = _token_ids(enc.dictionary.to_pylist())
+    ids = vocab_ids[enc.indices.to_numpy(zero_copy_only=False)]
+    n = len(ids) - window + 1
+    if n <= 0:
+        return empty, empty
+    acc = np.full(n, window, dtype=np.uint64)
+    for j in range(window):
+        acc += ids[j:j + n] * _C[j % len(_C)]
+    hashes = (_mix64(acc)
+              & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+    valid = par[:n] == par[window - 1:]  # window inside one document
+    return par[:n][valid], hashes[valid]
+
+
+def dup_span_counts(sf_dir: str, window: int = 8) -> rd.Dataset:
+    """Per-document count of ``window``-token spans that also occur in at
+    least one OTHER document: (doc_id, n_dup_windows), every doc included.
+
+    Two-pass hot-bucket shape (the dedup family's scale pattern): pass 1
+    shuffles only 8-byte span hashes, deduplicated per document inside the
+    batch so the count aggregate IS distinct-documents-per-span; only spans
+    hot across ≥2 docs are broadcast; pass 2 re-derives each doc's window
+    hashes and counts membership with one ``np.isin``. Span identity is the
+    64-bit hash of the token sequence — cross-engine-equal to the DuckDB
+    string-gram twin up to hash collisions (~n²/2⁶³, negligible below
+    ~10⁹ distinct spans; the twin is exact strings).
+    """
+    ds = _load_docs(sf_dir, ["doc_id", "text"])
+
+    class SpanStage:
+        def __init__(self, hot: np.ndarray | None = None):
+            self.hot = np.sort(hot) if hot is not None else None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            rows, hashes = _window_hashes_batch(t, window)
+            if self.hot is None:
+                # pass 1: distinct (doc, span) -> span rows only
+                if len(hashes) == 0:
+                    return pa.table({"bucket": pa.array([], pa.int64())})
+                order = np.lexsort((hashes, rows))
+                r, h = rows[order], hashes[order]
+                first = np.r_[True, (r[1:] != r[:-1]) | (h[1:] != h[:-1])]
+                return pa.table({"bucket": pa.array(h[first], pa.int64())})
+            hit = np.isin(hashes, self.hot)
+            n = np.zeros(t.num_rows, dtype=np.int64)
+            if hit.any():
+                np.add.at(n, rows[hit], 1)
+            return pa.table({"doc_id": t["doc_id"],
+                             "n_dup_windows": pa.array(n, pa.int64())})
+
+    light = ds.map_batches(SpanStage(), batch_format="pyarrow",
+                           batch_size=None)
+    hot, _member_rows = _hot_buckets(light, _doc_count(sf_dir) * 64)
+    return ds.map_batches(SpanStage(hot=hot), batch_format="pyarrow",
+                          batch_size=None)

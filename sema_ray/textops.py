@@ -354,3 +354,64 @@ def ngram_counts(sf_dir: str, k: int = 20) -> pa.Table:
         .slice(0, k)
     return pa.table({"ngram": pc.cast(tbl["ngram"], pa.string()),
                      "n": pc.cast(tbl["n"], pa.int64())})
+
+
+def repetition_stats(sf_dir: str) -> rd.Dataset:
+    """Within-document repetition signals (Gopher-style quality rules):
+    (doc_id, n_tokens, n_distinct_tokens, n_bigrams, n_distinct_bigrams).
+
+    All-integer outputs (the duplicate-token/-bigram FRACTIONS the filter
+    thresholds use are ratios of these), so the DuckDB twin is bit-exact.
+    Fully vectorized per batch: split -> flatten -> dictionary-encode, then
+    distinct counting is a lexsort + adjacent-dedup over (row, code) pairs
+    and bigrams pack two 32-bit codes into one int64 key — no Python loop.
+    """
+    ds = _load_docs(sf_dir, ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        rows = t.num_rows
+        low = pc.utf8_lower(t["text"])
+        parts = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = pc.list_flatten(parts)
+        parents = pc.list_parent_indices(parts) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.nonzero(pc.not_equal(flat, "")
+                          .to_numpy(zero_copy_only=False))[0]
+        n_tok = np.zeros(rows, dtype=np.int64)
+        n_dtok = np.zeros(rows, dtype=np.int64)
+        n_big = np.zeros(rows, dtype=np.int64)
+        n_dbig = np.zeros(rows, dtype=np.int64)
+        if len(keep):
+            toks = flat.take(pa.array(keep, pa.int64()))
+            par = parents[keep]
+            enc = toks.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            np.add.at(n_tok, par, 1)
+
+            def distinct_per_row(keys: np.ndarray,
+                                 rows_of: np.ndarray) -> np.ndarray:
+                order = np.lexsort((keys, rows_of))
+                r, k = rows_of[order], keys[order]
+                first = np.r_[True, (r[1:] != r[:-1]) | (k[1:] != k[:-1])]
+                out = np.zeros(rows, dtype=np.int64)
+                np.add.at(out, r[first], 1)
+                return out
+
+            n_dtok = distinct_per_row(codes, par)
+            left = np.nonzero(par[1:] == par[:-1])[0]
+            if len(left):
+                big = (codes[left] << np.int64(32)) | codes[left + 1]
+                np.add.at(n_big, par[left], 1)
+                n_dbig = distinct_per_row(big, par[left])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_distinct_tokens": pa.array(n_dtok, pa.int64()),
+            "n_bigrams": pa.array(n_big, pa.int64()),
+            "n_distinct_bigrams": pa.array(n_dbig, pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
