@@ -87,6 +87,91 @@ def _kg_corpus(sf_dir: str) -> str:
     return ensure_corpus(kind="docs", sf_dir=sf_dir, variants=1, num_shards=8)
 
 
+def _kg_oracle_sqls() -> dict[str, str]:
+    """DuckDB twins of the KG extraction stages, built from the golden
+    extractor's OWN constants (sema_ray/golden.py) so rule changes can never
+    desynchronize the oracle. The driver checks at sf0.01, so the SQL reads
+    the deterministic sf0.01-derived corpus parquet directly (generated
+    on demand, cached under /tmp keyed by source size+mtime).
+
+    Expressibility notes: the golden rules are RE2 regexes + literal
+    stoplists, and DuckDB's regexp_extract_all has the same non-overlapping
+    leftmost-match semantics as Python re.finditer, so mention surfaces AND
+    char offsets (via split-piece window cumsums) and per-pattern triples
+    (group lists align by match index) are exactly reproducible in SQL.
+    In-turn triple dedup keeps the first conf per (s, pred, o) key — conf is
+    a function of pred alone, so DISTINCT is exact.
+    """
+    from sema_ray import golden
+
+    # the driver compares Ray vs oracle at sf0.01; the pytest mirror
+    # (tests/test_oracles.py) runs the same contract at sf0.001 and points
+    # the oracle at the matching corpus via this env var
+    corpus = _kg_corpus(os.environ.get("SEMA_RAY_ORACLE_SF",
+                                       "/root/testdata/sf0.01"))
+    turns = (f"SELECT conv_id, turn_idx, text "
+             f"FROM read_parquet('{corpus}/*.parquet')")
+    ent = golden.ENTITY_RE.pattern
+    stop = ",".join(f"'{w}'" for w in sorted(golden._CAP_STOP))
+
+    def valid(col: str) -> str:
+        return (f"length({col}) >= 2 AND NOT (strpos({col}, ' ') = 0 "
+                f"AND {col} IN ({stop}))")
+
+    mentions = f"""
+        WITH turns AS ({turns}),
+        pieces AS (
+          SELECT conv_id, turn_idx,
+                 regexp_split_to_array(text, '{ent}') AS gaps,
+                 regexp_extract_all(text, '{ent}') AS ms
+          FROM turns
+        ), pos AS (
+          SELECT conv_id, turn_idx, ms[i] AS surface,
+                 SUM(length(gaps[i]) + length(ms[i])) OVER (
+                     PARTITION BY conv_id, turn_idx ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - length(ms[i]) AS m_start
+          FROM pieces, UNNEST(generate_series(1, len(ms))) AS t(i)
+        )
+        SELECT conv_id, turn_idx,
+               CAST(m_start AS INT) AS m_start,
+               CAST(m_start + length(surface) AS INT) AS m_end,
+               surface
+        FROM pos WHERE {valid("surface")}
+    """
+
+    vals = ",".join(f"('{p}','{v}',CAST({c} AS FLOAT))"
+                    for p, v, c in golden._P)
+    triples = f"""
+        WITH turns AS ({turns}),
+        pats(pred, verb, conf) AS (VALUES {vals}),
+        m AS (
+          SELECT conv_id, turn_idx, pred, conf,
+                 regexp_extract_all(text, '({ent})' || verb || '({ent})', 1)
+                     AS ss,
+                 regexp_extract_all(text, '({ent})' || verb || '({ent})', 2)
+                     AS os
+          FROM turns, pats
+        ), x AS (
+          SELECT conv_id, turn_idx, pred, conf, ss[i] AS subj, os[i] AS obj
+          FROM m, UNNEST(generate_series(1, len(ss))) AS t(i)
+        )
+        SELECT DISTINCT conv_id, turn_idx, subj, pred, obj,
+               FLOOR(CAST(conf AS DOUBLE) * 100 + 0.5) / 100 AS conf
+        FROM x
+        WHERE {valid("subj")} AND {valid("obj")}
+    """
+
+    normalized = f"""
+        WITH turns AS ({turns})
+        SELECT conv_id, turn_idx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM turns
+    """
+    return {"kg_normalized": normalized, "kg_mentions": mentions,
+            "kg_triples": triples}
+
+
 def entry() -> Any:
     """Flagship KG pipeline on a corpus derived from sf0.001 documents."""
     from sema_ray.pipelines.kg import kg_flagship
@@ -95,9 +180,19 @@ def entry() -> Any:
 
 def _kg_triples(sf_dir: str):
     from sema_ray.pipelines.kg import read_transcripts, triples_dataset
+    from sema_ray.util import round_half_up
+
+    def round_conf(t):
+        # conf is float32 in TRIPLE_SCHEMA; the DuckDB twin works in DOUBLE,
+        # so the checked column rounds half-up to 2 digits on both sides
+        # (identical IEEE ops — CLAUDE.md oracle-rounding rule)
+        return t.set_column(t.schema.get_field_index("conf"), "conf",
+                            round_half_up(t["conf"], 2))
+
     return triples_dataset(
         read_transcripts(_kg_corpus(sf_dir),
-                         columns=["conv_id", "turn_idx", "text"]))
+                         columns=["conv_id", "turn_idx", "text"])) \
+        .map_batches(round_conf, batch_format="pyarrow")
 
 
 def _kg_mentions(sf_dir: str):
@@ -129,13 +224,18 @@ def _kg_entity_degrees(sf_dir: str):
 
 
 def _kg_normalized(sf_dir: str):
-    """Normalize stage (derived cols only: n_bytes + content hash)."""
+    """Normalize stage (derived cols only).
+
+    Projects (conv_id, turn_idx, n_bytes) for the DuckDB hash check;
+    text_hash is blake2b (not SQL-expressible) and is covered by the
+    kill/resume manifest tests instead.
+    """
     from sema_ray.extract import normalize_batch
     from sema_ray.pipelines.kg import read_transcripts
     ds = read_transcripts(_kg_corpus(sf_dir),
                           columns=["conv_id", "turn_idx", "text"])
     return ds.map_batches(normalize_batch, batch_format="pyarrow") \
-        .select_columns(["conv_id", "turn_idx", "n_bytes", "text_hash"])
+        .select_columns(["conv_id", "turn_idx", "n_bytes"])
 
 
 def _kg_chunks(sf_dir: str):
@@ -808,8 +908,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
         """,
+        # KG extraction stages: the golden rules are RE2 + literals, so
+        # normalize/mentions/triples have exact DuckDB twins over the derived
+        # corpus parquet (built from golden.py's own constants).
+        **_kg_oracle_sqls(),
         # doc_fingerprints, dedup_minhash/simhash, semantic_search and the
-        # kg_* pipelines are non-SQL-expressible (heuristic / LSH / embedding
-        # / extraction logic): driver records rows-only checks; their
+        # remaining kg_* pipelines (chunker byte arithmetic, LSH/embedding
+        # canonicalization, linked/adjacency/degrees downstream of it) are
+        # non-SQL-expressible: driver records rows-only checks; their
         # correctness oracles are pure-Python goldens in tests/.
     }

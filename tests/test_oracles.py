@@ -58,9 +58,20 @@ def _entry_module():
 
 
 @pytest.fixture(scope="module")
-def contract():
+def contract(monkeypatch_module):
+    # the kg_* oracles read the derived corpus parquet directly; point them
+    # at the sf0.001 corpus this mirror runs the queries against
+    monkeypatch_module.setenv("SEMA_RAY_ORACLE_SF", SF_DIR)
     mod = _entry_module()
     return mod.queries(), mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def monkeypatch_module():
+    from _pytest.monkeypatch import MonkeyPatch
+    mp = MonkeyPatch()
+    yield mp
+    mp.undo()
 
 
 def test_all_queries_run_and_oracles_match(ray_session, contract, oracle_con):
