@@ -251,55 +251,185 @@ def sessionize_users(sf_dir: str, gap_us: int = 1_800_000_000) -> rd.Dataset:
 # Joins
 # ---------------------------------------------------------------------------
 
+def _table_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet footer metadata — no data read."""
+    import pyarrow.parquet as pq_mod
+    return pq_mod.ParquetFile(
+        os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+
+
+def compile_int_lookup(keys: pa.ChunkedArray | pa.Array, vals):
+    """Small-dim int64-key -> value lookup with NO per-row Python.
+
+    The dim side compiles once into (sorted int64 keys, int32 value codes,
+    value dictionary); the returned ``gather(fact_keys) -> (codes, hit)``
+    does one ``np.searchsorted`` per batch. Misses get code -1 / hit=False
+    (callers choose inner/left semantics). Values dictionary-encode so a
+    string dim column ships as one small dictionary, not a per-row copy.
+    """
+    k = pa.chunked_array([keys]) if isinstance(keys, pa.Array) else keys
+    knp = k.combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    enc = pc.dictionary_encode(
+        vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+    order = np.argsort(knp, kind="stable")
+    knp, codes = knp[order], codes[order]
+    dictionary = enc.dictionary
+
+    def gather(fact_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        fk = fact_keys.astype(np.int64, copy=False)
+        if len(knp) == 0:
+            return (np.full(len(fk), -1, np.int32),
+                    np.zeros(len(fk), dtype=bool))
+        pos = np.searchsorted(knp, fk)
+        pos[pos == len(knp)] = 0
+        hit = knp[pos] == fk
+        out = np.where(hit, codes[pos], np.int32(-1)).astype(np.int32)
+        return out, hit
+
+    return gather, dictionary
+
+
 def orders_per_segment(sf_dir: str) -> rd.Dataset:
     """Broadcast hash join (small dim side) + aggregate.
 
-    ``customer`` is the small side: shipped to the object store once with
-    ``ray.put``, materialized per actor in ``__init__`` — the reference's
-    point-lookup idea (``lance_indexer.rs:165-189``) done as a real join.
+    ``customer`` is the small side: compiled once into sorted keys + a
+    segment dictionary (the reference's point-lookup idea,
+    ``lance_indexer.rs:165-189``, done as a real map-side join). The
+    per-batch partials aggregate on the int32 segment CODE, so neither the
+    fact pass nor the shuffle ever materializes a per-row string.
     """
-    cust = load(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    cust_tbl = collect_table(cust)
-    lookup = dict(zip(cust_tbl["c_custkey"].to_pylist(),
-                      cust_tbl["c_mktsegment"].to_pylist()))
-    lookup_ref = ray.put(lookup)
+    cust_tbl = collect_table(
+        load(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]))
+    gather, seg_dict = compile_int_lookup(cust_tbl["c_custkey"],
+                                          cust_tbl["c_mktsegment"])
 
-    class JoinSegment:
-        def __init__(self):
-            self.lookup: dict[int, str] = ray.get(lookup_ref)
+    def join_partial(t: pa.Table) -> pa.Table:
+        codes, hit = gather(t["o_custkey"].to_numpy(zero_copy_only=False))
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        part = pa.table({"code": pa.array(codes[hit], pa.int32()),
+                         "price": pa.array(price[hit], pa.float64())})
+        g = part.group_by(["code"]).aggregate(
+            [("price", "sum"), ("price", "count")])
+        return g.rename_columns(["code", "sum_price", "n"])
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["o_custkey"].to_numpy(zero_copy_only=False)
-            seg = pa.array([self.lookup.get(int(k)) for k in keys], pa.string())
-            return pa.table({
-                "c_mktsegment": seg,
-                "o_totalprice": t["o_totalprice"],
-            })
-
-    orders = load(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    joined = orders.map_batches(JoinSegment, batch_format="pyarrow",
-                                concurrency=(1, 4))
-    partials = partial_groupby(
-        joined, ["c_mktsegment"],
-        [("o_totalprice", "sum"), ("o_totalprice", "count")],
-        ["sum_price", "n"],
-    )
-    out = partials.groupby("c_mktsegment").aggregate(
+    partials = load(sf_dir, "orders",
+                    columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(join_partial, batch_format="pyarrow")
+    out = partials.groupby("code").aggregate(
         Sum("n", alias_name="n_orders"),
         Sum("sum_price", alias_name="sum_totalprice"),
     )
-    return round_result(out, {"sum_totalprice": 2})
+
+    def decode(t: pa.Table) -> pa.Table:
+        seg = pc.take(seg_dict, pc.cast(t["code"], pa.int32()))
+        return pa.table({"c_mktsegment": seg,
+                         "n_orders": t["n_orders"],
+                         "sum_totalprice": t["sum_totalprice"]})
+
+    return round_result(out.map_batches(decode, batch_format="pyarrow"),
+                        {"sum_totalprice": 2})
+
+
+# Dim sides at or below this many rows broadcast (a few tens of MB in the
+# object store); above it the partitioned hash Dataset.join runs. 100 TB
+# fact tables keep their dimension tables broadcastable far past TPC-H
+# shapes — the shuffle join is the escape hatch, not the default.
+BROADCAST_JOIN_MAX_ROWS = 2_000_000
+# Below this the compiled lookup rides in the task closure (cached per
+# worker process); above, ray.put + an actor pool so it deserializes once
+# per actor rather than once per worker-task-spec fetch.
+BROADCAST_CLOSURE_MAX_ROWS = 500_000
 
 
 def revenue_by_priority(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
-    """Large-large hash join (lineitem ⋈ orders) + aggregate.
+    """lineitem ⋈ orders + aggregate, size-adaptive join placement.
 
-    Both sides are fact-sized at 100 TB, so this is Ray Data's partitioned
-    hash ``Dataset.join`` — the one explicit all-to-all in this module —
-    followed by a partial-aggregated groupby on the join output.
+    orders is fact-sized relative to lineitem but tiny in absolute terms
+    (≤ ``BROADCAST_JOIN_MAX_ROWS``): the default path compiles
+    (o_orderkey -> priority code) once and streams lineitem through a
+    map-side gather with per-batch partial aggregation on the int code —
+    zero shuffle, the only all-to-all is the 5-row final combine. Above the
+    threshold it falls back to Ray Data's partitioned hash ``Dataset.join``
+    (fractional-CPU aggregators — CLAUDE.md join-deadlock rule).
     """
     li = load(sf_dir, "lineitem",
               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    if _table_rows(sf_dir, "orders") <= BROADCAST_JOIN_MAX_ROWS:
+        orders_tbl = collect_table(
+            load(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderpriority"]))
+        gather, prio_dict = compile_int_lookup(orders_tbl["o_orderkey"],
+                                               orders_tbl["o_orderpriority"])
+
+        def join_partial_fn(get_gather):
+            def join_partial(t: pa.Table) -> pa.Table:
+                codes, hit = get_gather()(
+                    t["l_orderkey"].to_numpy(zero_copy_only=False))
+                rev = pc.multiply(t["l_extendedprice"],
+                                  pc.subtract(pa.scalar(1.0), t["l_discount"]))
+                part = pa.table({
+                    "code": pa.array(codes[hit], pa.int32()),
+                    "rev": pa.array(
+                        rev.to_numpy(zero_copy_only=False)[hit],
+                        pa.float64()),
+                })
+                g = part.group_by(["code"]).aggregate(
+                    [("rev", "sum"), ("rev", "count")])
+                return g.rename_columns(["code", "sum_rev", "n"])
+            return join_partial
+
+        if len(orders_tbl) <= BROADCAST_CLOSURE_MAX_ROWS:
+            # task pool: the lookup ships in the (worker-cached) task closure
+            # — no actor-pool spin-up (CLAUDE.md: task pools for light state)
+            partials = li.map_batches(join_partial_fn(lambda: gather),
+                                      batch_format="pyarrow",
+                                      batch_size=None)
+        else:
+            gather_ref = ray.put(gather)
+
+            class JoinPartial:
+                """Actor pool: a big broadcast lookup deserializes once per
+                actor (ray.get in __init__), not once per task round."""
+
+                def __init__(self):
+                    g = ray.get(gather_ref)
+                    self.fn = join_partial_fn(lambda: g)
+
+                def __call__(self, t: pa.Table) -> pa.Table:
+                    return self.fn(t)
+
+            partials = li.map_batches(JoinPartial, batch_format="pyarrow",
+                                      batch_size=None, concurrency=(1, 8))
+
+        def recombine(t: pa.Table) -> pa.Table:
+            g = t.group_by(["code"]).aggregate(
+                [("sum_rev", "sum"), ("n", "sum")])
+            return g.rename_columns(["code", "sum_rev", "n"])
+
+        # coalescing no-shuffle combine (many partial blocks per task), then
+        # the <= n_groups-per-task residue folds on the driver
+        final = collect_table(
+            partials.map_batches(recombine, batch_format="pyarrow",
+                                 batch_size=1 << 21))
+        g = final.group_by(["code"]).aggregate(
+            [("sum_rev", "sum"), ("n", "sum")])
+        out_tbl = pa.table({
+            "o_orderpriority": pc.take(prio_dict,
+                                       pc.cast(g["code"], pa.int32())),
+            "n_items": pc.cast(g["n_sum"], pa.int64()),
+            "revenue": g["sum_rev_sum"],
+        })
+        return round_result(rd.from_arrow(out_tbl), {"revenue": 2})
+    return _revenue_by_priority_shuffle(li, sf_dir, num_partitions)
+
+
+def _revenue_by_priority_shuffle(li: rd.Dataset, sf_dir: str,
+                                 num_partitions: int) -> rd.Dataset:
+    """Large-large path: partitioned hash ``Dataset.join`` + partial-agg
+    groupby — the explicit all-to-all for dim sides too big to broadcast."""
     orders = load(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     joined = li.join(orders, join_type="inner", num_partitions=num_partitions,
                      on=("l_orderkey",), right_on=("o_orderkey",),

@@ -58,3 +58,38 @@ def test_top3_orders_per_customer_vs_pandas(ray_session):
     g = got[cols].sort_values(cols).reset_index(drop=True)
     w = want[cols].sort_values(cols).reset_index(drop=True)
     assert g.equals(w)
+
+
+def test_revenue_join_paths_agree(ray_session, monkeypatch):
+    """Broadcast (closure), broadcast (actor-pool) and partitioned-shuffle
+    join placements must produce identical aggregates; the lookup gather
+    must be miss-safe (inner-join semantics on unmatched fact keys)."""
+    import sema_ray.relational as rel
+
+    def run():
+        df = rel.revenue_by_priority(SF_DIR).to_pandas()
+        return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+    closure = run()
+    monkeypatch.setattr(rel, "BROADCAST_CLOSURE_MAX_ROWS", 0)
+    actor_pool = run()
+    monkeypatch.setattr(rel, "BROADCAST_JOIN_MAX_ROWS", 0)
+    shuffle = run()
+    pd.testing.assert_frame_equal(closure, actor_pool)
+    pd.testing.assert_frame_equal(closure, shuffle)
+
+
+def test_compile_int_lookup_misses_and_dictionary():
+    from sema_ray.relational import compile_int_lookup
+    keys = pa.chunked_array([pa.array([7, 3, 11], pa.int64())])
+    vals = pa.chunked_array([pa.array(["a", "b", "a"], pa.string())])
+    gather, d = compile_int_lookup(keys, vals)
+    codes, hit = gather(np.array([3, 4, 11, 99, 7], dtype=np.int64))
+    assert hit.tolist() == [True, False, True, False, True]
+    got = [d[c].as_py() if h else None for c, h in zip(codes, hit)]
+    assert got == ["b", None, "a", None, "a"]
+    # empty dim side: everything misses
+    g2, _ = compile_int_lookup(pa.array([], pa.int64()),
+                               pa.array([], pa.string()))
+    codes2, hit2 = g2(np.array([1, 2], dtype=np.int64))
+    assert not hit2.any()
