@@ -361,6 +361,11 @@ def _sample_docs_by_lang(sf_dir: str):
     return sample_docs_by_lang(sf_dir)
 
 
+def _docs_per_source_cap(sf_dir: str):
+    from sema_ray.sampling import docs_per_source_cap
+    return docs_per_source_cap(sf_dir)
+
+
 def _pack_sequences(sf_dir: str):
     from sema_ray.packing import pack_sequences
     return pack_sequences(sf_dir)
@@ -494,6 +499,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_counts": relational.sliding_window_counts,
         "value_band_counts": relational.value_band_counts,
         "median_value_by_type": relational.median_value_by_type,
+        "running_user_totals": relational.running_user_totals,
+        "event_gaps": relational.event_gaps,
+        "zscore_by_type": relational.zscore_by_type,
         "approx_distinct_users": _approx_distinct_users,
         "value_quantiles": _value_quantiles,
         "customers_without_orders": _customers_without_orders,
@@ -508,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": textops.pii_scrub,
         "benchmark_contamination": textops.benchmark_contamination,
         "sample_docs_by_lang": _sample_docs_by_lang,
+        "docs_per_source_cap": _docs_per_source_cap,
         "ngram_counts": textops.ngram_counts,
         "repetition_stats": textops.repetition_stats,
         "dup_span_counts": dedup.dup_span_counts,
@@ -599,6 +608,47 @@ def oracle_sql() -> dict[str, str]:
                              PARTITION BY user_id ORDER BY ts, event_id) AS gap
                   FROM events) t
             GROUP BY user_id
+        """,
+        "running_user_totals": """
+            SELECT event_id, user_id,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS running_n,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        OVER w AS BIGINT) AS running_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "event_gaps": """
+            SELECT event_id,
+                   COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id),
+                       -1) AS gap_us
+            FROM events
+        """,
+        # exact integer moments (cents, cents^2) make the float tail
+        # identical-op-order on both engines — see relational.zscore_by_type
+        "zscore_by_type": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events
+            ), s AS (
+              SELECT event_type, COUNT(*) AS n, SUM(cents) AS sc,
+                     SUM(CAST(cents AS HUGEINT) * cents) AS sq
+              FROM c GROUP BY 1
+            )
+            SELECT event_id,
+                   FLOOR(((CAST(cents AS DOUBLE) - CAST(sc AS DOUBLE) / n)
+                          / sqrt(CAST(sq AS DOUBLE) / n
+                                 - (CAST(sc AS DOUBLE) / n)
+                                   * (CAST(sc AS DOUBLE) / n)))
+                         * 1000000 + 0.5) / 1000000 AS z
+            FROM c JOIN s USING (event_type)
+        """,
+        "docs_per_source_cap": """
+            SELECT doc_id, source FROM documents
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY doc_id) <= 20
         """,
         "orders_per_segment": """
             SELECT c_mktsegment,

@@ -71,12 +71,9 @@ _TOK_CACHE_MAX = 4_000_000
 _tok_cache: dict[str, np.uint64] = {}
 
 
-def _mix64(x: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer, vectorized (uint64 wraparound semantics)."""
-    x = x + _GOLDEN
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return x ^ (x >> np.uint64(31))
+# splitmix64 finalizer (vectorized) — shared with the relational part-key
+# machinery; identical constants to the former local definition
+from .hashing import splitmix64 as _mix64  # noqa: E402
 
 
 def _token_ids(toks: list[str]) -> np.ndarray:

@@ -44,6 +44,20 @@ def stable_id64(key: str) -> int:
     return int.from_bytes(d, "big") & 0x7FFF_FFFF_FFFF_FFFF
 
 
+_SPLITMIX_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized (uint64 wraparound semantics).
+
+    Shared mixing primitive for shuffle part keys and LSH bucket ids.
+    """
+    x = x + _SPLITMIX_GOLDEN
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def stable_u64_array(strings: list[str] | np.ndarray) -> np.ndarray:
     """Vector of stable uint64 hashes for minhash seeding / bucketing."""
     out = np.empty(len(strings), dtype=np.uint64)

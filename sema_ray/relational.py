@@ -248,8 +248,197 @@ def sessionize_users(sf_dir: str, gap_us: int = 1_800_000_000) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
-# Joins
+# Ordered-per-key kernels over a bounded-group-count shuffle
 # ---------------------------------------------------------------------------
+
+# groupby(key).map_groups costs one Python call per key (CLAUDE.md sharp
+# edge) — ruinous with millions of keys. These ops instead shuffle on a
+# BOUNDED part key (hash(key) & (ORDERED_PARTS-1)): every key's rows land
+# wholly in one part, the kernel runs ORDERED_PARTS times total, and the
+# per-part work is one vectorized segmented pass over many keys at once.
+ORDERED_PARTS = 64
+
+
+def keyed_part_kernel(ds: rd.Dataset, key_col: str, kernel,
+                      n_parts: int = ORDERED_PARTS) -> rd.Dataset:
+    """Run ``kernel`` over tables holding COMPLETE ``key_col`` groups.
+
+    ``kernel(table) -> table`` must be correct on any union of whole key
+    groups (the same contract as dedup's ``_verified_pairs``). Int64 keys
+    hash with splitmix64; string keys dictionary-encode per block and hash
+    only the dictionary.
+    """
+    from .hashing import splitmix64, stable_u64_array
+
+    mask = np.uint64(n_parts - 1)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        if pa.types.is_integer(col.type):
+            k = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            part = (splitmix64(k.view(np.uint64)) & mask).astype(np.int32)
+        else:
+            enc = pc.dictionary_encode(col.combine_chunks()
+                                       if isinstance(col, pa.ChunkedArray)
+                                       else col)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            dict_parts = (stable_u64_array(enc.dictionary.to_pylist())
+                          & mask).astype(np.int32)
+            part = dict_parts[
+                enc.indices.to_numpy(zero_copy_only=False)]
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    def run(g: pa.Table) -> pa.Table:
+        return kernel(g.drop_columns(["part"]))
+
+    return (ds.map_batches(add_part, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("part").map_groups(run, batch_format="pyarrow"))
+
+
+def _segment_starts(keys: np.ndarray) -> np.ndarray:
+    """Boolean mask: True where a sorted key array starts a new segment."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    return np.r_[True, keys[1:] != keys[:-1]]
+
+
+def cents64(values: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """floor(value*100 + 0.5) as int64 — the fixed-point bridge that makes
+    running/variance arithmetic EXACT (association-independent), so the
+    DuckDB twin matches bit-for-bit no matter how either engine orders its
+    partial sums. Same IEEE ops as ``CAST(FLOOR(value*100+0.5) AS BIGINT)``.
+    """
+    v = pc.cast(values, pa.float64())
+    return pc.cast(pc.floor(pc.add(pc.multiply(v, 100.0), 0.5)),
+                   pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def running_user_totals(sf_dir: str) -> rd.Dataset:
+    """Cumulative per-user aggregate in (ts, event_id) order: running event
+    count and running value total (exact integer cents).
+
+    The cumulative frame is the one windowed shape that needs whole-key
+    locality AND order; expressed as a bounded-part shuffle + one segmented
+    vectorized cumsum per part (no per-key Python, no global sort).
+    """
+    ds = load(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                         "value"])
+
+    def kern(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        cents = cents64(t["value"])
+        new = _segment_starts(u)
+        starts = np.nonzero(new)[0]
+        seg_len = np.diff(np.r_[starts, len(u)])
+        cs = np.cumsum(cents)
+        off = np.where(starts > 0, cs[starts - 1], 0)
+        run_cents = cs - np.repeat(off, seg_len)  # exact: int arithmetic
+        run_n = np.arange(len(u), dtype=np.int64) \
+            - np.repeat(starts, seg_len) + 1
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "running_n": pa.array(run_n, pa.int64()),
+            "running_cents": pa.array(run_cents, pa.int64()),
+        })
+
+    return keyed_part_kernel(ds, "user_id", kern)
+
+
+def event_gaps(sf_dir: str) -> rd.Dataset:
+    """Per-event inter-arrival gap (µs) to the user's previous event —
+    LAG over (PARTITION BY user ORDER BY ts, event_id). Exact integer
+    microseconds end-to-end; a user's first event gets the -1 sentinel
+    (NULL would surface as float64+NaN after to_pandas on both engines —
+    the sentinel keeps the checked column exact int64)."""
+    ds = load(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def kern(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        gap = np.empty(len(u), dtype=np.int64)
+        if len(u):
+            gap[0] = -1
+            gap[1:] = us[1:] - us[:-1]
+            gap[_segment_starts(u)] = -1
+        return pa.table({
+            "event_id": t["event_id"],
+            "gap_us": pa.array(gap, pa.int64()),
+        })
+
+    return keyed_part_kernel(ds, "user_id", kern)
+
+
+def zscore_by_type(sf_dir: str) -> rd.Dataset:
+    """Per-event z-score of value within its event_type (population std).
+
+    Two-pass group normalization: per-block integer-cents partials
+    (n, Σc, Σc²) combine on the driver EXACTLY (Python bigints), then the
+    tiny moment table broadcasts into a stateless map — no shuffle touches
+    the fact table. Because the moments are exact integers, the float ops
+    that follow are identical on both engines, so the oracle matches at
+    full precision (rounded to 6 only for display stability).
+    """
+    ds = load(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        c = cents64(t["value"])
+        et = pc.dictionary_encode(t["event_type"].combine_chunks()
+                                  if isinstance(t["event_type"],
+                                                pa.ChunkedArray)
+                                  else t["event_type"])
+        idx = et.indices.to_numpy(zero_copy_only=False)
+        k = len(et.dictionary)
+        n = np.bincount(idx, minlength=k).astype(np.int64)
+        # int64 scatter-adds keep the partials EXACT (float64 bincount
+        # weights would round above 2^53); per-block Σc² stays well inside
+        # int64 for any realistic block row count
+        s = np.zeros(k, np.int64)
+        np.add.at(s, idx, c)
+        q = np.zeros(k, np.int64)
+        np.add.at(q, idx, c * c)
+        return pa.table({
+            "event_type": et.dictionary,
+            "n": pa.array(n, pa.int64()),
+            "s": pa.array(s, pa.int64()),
+            "q": pa.array(q, pa.int64()),
+        })
+
+    parts = collect_table(ds.map_batches(moments, batch_format="pyarrow",
+                                         batch_size=None))
+    acc: dict[str, list[int]] = {}
+    for et, n, s, qq in zip(parts["event_type"].to_pylist(),
+                            parts["n"].to_pylist(),
+                            parts["s"].to_pylist(),
+                            parts["q"].to_pylist()):
+        a = acc.setdefault(et, [0, 0, 0])
+        a[0] += n
+        a[1] += s
+        a[2] += qq  # Python ints: no overflow at any corpus size
+    stats = {et: (float(a[1]) / a[0],
+                  (float(a[2]) / a[0]) - (float(a[1]) / a[0]) ** 2)
+             for et, a in acc.items()}
+
+    def zmap(t: pa.Table) -> pa.Table:
+        c = cents64(t["value"]).astype(np.float64)
+        et = pc.dictionary_encode(t["event_type"].combine_chunks()
+                                  if isinstance(t["event_type"],
+                                                pa.ChunkedArray)
+                                  else t["event_type"])
+        mean = np.array([stats[x][0] for x in et.dictionary.to_pylist()])
+        var = np.array([stats[x][1] for x in et.dictionary.to_pylist()])
+        idx = et.indices.to_numpy(zero_copy_only=False)
+        z = (c - mean[idx]) / np.sqrt(var[idx])
+        return pa.table({"event_id": t["event_id"],
+                         "z": round_half_up(pa.array(z, pa.float64()), 6)})
+
+    return ds.map_batches(zmap, batch_format="pyarrow")
 
 def _table_rows(sf_dir: str, table: str) -> int:
     """Row count from parquet footer metadata — no data read."""

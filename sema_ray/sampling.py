@@ -79,3 +79,29 @@ def sample_docs_by_lang(sf_dir: str,
         return t.filter(pa.array(buckets < limits))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def docs_per_source_cap(sf_dir: str, cap: int = 20) -> rd.Dataset:
+    """Per-source document quota: keep the ``cap`` lowest doc_ids per source.
+
+    The standard web-pipeline per-domain cap (one domain must not dominate a
+    training mix). Deterministic total order (source, doc_id) makes it
+    reproducible and SQL-oracle-checkable (ROW_NUMBER <= cap). Runs as a
+    bounded-part shuffle + one vectorized segmented rank per part — no
+    per-source Python call (millions of domains at web scale).
+    """
+    from .relational import keyed_part_kernel, _segment_starts
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source"])
+
+    def kern(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("source", "ascending"), ("doc_id", "ascending")])
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        starts = np.nonzero(_segment_starts(src))[0]
+        seg_len = np.diff(np.r_[starts, len(src)])
+        rank = np.arange(len(src), dtype=np.int64) \
+            - np.repeat(starts, seg_len)
+        return t.filter(pa.array(rank < cap))
+
+    return keyed_part_kernel(ds, "source", kern)
