@@ -650,6 +650,35 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (PARTITION BY source
                                        ORDER BY doc_id) <= 20
         """,
+        # greedy next-fit packing as a recursive CTE: each iteration advances
+        # every bucket by one in-bucket rank, threading (seq, room) exactly
+        # like packing.pack_greedy's forward fold
+        "pack_sequences": """
+            WITH RECURSIVE counted AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                          AS BIGINT) AS n_tokens,
+                     CAST(doc_id // 4096 AS BIGINT) AS bucket
+              FROM documents
+            ), c AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+                                           ORDER BY doc_id) AS rn
+              FROM counted
+            ), r AS (
+              SELECT bucket, rn, doc_id, n_tokens,
+                     CAST(0 AS BIGINT) AS seq,
+                     CAST(512 - n_tokens AS BIGINT) AS room
+              FROM c WHERE rn = 1
+              UNION ALL
+              SELECT c.bucket, c.rn, c.doc_id, c.n_tokens,
+                     CASE WHEN c.n_tokens > r.room THEN r.seq + 1
+                          ELSE r.seq END,
+                     CASE WHEN c.n_tokens > r.room THEN 512 - c.n_tokens
+                          ELSE r.room - c.n_tokens END
+              FROM r JOIN c ON c.bucket = r.bucket AND c.rn = r.rn + 1
+            )
+            SELECT doc_id, n_tokens, bucket * 1048576 + seq AS pack_id FROM r
+        """,
         "orders_per_segment": """
             SELECT c_mktsegment,
                    COUNT(*) AS n_orders,

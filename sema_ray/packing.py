@@ -10,9 +10,10 @@ Oversized docs (> budget) become singleton packs (truncation is the
 tokenizer's job downstream). Bucket size is the unit of shuffle
 co-location; at 10^12 docs the bucket span bounds group memory.
 
-Not SQL-expressible (stateful greedy fold) — the driver records a
-rows-only check; the exact oracle is the pure-Python :func:`pack_greedy`
-run over the same rows in pytest.
+The greedy fold is stateful but still SQL-expressible: the DuckDB twin in
+``__ray_entry__`` iterates rank-within-bucket via a recursive CTE (one
+iteration per in-bucket position, all buckets advanced per step); the
+pure-Python :func:`pack_greedy` remains the pytest oracle.
 """
 
 from __future__ import annotations
