@@ -23,6 +23,12 @@ if _REPO_DIR not in sys.path:  # make sema_ray importable however we're loaded
 
 TOKEN_RE = "[A-Za-z0-9]+"
 
+# xor-fold of 8 consecutive rolling-window token hashes (doc_fingerprints)
+_XOR8 = "h[i]"
+for _k in range(1, 8):
+    _XOR8 = f"xor({_XOR8}, h[i+{_k}])"
+del _k
+
 
 def _bm25_sql(clauses: list[tuple[str, ...]], k: int = 20,
               k1: float = 1.2, b: float = 0.75) -> str:
@@ -168,8 +174,37 @@ def _kg_oracle_sqls() -> dict[str, str]:
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM turns
     """
-    return {"kg_normalized": normalized, "kg_mentions": mentions,
-            "kg_triples": triples}
+    out = {"kg_normalized": normalized, "kg_mentions": mentions,
+           "kg_triples": triples}
+
+    # The chunker (chunker.py, bit-exact reference port) emits exactly one
+    # whole-text chunk per turn when every text is under OVERLAP_SIZE+1
+    # bytes (no window split, no tail-overlap quirk, no mid-text newline
+    # backoff) and none for texts under MIN_CHUNK_SIZE. The derived corpus
+    # sits in that regime, so kg_chunks gets an exact SQL twin — guarded by
+    # a max-bytes probe so a future longer-text corpus falls back to the
+    # driver's rows-only check instead of a wrong oracle (multi-chunk byte
+    # arithmetic is covered by the golden chunker tests).
+    import duckdb as _duck
+    max_bytes = _duck.sql(
+        f"SELECT COALESCE(MAX(octet_length(encode(text))), 0) "
+        f"FROM read_parquet('{corpus}/*.parquet')").fetchone()[0]
+    if max_bytes <= 100:
+        out["kg_chunks"] = f"""
+            WITH turns AS ({turns})
+            SELECT conv_id || '/' || turn_idx || ':0' AS id,
+                   conv_id, turn_idx,
+                   CAST(0 AS INT) AS ordinal,
+                   CAST(0 AS BIGINT) AS start_byte,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS end_byte,
+                   CAST(1 AS BIGINT) AS start_line,
+                   CAST(1 + length(text) - length(replace(text, chr(10), ''))
+                        AS BIGINT) AS end_line,
+                   text AS content
+            FROM turns
+            WHERE octet_length(encode(text)) >= 50
+        """
+    return out
 
 
 def entry() -> Any:
@@ -933,6 +968,30 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 536870912 END
         """,
         "lang_id": _lang_id_sql(),
+        # winnowing fingerprint: md5-low8 token hashes, XOR-combined rolling
+        # 8-token windows, min — exact integer twin of textops.md5_u64 +
+        # FingerprintStage (the xor fold mirrors the numpy roll loop)
+        "doc_fingerprints": f"""
+            WITH d AS (
+              SELECT doc_id, text,
+                     [('0x' || substr(md5(t), 17, 16))::UBIGINT
+                      for t in regexp_extract_all(lower(text),
+                                                  '[A-Za-z0-9]+')] AS h
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(CASE
+                WHEN len(h) = 0 THEN
+                  CASE WHEN text IS NULL OR text = '' THEN 0
+                       ELSE ('0x' || substr(md5(text), 17, 16))::UBIGINT
+                            & 9223372036854775807 END
+                WHEN len(h) < 8 THEN list_min(h) & 9223372036854775807
+                ELSE list_min(
+                    [{_XOR8} for i in range(1, len(h) - 6)])
+                    & 9223372036854775807
+              END AS BIGINT) AS fingerprint
+            FROM d
+        """,
         "benchmark_contamination": _contamination_sql(),
         "pii_scrub": r"""
             WITH e AS (

@@ -18,7 +18,6 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-from .hashing import stable_id64
 from .util import round_half_up
 
 TOKEN_RE = "[A-Za-z0-9]+"
@@ -183,13 +182,37 @@ def lang_id(sf_dir: str) -> rd.Dataset:
                           concurrency=(1, 4))
 
 
+# token -> md5-low-8-bytes hash, memoized per worker, bounded (ADVICE r2:
+# open vocabularies must not grow a long-lived worker cache without limit).
+# md5 (not blake2b) so the DuckDB twin can compute the identical value:
+# ('0x' || substr(md5(t), 17, 16))::UBIGINT.
+_MD5_CACHE_MAX = 4_000_000
+_md5_cache: dict[str, int] = {}
+
+
+def md5_u64(s: str) -> int:
+    """Low 8 bytes of md5 as uint64 — the SQL-reproducible token hash."""
+    import hashlib
+    cache = _md5_cache
+    if len(cache) > _MD5_CACHE_MAX:
+        cache.clear()
+    v = cache.get(s)
+    if v is None:
+        v = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:16],
+                           "big")
+        cache[s] = v
+    return v
+
+
 def doc_fingerprints(sf_dir: str, window: int = 8) -> rd.Dataset:
     """Rolling-hash document fingerprint (winnowing-style, deterministic).
 
-    Token stream -> stable 64-bit token hashes -> rolling window of ``window``
-    tokens -> fingerprint = min windowed hash (robust to small edits at the
-    ends). Reuses the reference's content-fingerprint role
-    (``src/storage/mod.rs:72-94``) at document granularity.
+    Token stream -> md5-low8 token hashes -> rolling window of ``window``
+    tokens XOR-combined -> fingerprint = min windowed hash (robust to small
+    edits at the ends). Reuses the reference's content-fingerprint role
+    (``src/storage/mod.rs:72-94``) at document granularity. Every step is
+    exact integer arithmetic DuckDB can replicate, so the driver gets a
+    full value-hash oracle.
     """
     ds = _load_docs(sf_dir, ["doc_id", "text"])
 
@@ -203,8 +226,8 @@ def doc_fingerprints(sf_dir: str, window: int = 8) -> rd.Dataset:
             if not toks:
                 # non-ASCII-token text (CJK, Cyrillic, ...): whole-text hash
                 # so distinct documents keep distinct fingerprints
-                return stable_id64(text) & 0x7FFF_FFFF_FFFF_FFFF if text else 0
-            hs = np.array([stable_id64(t) for t in toks], dtype=np.uint64)
+                return md5_u64(text) & 0x7FFF_FFFF_FFFF_FFFF if text else 0
+            hs = np.array([md5_u64(t) for t in toks], dtype=np.uint64)
             if len(hs) < window:
                 acc = int(hs.min())
             else:
