@@ -406,6 +406,16 @@ def _pack_sequences(sf_dir: str):
     return pack_sequences(sf_dir)
 
 
+def _kmeans_clusters(sf_dir: str):
+    from sema_ray.clustering import kmeans_clusters
+    return kmeans_clusters(sf_dir)
+
+
+def _cluster_balanced_sample(sf_dir: str):
+    from sema_ray.clustering import cluster_balanced_sample
+    return cluster_balanced_sample(sf_dir)
+
+
 def _value_quantiles(sf_dir: str):
     """Distributed exact quantile_cont via histogram-guided selection."""
     from sema_ray.sketches import quantiles_value
@@ -568,6 +578,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": simsearch.knn_ivf_checked,
         "embedding_dup_pairs": _embedding_dup_pairs,
         "embedding_near_dup": simsearch.embedding_near_dup,
+        # iterative: distributed Lloyd's k-means (per-iteration partial-sum
+        # reduce; non-SQL by nature — mixture-recovery oracle in pytest)
+        "kmeans_clusters": _kmeans_clusters,
+        "cluster_balanced_sample": _cluster_balanced_sample,
         "semantic_search": simsearch.semantic_search,
         "bm25_search": simsearch.bm25_search,
         "bm25_phrase_search": _bm25_phrase_search,
