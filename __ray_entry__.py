@@ -572,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.minhash_near_dup,
         "dedup_simhash": dedup.simhash_near_dup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_incremental": dedup.incremental_dedup,
         # --- similarity search --------------------------------------------
         "knn_bruteforce": simsearch.knn_bruteforce,
         "knn_lsh": simsearch.knn_lsh_checked,
@@ -910,6 +911,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    MIN(doc_id) OVER (PARTITION BY text) AS rep_id
             FROM documents
+        """,
+        # snapshot-over-snapshot dedup: odd-id docs checked against even-id
+        # docs; Ray side is Bloom-prefiltered but exact (128-bit verify)
+        "dedup_incremental": """
+            SELECT d.doc_id,
+                   EXISTS (SELECT 1 FROM documents p
+                           WHERE p.doc_id % 2 = 0 AND p.text = d.text)
+                       AS is_dup
+            FROM documents d WHERE d.doc_id % 2 = 1
         """,
         "dedup_ngram_jaccard": """
             WITH t AS (SELECT doc_id,

@@ -90,6 +90,68 @@ def approx_distinct(ds: rd.Dataset, column: str, p: int = 12) -> float:
 
 
 # ---------------------------------------------------------------------------
+# Bloom filter (membership sketch for incremental / cross-snapshot dedup)
+# ---------------------------------------------------------------------------
+
+from .hashing import splitmix64 as _mix64  # noqa: E402
+
+
+class BloomFilter:
+    """Standard Bloom filter over uint64 key hashes, double hashing
+    (Kirsch-Mitzenmacher: bit_i = h1 + i*h2), vectorized adds/probes.
+
+    Distributed build protocol: per-block partials emit only the NONZERO
+    words (``sparse_words``) — bounded by k x block-rows words, never the
+    full bit array — and the driver ORs them into one filter that is then
+    broadcast once (``ray.put``). At ~10^9 keys the dense array is ~1 GB;
+    beyond that, shard the key space by hash prefix and build one filter
+    per shard (each pass below is unchanged per shard).
+    """
+
+    K = 7  # hash probes -> ~1% FP at 9.6 bits/key
+
+    def __init__(self, m_bits: int):
+        self.m_bits = max(64, (m_bits + 63) // 64 * 64)
+        self.words = np.zeros(self.m_bits // 64, dtype=np.uint64)
+
+    @classmethod
+    def for_keys(cls, n_keys: int) -> "BloomFilter":
+        return cls(max(1024, int(n_keys * 9.6)))
+
+    def _positions(self, hs: np.ndarray) -> np.ndarray:
+        """[n, K] bit positions per key hash."""
+        h1 = hs.astype(np.uint64)
+        h2 = _mix64(h1) | np.uint64(1)
+        i = np.arange(self.K, dtype=np.uint64)[None, :]
+        return ((h1[:, None] + i * h2[:, None])
+                % np.uint64(self.m_bits)).astype(np.int64)
+
+    def add_hashes(self, hs: np.ndarray) -> None:
+        if len(hs) == 0:
+            return
+        pos = self._positions(hs).reshape(-1)
+        np.bitwise_or.at(self.words, pos >> 6,
+                         np.uint64(1) << (pos.astype(np.uint64)
+                                          & np.uint64(63)))
+
+    def contains(self, hs: np.ndarray) -> np.ndarray:
+        """[n] bool — no false negatives, ~1% false positives at sizing."""
+        if len(hs) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(hs)
+        bits = (self.words[pos >> 6]
+                >> (pos.astype(np.uint64) & np.uint64(63))) & np.uint64(1)
+        return bits.all(axis=1)
+
+    def sparse_words(self) -> tuple[np.ndarray, np.ndarray]:
+        nz = np.nonzero(self.words)[0]
+        return nz, self.words[nz]
+
+    def or_sparse(self, idx: np.ndarray, words: np.ndarray) -> None:
+        np.bitwise_or.at(self.words, idx, words.astype(np.uint64))
+
+
+# ---------------------------------------------------------------------------
 # Distributed exact quantiles via histogram-guided selection
 # ---------------------------------------------------------------------------
 

@@ -302,3 +302,56 @@ def test_distributed_verification_matches_local(ray_session, dup_dir,
     dist = {k: norm(v) for k, v in run_all().items()}
     for k in local:
         pd.testing.assert_frame_equal(local[k], dist[k]), k
+
+
+def test_bloom_filter_membership():
+    from sema_ray.sketches import BloomFilter
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 1 << 63, size=20_000, dtype=np.uint64)
+    probes = rng.integers(0, 1 << 63, size=20_000, dtype=np.uint64)
+    probes = probes[~np.isin(probes, keys)]
+    bf = BloomFilter.for_keys(len(keys))
+    bf.add_hashes(keys)
+    assert bf.contains(keys).all()  # Bloom invariant: no false negatives
+    assert bf.contains(probes).mean() < 0.05  # sized for ~1% FP
+    # sparse OR-merge (the distributed build protocol) == direct build
+    half_a, half_b = keys[:10_000], keys[10_000:]
+    pa_, pb = BloomFilter.for_keys(len(keys)), BloomFilter.for_keys(len(keys))
+    pa_.add_hashes(half_a)
+    pb.add_hashes(half_b)
+    merged = BloomFilter.for_keys(len(keys))
+    for part in (pa_, pb):
+        merged.or_sparse(*part.sparse_words())
+    assert (merged.words == bf.words).all()
+
+
+@pytest.fixture(scope="module")
+def snapshot_dir(tmp_path_factory):
+    """documents.parquet with CROSS-PARITY planted dups: even ids are the
+    prior snapshot, odd ids the new one; odd ids 101/103 duplicate prior
+    texts, the rest of the odd ids are novel."""
+    rng = np.random.default_rng(11)
+    base = [_doc(rng) for _ in range(40)]
+    ids = list(range(40))          # ids 0..39, text base[i]
+    texts = list(base)
+    ids += [101, 103, 105, 107]
+    texts += [base[2], base[4],    # dups of even (prior) docs
+              base[3], _doc(rng)]  # base[3] is odd->new: NOT a prior dup
+    d = tmp_path_factory.mktemp("snap")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        os.path.join(str(d), "documents.parquet"), row_group_size=16)
+    return str(d)
+
+
+def test_incremental_dedup_exact_vs_reference(ray_session, snapshot_dir):
+    out = dedup.incremental_dedup(snapshot_dir).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    tbl = pq.read_table(os.path.join(snapshot_dir, "documents.parquet"))
+    ids, texts = tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()
+    prior = {t for i, t in zip(ids, texts) if i % 2 == 0}
+    want = {i: (t in prior) for i, t in zip(ids, texts) if i % 2 == 1}
+    got = dict(zip(out["doc_id"], out["is_dup"]))
+    assert got == want
+    assert got[101] and got[103] and not got[105] and not got[107]
