@@ -555,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis / training-data hygiene ------------------------
         "doc_stats": textops.doc_stats,
         "token_count_by_lang": textops.token_count_by_lang,
+        "bpe_token_counts": textops.bpe_token_counts,
         "quality_scores": textops.quality_scores,
         "lang_id": textops.lang_id,
         "doc_fingerprints": textops.doc_fingerprints,
@@ -888,6 +889,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(length(regexp_extract_all(text, '{TOKEN_RE}')))
                         AS BIGINT) AS n_tokens
             FROM documents GROUP BY lang
+        """,
+        # same RE2 engine + pattern string on both sides -> exact counts
+        "bpe_token_counts": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+                        AS BIGINT) AS n_tokens_bpe
+            FROM documents
         """,
         "quality_scores": f"""
             SELECT doc_id,

@@ -74,6 +74,39 @@ def token_count_by_lang(sf_dir: str) -> rd.Dataset:
     )
 
 
+# GPT-2-style pretokenizer (the "BPE-ish" token estimate): contraction
+# suffixes, space-prefixed letter/digit/punctuation runs, whitespace runs.
+# The upstream pattern's trailing-whitespace lookahead is dropped — RE2 (the
+# engine in BOTH Arrow and DuckDB) has no lookahead, and for counting it
+# only re-splits a doc's final whitespace run, a ≤1-token difference the
+# two engines agree on anyway.
+BPE_TOKEN_RE = (r"'(?:s|t|re|ve|m|ll|d)"
+                r"| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def bpe_token_counts(sf_dir: str) -> rd.Dataset:
+    """Per-document BPE-ish token estimate: (doc_id, n_tokens_bpe).
+
+    Counts GPT-2 pretokenizer matches with one RE2 kernel pass — the
+    standard "how many tokens will the tokenizer produce" budget estimate
+    when running the real BPE merge table is too expensive for a corpus
+    sweep (merges only ever split pretokens further, so this lower-bounds
+    and tightly tracks true BPE counts on natural text). Exact twin in
+    DuckDB: ``len(regexp_extract_all(text, pattern))`` — same RE2 engine,
+    same pattern string.
+    """
+    ds = _load_docs(sf_dir, ["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"],
+                                             pattern=BPE_TOKEN_RE),
+                    pa.int64())
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "n_tokens_bpe": pc.fill_null(n, 0)})
+
+    return ds.map_batches(count, batch_format="pyarrow", batch_size=None)
+
+
 def quality_scores(sf_dir: str) -> rd.Dataset:
     """Heuristic quality features: ratios of exact integer counts.
 

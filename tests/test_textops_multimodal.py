@@ -132,3 +132,19 @@ def test_resize_and_frame_sample_plumbing(ray_session):
     assert len(frames) == 3 * n_videos
     assert set(frames["frame_idx"]) == {0, 1, 2}
     assert all(len(f) == multimodal.FEATURE_DIM for f in frames["feature"])
+
+def test_bpe_token_counts_vs_regex_reference(ray_session):
+    """Third-implementation check: Python `regex` (supports \\p classes,
+    leftmost-first like RE2) over the real testdata — the DuckDB twin is
+    covered separately by the oracle mirror."""
+    regex = pytest.importorskip("regex")
+    sf = "/root/testdata/sf0.001"
+    out = textops.bpe_token_counts(sf).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    tbl = pq.read_table(os.path.join(sf, "documents.parquet"),
+                        columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    pat = regex.compile(textops.BPE_TOKEN_RE)
+    want = tbl["text"].map(lambda t: len(pat.findall(t))).astype("int64")
+    assert (out["doc_id"].values == tbl["doc_id"].values).all()
+    assert (out["n_tokens_bpe"].values == want.values).all()
