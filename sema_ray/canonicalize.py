@@ -56,6 +56,10 @@ def normalize_surface(surface: str) -> str:
 # this path is driver-serial in canonical_entities, so it is on the
 # pipeline's serial fraction)
 _shingle_cache: dict[str, int] = {}
+# the 3-char-shingle vocabulary is bounded (~alphabet³) in practice, but cap
+# anyway so a pathological unicode vocabulary can't grow a long-lived worker
+# without limit (same guard as dedup._tok_cache / textops._md5_cache)
+_SHINGLE_CACHE_MAX = 4_000_000
 
 
 def char_shingle_hashes(key: str, k: int = 3) -> np.ndarray:
@@ -65,6 +69,8 @@ def char_shingle_hashes(key: str, k: int = 3) -> np.ndarray:
         s = s.ljust(k, "$")
     shingles = {s[i : i + k] for i in range(len(s) - k + 1)}
     cache = _shingle_cache
+    if len(cache) > _SHINGLE_CACHE_MAX:
+        cache.clear()
     out = np.empty(len(shingles), dtype=np.uint64)
     for i, sh in enumerate(sorted(shingles)):
         v = cache.get(sh)

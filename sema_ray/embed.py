@@ -46,6 +46,11 @@ class HashEmbedder:
     when hosted in a map_batches actor.
     """
 
+    # ~1.5 KB per distinct token at dim 384 — cap so an open-vocabulary
+    # corpus (ids, hashes, typos) can't grow a long-lived actor past a few
+    # hundred MB (same guard as the dedup/textops token caches)
+    CACHE_MAX = 200_000
+
     def __init__(self, dim: int = EMBED_DIM):
         self.dim = dim
         self._cache: dict[str, np.ndarray] = {}
@@ -53,6 +58,8 @@ class HashEmbedder:
     def _token_vec(self, token: str) -> np.ndarray:
         v = self._cache.get(token)
         if v is None:
+            if len(self._cache) > self.CACHE_MAX:
+                self._cache.clear()
             rng = np.random.default_rng(_token_seed(token))
             v = rng.standard_normal(self.dim).astype(np.float32)
             self._cache[token] = v
