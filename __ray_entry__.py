@@ -406,6 +406,27 @@ def _pack_sequences(sf_dir: str):
     return pack_sequences(sf_dir)
 
 
+def _dup_components(sf_dir: str):
+    """Connected components of the exact-Jaccard near-dup graph, computed
+    by DISTRIBUTED alternating star rounds (sema_ray.graph) instead of the
+    driver union-find — the scale path for duplicate graphs too large to
+    centralize. Every doc gets a component (isolated -> self)."""
+    from sema_ray.dedup import _load_docs, assign_reps, ngram_jaccard_pairs
+    from sema_ray.graph import connected_components
+    from sema_ray.util import collect_table
+
+    pairs = ngram_jaccard_pairs(sf_dir)
+    labels = collect_table(connected_components(pairs))
+    rep_of = {}
+    if labels.num_rows and "node" in labels.column_names:
+        rep_of = {int(n): int(c)
+                  for n, c in zip(labels["node"].to_pylist(),
+                                  labels["component"].to_pylist())
+                  if int(n) != int(c)}
+    return assign_reps(_load_docs(sf_dir, ["doc_id"]), rep_of,
+                       rep_col="component")
+
+
 def _kmeans_clusters(sf_dir: str):
     from sema_ray.clustering import kmeans_clusters
     return kmeans_clusters(sf_dir)
@@ -574,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.simhash_near_dup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_incremental": dedup.incremental_dedup,
+        "dup_components": _dup_components,
         # --- similarity search --------------------------------------------
         "knn_bruteforce": simsearch.knn_bruteforce,
         "knn_lsh": simsearch.knn_lsh_checked,
@@ -953,6 +975,36 @@ def oracle_sql() -> dict[str, str]:
                   FROM p)
             SELECT a, b, FLOOR(raw * 10000 + 0.5) / 10000 AS jac
             FROM j WHERE raw >= 0.5
+        """,
+        # closure of the same pair graph dedup_ngram_jaccard checks, seeded
+        # with every doc (isolated -> self); Ray side runs distributed
+        # alternating star rounds instead of the driver union-find
+        "dup_components": """
+            WITH RECURSIVE t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9]+')
+                                  AS toks
+                       FROM documents),
+            s AS (SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                          WHEN len(toks) < 3
+                              THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(
+                              [array_to_string(toks[i:i+2], ' ')
+                               FOR i IN generate_series(1, len(toks) - 2)])
+                     END AS sh
+                  FROM t),
+            p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS ni,
+                         CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS nu
+                  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+            e AS (SELECT a, b FROM p
+                  WHERE (CASE WHEN nu = 0 THEN 1.0 ELSE ni / nu END) >= 0.5),
+            ed AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+            reach(v, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT reach.v, ed.b FROM reach JOIN ed ON reach.r = ed.a)
+            SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v
         """,
         "embedding_near_dup": """
             WITH RECURSIVE e AS (
