@@ -442,11 +442,20 @@ def _hot_buckets(light: rd.Dataset,
 # and only verified (a, b) pairs ever reach the driver.
 LOCAL_VERIFY_MAX_ROWS = 2_000_000
 VERIFY_PARTS = 64
+# On the distributed-verification path, pair lists at or above this size
+# are first reduced by DISTRIBUTED connected components (alternating star
+# rounds, sema_ray.graph) into equivalent (component-min, node) star pairs
+# — strictly label-table-sized — before the driver sees anything. The raw
+# pair list (all in-bucket pairs on a heavily duplicated corpus) can be
+# quadratically larger than the node set; the star form feeds the same
+# union-find to the same rep map.
+DISTRIBUTED_REDUCE_MIN_PAIRS = 5_000_000
 
 
 def _verified_pairs(member_ds: rd.Dataset, kernel, member_rows: int,
                     local_max_rows: int | None = None,
-                    n_parts: int = VERIFY_PARTS) -> pa.Table:
+                    n_parts: int = VERIFY_PARTS,
+                    compress_reduction: bool = True) -> pa.Table:
     """Run a per-bucket verification ``kernel`` over colliding-member rows.
 
     ``kernel`` takes a table of complete buckets (every row of any bucket it
@@ -454,6 +463,10 @@ def _verified_pairs(member_ds: rd.Dataset, kernel, member_rows: int,
     whole buckets, so the same function serves both placements. The part key
     is the bucket's low bits (buckets are splitmix64 outputs — low bits are
     uniform), which keeps every bucket intact inside exactly one group.
+
+    ``compress_reduction`` (cluster-forming callers only — callers that need
+    the literal pair listing pass False) enables the star-pair compression
+    above ``DISTRIBUTED_REDUCE_MIN_PAIRS``.
     """
     if local_max_rows is None:
         local_max_rows = LOCAL_VERIFY_MAX_ROWS
@@ -473,6 +486,17 @@ def _verified_pairs(member_ds: rd.Dataset, kernel, member_rows: int,
                                  batch_size=None)
            .groupby("part")
            .map_groups(verify_group, batch_format="pyarrow"))
+    if compress_reduction:
+        out = out.materialize()
+        if out.count() >= DISTRIBUTED_REDUCE_MIN_PAIRS:
+            from .graph import connected_components
+            labels = connected_components(out, a_col="a", b_col="b")
+            out = labels.map_batches(
+                lambda t: (lambda m: pa.table(
+                    {"a": t["component"].filter(m),
+                     "b": t["node"].filter(m)}))(
+                    pc.not_equal(t["node"], t["component"])),
+                batch_format="pyarrow", batch_size=None)
     return collect_table(out)
 
 
@@ -588,7 +612,10 @@ def minhash_candidate_pairs(ds: rd.Dataset, threshold: float = 0.7,
     def kernel(mt: pa.Table) -> pa.Table:
         return _members_to_pairs(mt, threshold, all_pairs, max_bucket)
 
-    return _verified_pairs(full, kernel, member_rows)
+    # a complete pair listing (all_pairs — the ngram verification feed)
+    # must not be star-compressed; cluster-forming callers may be
+    return _verified_pairs(full, kernel, member_rows,
+                           compress_reduction=not all_pairs)
 
 
 SMALL_REP_MAP = 100_000

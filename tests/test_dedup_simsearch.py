@@ -355,3 +355,18 @@ def test_incremental_dedup_exact_vs_reference(ray_session, snapshot_dir):
     got = dict(zip(out["doc_id"], out["is_dup"]))
     assert got == want
     assert got[101] and got[103] and not got[105] and not got[107]
+
+
+def test_star_compressed_reduction_matches_union_find(ray_session, dup_dir,
+                                                      monkeypatch):
+    """Forcing the distributed-verification + connected-components pair
+    compression must produce the identical cluster assignment the default
+    (driver union-find over raw pairs) path produces."""
+    base = dedup.minhash_near_dup(dup_dir).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    monkeypatch.setattr(dedup, "LOCAL_VERIFY_MAX_ROWS", 0)
+    monkeypatch.setattr(dedup, "LOCAL_COUNT_MAX_ROWS", 0)
+    monkeypatch.setattr(dedup, "DISTRIBUTED_REDUCE_MIN_PAIRS", 0)
+    comp = dedup.minhash_near_dup(dup_dir).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert base.equals(comp)
