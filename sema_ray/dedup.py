@@ -472,20 +472,7 @@ def _verified_pairs(member_ds: rd.Dataset, kernel, member_rows: int,
         local_max_rows = LOCAL_VERIFY_MAX_ROWS
     if member_rows <= local_max_rows:
         return kernel(collect_table(member_ds))
-
-    def add_part(t: pa.Table) -> pa.Table:
-        part = pc.cast(pc.bit_wise_and(t["bucket"],
-                                       pa.scalar(n_parts - 1, pa.int64())),
-                       pa.int32())
-        return t.append_column("part", part)
-
-    def verify_group(g: pa.Table) -> pa.Table:
-        return kernel(g.drop_columns(["part"]))
-
-    out = (member_ds.map_batches(add_part, batch_format="pyarrow",
-                                 batch_size=None)
-           .groupby("part")
-           .map_groups(verify_group, batch_format="pyarrow"))
+    out = _verified_pairs_ds(member_ds, kernel, n_parts)
     if compress_reduction:
         out = out.materialize()
         if out.count() >= DISTRIBUTED_REDUCE_MIN_PAIRS:
@@ -498,6 +485,27 @@ def _verified_pairs(member_ds: rd.Dataset, kernel, member_rows: int,
                     pc.not_equal(t["node"], t["component"])),
                 batch_format="pyarrow", batch_size=None)
     return collect_table(out)
+
+
+def _verified_pairs_ds(member_ds: rd.Dataset, kernel,
+                       n_parts: int = VERIFY_PARTS) -> rd.Dataset:
+    """The distributed placement of :func:`_verified_pairs` as a LAZY
+    Dataset — for callers that keep the pair list distributed downstream
+    (the ngram join path, connected components)."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["bucket"],
+                                       pa.scalar(n_parts - 1, pa.int64())),
+                       pa.int32())
+        return t.append_column("part", part)
+
+    def verify_group(g: pa.Table) -> pa.Table:
+        return kernel(g.drop_columns(["part"]))
+
+    return (member_ds.map_batches(add_part, batch_format="pyarrow",
+                                  batch_size=None)
+            .groupby("part")
+            .map_groups(verify_group, batch_format="pyarrow"))
 
 
 def _members_to_pairs(mt: pa.Table, threshold: float, all_pairs: bool,
@@ -824,15 +832,16 @@ def _jaccard_of_blobs(sa: bytes, sb: bytes, threshold: float):
     return math.floor(jac * 10000.0 + 0.5) / 10000.0
 
 
-def _ngram_verify_join(ds: rd.Dataset, pairs: np.ndarray, threshold: float,
+def _ngram_verify_join(ds: rd.Dataset, pair_ds: rd.Dataset,
+                       members: np.ndarray, threshold: float,
                        num_partitions: int = 16) -> rd.Dataset:
     """Scale-path verification: pair list ⋈ member shingles twice, then a
-    per-row exact-Jaccard filter — shingle sets stay distributed end to end
-    (VERDICT r2 #1; the r1 join shape, restored above the member threshold).
+    per-row exact-Jaccard filter — shingle sets AND the pair list stay
+    distributed end to end (VERDICT r2 #1; the r1 join shape, restored
+    above the member threshold). ``members`` (distinct pair endpoints,
+    node-sized) is the one broadcast array.
     """
-    shingles = _member_shingle_rows(ds, np.unique(pairs))
-    pair_ds = rd.from_arrow(pa.table({"a": pa.array(pairs[:, 0], pa.int64()),
-                                      "b": pa.array(pairs[:, 1], pa.int64())}))
+    shingles = _member_shingle_rows(ds, members)
     # fractional-CPU aggregators: hash-join shuffle actors must never
     # reserve whole cores, or back-to-back joins deadlock (CLAUDE.md)
     agg_args = {"num_cpus": 0.05}
@@ -870,20 +879,60 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
 
     Candidates from LSH (loose estimate threshold to keep recall), then
     exact verification over just the candidate members' shingle sets.
-    Placement is adaptive (``NGRAM_LOCAL_VERIFY_MAX_MEMBERS``): small member
-    sets are gathered with one distributed filter pass and verified on the
-    driver; large ones (heavily duplicated corpora) go through the
-    distributed two-join path (:func:`_ngram_verify_join`) so shingle sets
-    never centralize. Output: a, b, jac (rounded half-up to 4, same IEEE
-    ops as the DuckDB oracle).
+    Placement is adaptive, three regimes:
+
+    - colliding-member band rows > ``LOCAL_VERIFY_MAX_ROWS``: FULLY
+      distributed — candidate pairs are generated inside the bounded-part
+      shuffle, deduplicated with a distributed groupby, and verified via
+      the two-join path; only the distinct-endpoint array (node-sized)
+      ever reaches the driver.
+    - members > ``NGRAM_LOCAL_VERIFY_MAX_MEMBERS``: candidate pairs fit on
+      the driver but shingle sets do not — driver pair list, distributed
+      join verification.
+    - otherwise: member shingles are gathered with one distributed filter
+      pass and verified on the driver (fastest at bench scale).
+
+    Output: a, b, jac (rounded half-up to 4, same IEEE ops as the DuckDB
+    oracle).
     """
     ds = _load_docs(sf_dir, ["doc_id", "text"])
-    # complete pair listing => all in-bucket pairs, deduped across bands
-    raw = minhash_candidate_pairs(ds, lsh_estimate_threshold, all_pairs=True,
-                                  approx_rows=_doc_count(sf_dir) * BANDS)
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       "jac": pa.array([], pa.float64())})
+    light = ds.map_batches(MinHashBandStage("doc_id", "text"),
+                           batch_format="pyarrow")
+    hot, member_rows = _hot_buckets(light, _doc_count(sf_dir) * BANDS)
+    if len(hot) == 0:
+        return rd.from_arrow(empty)
+    full = ds.map_batches(
+        MinHashBandStage("doc_id", "text", carry_sig=True, hot=hot),
+        batch_format="pyarrow")
+
+    def kernel(mt: pa.Table) -> pa.Table:
+        # complete pair listing => all in-bucket pairs, deduped across bands
+        return _members_to_pairs(mt, lsh_estimate_threshold, True, 256)
+
+    if member_rows > LOCAL_VERIFY_MAX_ROWS:
+        raw_ds = _verified_pairs_ds(full, kernel)
+        # cross-part dedup (bands of one pair can land in different parts)
+        pair_ds = raw_ds.groupby(["a", "b"]).count() \
+            .select_columns(["a", "b"])
+
+        def endpoint_partial(t: pa.Table) -> pa.Table:
+            u = np.unique(np.concatenate(
+                [t["a"].to_numpy(zero_copy_only=False),
+                 t["b"].to_numpy(zero_copy_only=False)]))
+            return pa.table({"m": pa.array(u, pa.int64())})
+
+        et = collect_table(pair_ds.map_batches(endpoint_partial,
+                                               batch_format="pyarrow",
+                                               batch_size=None))
+        if et.num_rows == 0 or "m" not in et.column_names:
+            return rd.from_arrow(empty)
+        members = np.unique(et["m"].to_numpy(zero_copy_only=False))
+        return _ngram_verify_join(ds, pair_ds, members, threshold)
+
+    raw = kernel(collect_table(full))
     if raw.num_rows == 0:
         return rd.from_arrow(empty)
     pairs = np.unique(np.stack([raw["a"].to_numpy(zero_copy_only=False),
@@ -891,7 +940,10 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
                                axis=1), axis=0)
     members = np.unique(pairs)
     if len(members) > NGRAM_LOCAL_VERIFY_MAX_MEMBERS:
-        return _ngram_verify_join(ds, pairs, threshold)
+        pair_ds = rd.from_arrow(pa.table({
+            "a": pa.array(pairs[:, 0], pa.int64()),
+            "b": pa.array(pairs[:, 1], pa.int64())}))
+        return _ngram_verify_join(ds, pair_ds, members, threshold)
 
     mt = collect_table(_member_shingle_rows(ds, members))
     sh_of = {int(i): s for i, s in zip(mt["doc_id"].to_pylist(),
