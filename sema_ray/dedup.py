@@ -22,10 +22,13 @@ Pipeline shapes (all Ray-Data-first, SURVEY §2 "Set ops / dedup"):
   text processing) — the scale path for precise thresholds.
 
 Only the union-find reduction is centralized, and it sees only the verified
-pair list (bounded: LSH emits pairs only for colliding docs). Cluster
-*assignment* is distributed: the member->rep map (pair members only, ≪
-corpus) is broadcast and applied in ``map_batches`` with default rep=self —
-no full-id-column driver materialization anywhere.
+pair list (bounded: LSH emits pairs only for colliding docs) — above
+``DISTRIBUTED_REDUCE_MIN_PAIRS`` even that list is first star-compressed by
+distributed connected components (:mod:`sema_ray.graph`), so the driver
+holds a label-table-sized pair set on any dup rate. Cluster *assignment* is
+distributed: the member->rep map (pair members only, ≪ corpus) is broadcast
+and applied in ``map_batches`` with default rep=self — no full-id-column
+driver materialization anywhere.
 """
 
 from __future__ import annotations

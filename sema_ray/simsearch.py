@@ -445,9 +445,13 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.935,
     vectors, and exact-cosine-verifies all pairs inside each bucket — on
     the driver below ``EMB_LOCAL_VERIFY_MAX_ROWS`` member rows, else inside
     a bounded-group-count ``groupby("part")`` so member vectors never
-    centralize (VERDICT r2 #1). Only verified pairs reach the union-find;
-    the member->rep map is broadcast back for a distributed assignment
-    (:func:`sema_ray.dedup.assign_reps`). Output: vec_id, rep_id.
+    centralize (VERDICT r2 #1). Only verified pairs reach the union-find —
+    and above ``dedup.DISTRIBUTED_REDUCE_MIN_PAIRS`` the pair graph is
+    first star-compressed by distributed connected components, so the
+    driver sees a label-table-sized pair set even on pathological dup
+    rates. The member->rep map is broadcast back for a distributed
+    assignment (:func:`sema_ray.dedup.assign_reps`). Output: vec_id,
+    rep_id.
     """
     from .dedup import _hot_buckets, _verified_pairs, assign_reps, \
         rep_map_from_pairs
