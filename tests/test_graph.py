@@ -61,3 +61,22 @@ def test_cc_empty_edges(ray_session):
                     "b": pa.array([], pa.int64())})
     out = connected_components(rd.from_arrow(tbl)).to_pandas()
     assert len(out) == 0
+
+
+def test_cc_property_random_graphs(ray_session):
+    """Hypothesis-style sweep without per-example Ray overhead: a batch of
+    adversarial edge lists (negative ids, dup edges, self loops, multiple
+    shapes) checked against union-find in one session."""
+    rng = np.random.default_rng(29)
+    cases = []
+    cases.append([(-5, -9), (-9, 3), (7, 7), (3, -5)])       # negatives+loop
+    cases.append([(0, 1)] * 6 + [(1, 2), (2, 0)])             # dup edges
+    cases.append([(i, (i * 7919) % 50) for i in range(50)])   # mod graph
+    for n, m in ((10, 40), (64, 64), (200, 100)):
+        e = rng.integers(-n, n, size=(m, 2))
+        cases.append([(int(a), int(b)) for a, b in e])
+    for edges in cases:
+        clean = [(a, b) for a, b in edges if a != b]
+        if not clean:
+            continue
+        assert _run(edges) == _reference(clean), edges[:5]
