@@ -600,6 +600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": simsearch.knn_bruteforce,
         "knn_lsh": simsearch.knn_lsh_checked,
         "knn_ivf": simsearch.knn_ivf_checked,
+        "knn_sq8": simsearch.knn_sq8_checked,
+        "quantize_embeddings": simsearch.quantize_embeddings,
         "embedding_dup_pairs": _embedding_dup_pairs,
         "embedding_near_dup": simsearch.embedding_near_dup,
         # iterative: distributed Lloyd's k-means (per-iteration partial-sum
@@ -1115,6 +1117,7 @@ def oracle_sql() -> dict[str, str]:
         # regression becomes a hash mismatch).
         "knn_lsh": _KNN_CHECK_SQL,
         "knn_ivf": _KNN_CHECK_SQL,
+        "knn_sq8": _KNN_CHECK_SQL,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

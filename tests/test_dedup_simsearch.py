@@ -370,3 +370,31 @@ def test_star_compressed_reduction_matches_union_find(ray_session, dup_dir,
     comp = dedup.minhash_near_dup(dup_dir).to_pandas() \
         .sort_values("doc_id", ignore_index=True)
     assert base.equals(comp)
+
+
+def test_sq8_quantize_roundtrip_bound(ray_session, vec_dir):
+    from sema_ray.simsearch import (_batch_matrix, _normalize_rows,
+                                    _sq8_params, _load_embeddings,
+                                    quantize_embeddings)
+    ds = _load_embeddings(vec_dir)
+    lo, scale = _sq8_params(ds)
+    qt = simsearch.collect_table(quantize_embeddings(vec_dir)) \
+        .sort_by("vec_id")
+    ot = simsearch.collect_table(ds).sort_by("vec_id")
+    orig = _normalize_rows(_batch_matrix(ot))
+    codes = np.array(qt["qvec"].to_pylist(), dtype=np.float64)
+    recon = (codes + 128) * scale[None, :] + lo[None, :]
+    assert np.abs(recon - orig).max() <= scale.max() / 2 + 1e-9
+
+
+def test_knn_sq8_recall_vs_bruteforce(ray_session, vec_dir):
+    k = 10
+    exact = simsearch.knn_bruteforce(vec_dir, k=k).to_pandas()
+    approx = simsearch.knn_sq8(vec_dir, k=k).to_pandas()
+    e_of, a_of = {}, {}
+    for df, d in ((exact, e_of), (approx, a_of)):
+        for q, n in zip(df["query_id"], df["neighbor_id"]):
+            d.setdefault(q, set()).add(n)
+    recalls = [len(e_of[q] & a_of.get(q, set())) / len(e_of[q])
+               for q in e_of]
+    assert min(recalls) >= 0.8, recalls
