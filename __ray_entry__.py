@@ -427,6 +427,11 @@ def _dup_components(sf_dir: str):
                        rep_col="component")
 
 
+def _curate_corpus(sf_dir: str):
+    from sema_ray.curate import curate_corpus
+    return curate_corpus(sf_dir)
+
+
 def _kmeans_clusters(sf_dir: str):
     from sema_ray.clustering import kmeans_clusters
     return kmeans_clusters(sf_dir)
@@ -596,6 +601,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_incremental": dedup.incremental_dedup,
         "dup_components": _dup_components,
+        # end-to-end curation: dedup reps -> quality gate -> stratified
+        # sample, one streaming pass (sema_ray.curate)
+        "curate_corpus": _curate_corpus,
         # --- similarity search --------------------------------------------
         "knn_bruteforce": simsearch.knn_bruteforce,
         "knn_lsh": simsearch.knn_lsh_checked,
@@ -939,6 +947,28 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        # the composition twin: window-function dedup + the quality_scores
+        # alpha form + the sample_docs_by_lang hash-mod rule, end to end
+        "curate_corpus": """
+            WITH reps AS (
+                SELECT doc_id, lang, text,
+                       MIN(doc_id) OVER (PARTITION BY text) AS rep
+                FROM documents),
+            q AS (SELECT doc_id, lang,
+                     FLOOR(CAST(length(regexp_extract_all(text, '[A-Za-z]'))
+                                AS DOUBLE)
+                           / GREATEST(CAST(length(text) AS DOUBLE), 1.0)
+                           * 10000 + 0.5) / 10000 AS ar
+                  FROM reps WHERE doc_id = rep)
+            SELECT doc_id, lang FROM q
+            WHERE ar >= 0.6
+              AND (((CAST(doc_id AS HUGEINT) % 4294967296) + 4294967296)
+                  % 4294967296 * 2654435761) % 4294967296 <
+                  CASE lang WHEN 'en' THEN 2147483648
+                            WHEN 'de' THEN 1073741824
+                            WHEN 'fr' THEN 1073741824
+                            ELSE 536870912 END
         """,
         "dedup_exact_clusters": """
             SELECT doc_id,

@@ -268,20 +268,11 @@ def _text_bucket64(col) -> np.ndarray:
         return out
 
 
-def exact_dup_clusters(sf_dir: str) -> rd.Dataset:
-    """Cluster-assignment form of exact dedup: every doc_id -> min doc_id
-    sharing its text (rep=self for uniques).
-
-    Round 2 ran ``groupby(hash).map_groups`` with mostly-singleton groups —
-    the one-Python-call-per-group anti-pattern (ADVICE r2). Now the same
-    two-pass hot-bucket shape as the near-dup family: pass 1 counts
-    vectorized 64-bit text buckets (no blake2b, no shuffle of hashes for
-    unique docs); only duplicate-family members flow into pass 2, which
-    carries the full 128-bit content hash and emits (min-id, member) pairs
-    via an Arrow hash join inside the verification kernel. Cluster
-    assignment is the standard broadcast pass (default rep=self).
-    DuckDB-oracle-checked (``MIN(doc_id) OVER (PARTITION BY text)``).
-    """
+def exact_rep_map(sf_dir: str) -> dict[int, int]:
+    """member doc_id -> min doc_id sharing its text, for NON-reps only —
+    bounded by duplicate-family volume (the two-pass hot-bucket shape;
+    uniques never enter the map). Shared by :func:`exact_dup_clusters` and
+    the corpus-curation pipeline (:mod:`sema_ray.curate`)."""
     ds = _load_docs(sf_dir, ["doc_id", "text"])
 
     class TextBuckets:
@@ -303,14 +294,30 @@ def exact_dup_clusters(sf_dir: str) -> rd.Dataset:
     light = ds.map_batches(TextBuckets(), batch_format="pyarrow",
                            batch_size=None)
     hot, member_rows = _hot_buckets(light, _doc_count(sf_dir))
-    rep_of: dict[int, int] = {}
-    if len(hot):
-        members = ds.map_batches(TextBuckets(hot=hot),
-                                 batch_format="pyarrow", batch_size=None)
-        pair_tbl = _verified_pairs(members, _exact_members_to_pairs,
-                                   member_rows)
-        rep_of = rep_map_from_pairs(pair_tbl)
-    return assign_reps(_load_docs(sf_dir, ["doc_id"]), rep_of,
+    if len(hot) == 0:
+        return {}
+    members = ds.map_batches(TextBuckets(hot=hot),
+                             batch_format="pyarrow", batch_size=None)
+    pair_tbl = _verified_pairs(members, _exact_members_to_pairs,
+                               member_rows)
+    return rep_map_from_pairs(pair_tbl)
+
+
+def exact_dup_clusters(sf_dir: str) -> rd.Dataset:
+    """Cluster-assignment form of exact dedup: every doc_id -> min doc_id
+    sharing its text (rep=self for uniques).
+
+    Round 2 ran ``groupby(hash).map_groups`` with mostly-singleton groups —
+    the one-Python-call-per-group anti-pattern (ADVICE r2). Now the same
+    two-pass hot-bucket shape as the near-dup family: pass 1 counts
+    vectorized 64-bit text buckets (no blake2b, no shuffle of hashes for
+    unique docs); only duplicate-family members flow into pass 2, which
+    carries the full 128-bit content hash and emits (min-id, member) pairs
+    via an Arrow hash join inside the verification kernel. Cluster
+    assignment is the standard broadcast pass (default rep=self).
+    DuckDB-oracle-checked (``MIN(doc_id) OVER (PARTITION BY text)``).
+    """
+    return assign_reps(_load_docs(sf_dir, ["doc_id"]), exact_rep_map(sf_dir),
                        rep_col="rep_id")
 
 

@@ -97,3 +97,35 @@ def test_pack_sequences_vs_oracle(ray_session):
     out3 = pack_sequences(SF_DIR, budget=512).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert out3.equals(out)
+
+
+def test_curate_corpus_composition(ray_session):
+    """The one-pass curation output equals composing the stages by hand."""
+    import duckdb
+    from sema_ray.curate import curate_corpus
+    sf = "/root/testdata/sf0.001"
+    got = curate_corpus(sf).to_pandas().sort_values("doc_id",
+                                                    ignore_index=True)
+    want = duckdb.sql(f"""
+        WITH d AS (SELECT * FROM read_parquet('{sf}/documents.parquet')),
+        reps AS (SELECT doc_id, lang, text,
+                        MIN(doc_id) OVER (PARTITION BY text) AS rep FROM d),
+        q AS (SELECT doc_id, lang,
+                 FLOOR(CAST(length(regexp_extract_all(text, '[A-Za-z]'))
+                            AS DOUBLE)
+                       / GREATEST(CAST(length(text) AS DOUBLE), 1.0)
+                       * 10000 + 0.5) / 10000 AS ar
+              FROM reps WHERE doc_id = rep)
+        SELECT doc_id, lang FROM q
+        WHERE ar >= 0.6
+          AND (((CAST(doc_id AS HUGEINT) % 4294967296) + 4294967296)
+              % 4294967296 * 2654435761) % 4294967296 <
+              CASE lang WHEN 'en' THEN 2147483648
+                        WHEN 'de' THEN 1073741824
+                        WHEN 'fr' THEN 1073741824
+                        ELSE 536870912 END
+        ORDER BY doc_id
+    """).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["lang"].tolist() == want["lang"].tolist()
+    assert len(got) > 0  # the gate keeps a non-trivial subset
