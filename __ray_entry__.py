@@ -442,6 +442,13 @@ def _cluster_balanced_sample(sf_dir: str):
     return cluster_balanced_sample(sf_dir)
 
 
+def _pca_embeddings(sf_dir: str):
+    """Distributed PCA: one moment-partials pass -> driver eigh -> project
+    (numpy whole-matrix oracle in pytest; non-SQL by nature)."""
+    from sema_ray.clustering import pca_embeddings
+    return pca_embeddings(sf_dir)
+
+
 def _value_quantiles(sf_dir: str):
     """Distributed exact quantile_cont via histogram-guided selection."""
     from sema_ray.sketches import quantiles_value
@@ -616,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reduce; non-SQL by nature — mixture-recovery oracle in pytest)
         "kmeans_clusters": _kmeans_clusters,
         "cluster_balanced_sample": _cluster_balanced_sample,
+        "pca_embeddings": _pca_embeddings,
         "semantic_search": simsearch.semantic_search,
         "bm25_search": simsearch.bm25_search,
         "bm25_phrase_search": _bm25_phrase_search,

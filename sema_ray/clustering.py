@@ -205,6 +205,76 @@ def kmeans_clusters(sf_dir: str, k: int = DEFAULT_K,
     return kmeans_assign(ds, cents).select_columns(["vec_id", "cluster"])
 
 
+def pca_fit(ds: rd.Dataset, out_dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """(mean[d], components[d, out_dim]) from ONE pass of per-block moment
+    partials — each block contributes (n, sum[d], X'X[d*d]) as a single row
+    of numbers (d=384 -> ~1.2 MB/block), folded on the driver where the
+    d x d eigendecomposition is trivial. No iteration, no shuffle.
+
+    Deterministic: eigenvectors ordered by descending eigenvalue and
+    sign-fixed so each component's largest-magnitude coordinate is
+    positive (the usual convention; removes the sign ambiguity)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t)
+        if m.shape[0] == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "xx": pa.array([], pa.list_(pa.float64()))})
+        return pa.table({
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "s": pa.array([m.sum(axis=0).tolist()]),
+            "xx": pa.array([(m.T @ m).reshape(-1).tolist()]),
+        })
+
+    tbl = collect_table(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=None))
+    n = sum(tbl["n"].to_pylist())
+    if n == 0:
+        raise ValueError("no vectors to fit PCA on")
+    s = np.sum([np.asarray(r) for r in tbl["s"].to_pylist()], axis=0)
+    xx = np.sum([np.asarray(r) for r in tbl["xx"].to_pylist()], axis=0)
+    d = len(s)
+    mean = s / n
+    cov = xx.reshape(d, d) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:out_dim]
+    comps = evecs[:, order]
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0),
+                         np.arange(comps.shape[1])])
+    flip[flip == 0] = 1.0
+    return mean, comps * flip[None, :]
+
+
+def pca_embeddings(sf_dir: str, out_dim: int = 16) -> rd.Dataset:
+    """(vec_id, proj float64[out_dim]) — mean-centered projection onto the
+    top principal components; the standard reduction before quantization /
+    IVF at scale. Stateless projection pass (mean + components in the task
+    closure, a few hundred KB)."""
+    ds = _load_embeddings(sf_dir)
+    mean, comps = pca_fit(ds, out_dim)
+
+    class Project:
+        def __init__(self, mean_: np.ndarray, comps_: np.ndarray):
+            self.mean, self.comps = mean_, comps_
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                return pa.table({
+                    "vec_id": pa.array([], pa.int64()),
+                    "proj": pa.array([], pa.list_(pa.float64()))})
+            p = (_batch_matrix(t) - self.mean[None, :]) @ self.comps
+            return pa.table({
+                "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "proj": pa.FixedSizeListArray.from_arrays(
+                    pa.array(p.reshape(-1), pa.float64()), p.shape[1]),
+            })
+
+    return ds.map_batches(Project(mean, comps), batch_format="pyarrow",
+                          batch_size=None)
+
+
 def cluster_balanced_sample(sf_dir: str, k: int = DEFAULT_K,
                             cap: int = 32,
                             n_iter: int = DEFAULT_ITERS) -> rd.Dataset:

@@ -105,3 +105,35 @@ def test_kmeans_needs_enough_vectors(ray_session, mixture_dir):
         columns=["vec_id", "embedding"]).limit(3)
     with pytest.raises(ValueError):
         clustering.kmeans_fit(ds, k=6)
+
+
+def test_pca_matches_numpy_reference(ray_session, mixture_dir):
+    from sema_ray.clustering import pca_embeddings, _load_embeddings
+    from sema_ray.simsearch import _batch_matrix
+    from sema_ray.util import collect_table
+    out_dim = 4
+    got = pca_embeddings(mixture_dir, out_dim=out_dim).to_pandas() \
+        .sort_values("vec_id", ignore_index=True)
+    full = collect_table(_load_embeddings(mixture_dir)).sort_by("vec_id")
+    m = _batch_matrix(full)
+    mean = m.mean(axis=0)
+    cov = np.cov(m.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:out_dim]
+    comps = evecs[:, order]
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0),
+                         np.arange(out_dim)])
+    flip[flip == 0] = 1.0
+    want = (m - mean[None, :]) @ (comps * flip[None, :])
+    got_m = np.array(got["proj"].tolist())
+    assert np.allclose(got_m, want, atol=1e-8)
+    # captured variance is non-increasing across components
+    var = got_m.var(axis=0)
+    assert (np.diff(var) <= 1e-9).all()
+
+
+def test_pca_projection_shape_on_testdata(ray_session):
+    from sema_ray.clustering import pca_embeddings
+    out = pca_embeddings(SF_DIR, out_dim=8).to_pandas()
+    assert len(out) > 0
+    assert all(len(p) == 8 for p in out["proj"])
