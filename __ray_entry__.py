@@ -427,6 +427,13 @@ def _dup_components(sf_dir: str):
                        rep_col="component")
 
 
+def _cms_heavy_hitters(sf_dir: str):
+    """Count-Min Sketch heavy hitters (exact counts + in-bound flag — the
+    approx_distinct HLL oracle shape)."""
+    from sema_ray.sketches import cms_heavy_hitters
+    return cms_heavy_hitters(sf_dir)
+
+
 def _curate_corpus(sf_dir: str):
     from sema_ray.curate import curate_corpus
     return curate_corpus(sf_dir)
@@ -589,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": textops.doc_stats,
         "token_count_by_lang": textops.token_count_by_lang,
         "bpe_token_counts": textops.bpe_token_counts,
+        "cms_heavy_hitters": _cms_heavy_hitters,
         "quality_scores": textops.quality_scores,
         "lang_id": textops.lang_id,
         "doc_fingerprints": textops.doc_fingerprints,
@@ -788,6 +796,22 @@ def oracle_sql() -> dict[str, str]:
         # the k-boundary deterministic on both engines
         "ngram_counts": """
             SELECT u.bg AS ngram, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT unnest([l[i] || ' ' || l[i+1]
+                               for i in range(1, len(l))]) AS bg
+                FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+')
+                          AS l
+                      FROM documents)
+            ) u
+            GROUP BY 1
+            ORDER BY n DESC, ngram
+            LIMIT 20
+        """,
+        # same exact counts as ngram_counts; cms_ok pinned TRUE (any sketch
+        # regression becomes a value-hash mismatch — the HLL oracle shape)
+        "cms_heavy_hitters": """
+            SELECT u.bg AS ngram, CAST(COUNT(*) AS BIGINT) AS n,
+                   TRUE AS cms_ok
             FROM (
                 SELECT unnest([l[i] || ' ' || l[i+1]
                                for i in range(1, len(l))]) AS bg

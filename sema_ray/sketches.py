@@ -152,6 +152,129 @@ class BloomFilter:
 
 
 # ---------------------------------------------------------------------------
+# Count-Min Sketch (frequency sketch — completes the triad with HLL
+# [distinct] and Bloom [membership]): linear, so per-block partial sketches
+# merge by elementwise SUM, exactly like HLL's register max-merge.
+# ---------------------------------------------------------------------------
+
+class CountMinSketch:
+    """Standard CMS over uint64 key hashes: ``depth`` rows of ``width``
+    counters; row r indexes by a splitmix64 re-hash with seed r. Estimates
+    never undercount; overcount ≤ ~2N/width per row w.h.p. (classic bound),
+    and the min over rows tightens it."""
+
+    def __init__(self, width: int = 8192, depth: int = 4):
+        self.width, self.depth = width, depth
+        self.counts = np.zeros((depth, width), dtype=np.int64)
+
+    def _indices(self, hs: np.ndarray) -> np.ndarray:
+        """[n, depth] counter indices per key hash."""
+        seeds = (np.arange(self.depth, dtype=np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15))
+        return (_mix64(hs.astype(np.uint64)[:, None] + seeds[None, :])
+                % np.uint64(self.width)).astype(np.int64)
+
+    def add_hashes(self, hs: np.ndarray,
+                   weights: np.ndarray | None = None) -> None:
+        if len(hs) == 0:
+            return
+        idx = self._indices(hs)
+        w = (weights.astype(np.int64) if weights is not None
+             else np.ones(len(hs), dtype=np.int64))
+        for r in range(self.depth):
+            np.add.at(self.counts[r], idx[:, r], w)
+
+    def estimate(self, hs: np.ndarray) -> np.ndarray:
+        if len(hs) == 0:
+            return np.zeros(0, dtype=np.int64)
+        idx = self._indices(hs)
+        ests = np.stack([self.counts[r][idx[:, r]]
+                         for r in range(self.depth)])
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.width, self.depth) == (other.width, other.depth)
+        self.counts += other.counts
+        return self
+
+    @property
+    def total(self) -> int:
+        """Total inserted weight (every row sums to it)."""
+        return int(self.counts[0].sum())
+
+
+def cms_heavy_hitters(sf_dir: str, k: int = 20,
+                      width: int = 8192, depth: int = 4):
+    """Top-k bigrams with their exact counts PLUS a CMS-accuracy flag.
+
+    The sketch is built distributed — one CMS partial per block (a
+    depth x width int64 grid, fixed size like an HLL register array),
+    summed on the driver (CMS is linear) — over EVERY bigram occurrence.
+    The exact top-k comes from the existing bounded top-k path
+    (:func:`sema_ray.textops.ngram_counts`); ``cms_ok`` asserts the sketch
+    estimate brackets the exact count (never under; over by ≤ 2N·depth/width
+    — deterministic here, so the DuckDB twin pins it TRUE and any sketch
+    regression becomes a value-hash mismatch, the ``approx_distinct`` HLL
+    shape). Output: (ngram, n, cms_ok), n desc then ngram asc.
+    """
+    import pyarrow.compute as pc
+
+    from .textops import ngram_counts, _load_docs
+    from .util import collect_table
+
+    ds = _load_docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        parts = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = pc.list_flatten(parts)
+        cms = CountMinSketch(width, depth)
+        if len(flat):
+            parents = pc.list_parent_indices(parts) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = np.nonzero(pc.not_equal(flat, "")
+                              .to_numpy(zero_copy_only=False))[0]
+            if len(keep) >= 2:
+                toks = flat.take(pa.array(keep, pa.int64()))
+                par = parents[keep]
+                left = np.nonzero(par[1:] == par[:-1])[0]
+                if len(left):
+                    a = toks.take(pa.array(left, pa.int64()))
+                    b = toks.take(pa.array(left + 1, pa.int64()))
+                    grams = pc.binary_join_element_wise(a, b, " ")
+                    vc = grams.value_counts()
+                    if isinstance(vc, pa.ChunkedArray):
+                        vc = vc.combine_chunks()
+                    cms.add_hashes(
+                        _hash64(vc.field("values").to_pylist()),
+                        vc.field("counts").to_numpy(zero_copy_only=False))
+        return pa.table({"counts": pa.array([cms.counts.tobytes()],
+                                            pa.binary())})
+
+    parts_tbl = collect_table(ds.map_batches(partial,
+                                             batch_format="pyarrow",
+                                             batch_size=None))
+    acc = CountMinSketch(width, depth)
+    if parts_tbl.num_rows and "counts" in parts_tbl.column_names:
+        for blob in parts_tbl["counts"].to_pylist():
+            other = CountMinSketch(width, depth)
+            other.counts = np.frombuffer(blob, dtype=np.int64) \
+                .reshape(depth, width).copy()
+            acc.merge(other)
+    top = ngram_counts(sf_dir, k=k)
+    grams = top["ngram"].to_pylist()
+    exact = top["n"].to_numpy(zero_copy_only=False)
+    est = acc.estimate(_hash64(grams))
+    bound = 2.0 * acc.total * depth / width
+    ok = (est >= exact) & (est <= exact + bound)
+    return pa.table({"ngram": top["ngram"],
+                     "n": pa.array(exact, pa.int64()),
+                     "cms_ok": pa.array(ok)})
+
+
+# ---------------------------------------------------------------------------
 # Distributed exact quantiles via histogram-guided selection
 # ---------------------------------------------------------------------------
 

@@ -37,3 +37,32 @@ def test_approx_distinct_distributed(ray_session):
     ds2 = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())})) \
         .repartition(13)
     assert approx_distinct(ds2, "v") == est
+
+
+def test_cms_never_undercounts_and_merge_is_linear():
+    from sema_ray.sketches import CountMinSketch, _hash64
+    rng = np.random.default_rng(23)
+    keys = [f"k{i}" for i in range(5000)]
+    weights = rng.integers(1, 50, size=5000)
+    hs = _hash64(keys)
+    full = CountMinSketch(width=4096, depth=4)
+    full.add_hashes(hs, weights)
+    est = full.estimate(hs)
+    assert (est >= weights).all()                 # CMS never undercounts
+    n = int(weights.sum())
+    assert (est <= weights + 2.0 * n * 4 / 4096).all()
+    assert full.total == n
+    # linearity: sum of split partials == one-shot build
+    a, b = CountMinSketch(4096, 4), CountMinSketch(4096, 4)
+    a.add_hashes(hs[:2500], weights[:2500])
+    b.add_hashes(hs[2500:], weights[2500:])
+    assert (a.merge(b).counts == full.counts).all()
+
+
+def test_cms_heavy_hitters_flags_ok(ray_session):
+    from sema_ray.sketches import cms_heavy_hitters
+    t = cms_heavy_hitters("/root/testdata/sf0.001", k=10)
+    df = t.to_pandas()
+    assert len(df) == 10
+    assert df["cms_ok"].all()
+    assert (df["n"].values[:-1] >= df["n"].values[1:]).all()
