@@ -258,6 +258,16 @@ def _kg_entity_degrees(sf_dir: str):
     return entity_degrees(adjacency(kg_flagship(_kg_corpus(sf_dir))))
 
 
+def _kg_entity_pagerank(sf_dir: str):
+    """Link-graph quality signal over canonical entities: PageRank on the
+    subj_id -> obj_id adjacency (one edge-pass per iteration, node-sized
+    driver state — the web-crawl centrality recipe at entity granularity)."""
+    from sema_ray.graph import pagerank
+    from sema_ray.pipelines.kg import adjacency, kg_flagship
+    adj = adjacency(kg_flagship(_kg_corpus(sf_dir)))
+    return pagerank(adj, src_col="subj_id", dst_col="obj_id")
+
+
 def _kg_normalized(sf_dir: str):
     """Normalize stage (derived cols only).
 
@@ -650,6 +660,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linked_triples": _kg_linked,
         "kg_adjacency": _kg_adjacency,
         "kg_entity_degrees": _kg_entity_degrees,
+        # PageRank over the entity adjacency (iterative; dense-matrix
+        # power-iteration oracle in pytest)
+        "kg_entity_pagerank": _kg_entity_pagerank,
     }
 
 

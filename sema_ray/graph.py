@@ -134,6 +134,106 @@ def _signature(edges: rd.Dataset) -> tuple[int, int, int]:
             int(np.bitwise_xor.reduce(xs)) if len(xs) else 0)
 
 
+def pagerank(edges: rd.Dataset, src_col: str = "a", dst_col: str = "b",
+             damping: float = 0.85, n_iter: int = 20,
+             tol: float = 1e-9) -> rd.Dataset:
+    """PageRank over a directed edge list — the link-graph quality signal
+    web-crawl curation pipelines attach to documents/entities.
+
+    Shape: the node vocabulary and rank vector live on the driver (entity /
+    host vocabularies are the small side by construction — same boundary
+    as the canonicalization union-find); every iteration is ONE
+    ``map_batches`` pass over the (distributed, never-collected) edge list
+    emitting per-block partial contribution sums as (node-index, sum) rows,
+    folded on the driver. Dangling-node mass is redistributed uniformly
+    (standard). For node sets past driver memory the same update runs as a
+    ``groupby(dst)`` sum with ranks broadcast per iteration — the edge-pass
+    structure is unchanged.
+
+    Output: (node, rank) with ranks summing to 1, rank rounded half-up to
+    9 digits for cross-run determinism.
+    """
+    from .util import round_half_up as _rhu
+
+    def to_uv(t: pa.Table) -> pa.Table:
+        return pa.table({"u": pc.cast(t[src_col], pa.int64()),
+                         "v": pc.cast(t[dst_col], pa.int64())})
+
+    e = edges.map_batches(to_uv, batch_format="pyarrow",
+                          batch_size=None).materialize()
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        uniq = np.unique(np.concatenate(
+            [t["u"].to_numpy(zero_copy_only=False),
+             t["v"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"n": pa.array(uniq, pa.int64())})
+
+    from .util import collect_table
+    nt = collect_table(e.map_batches(node_partial, batch_format="pyarrow",
+                                     batch_size=None))
+    if nt.num_rows == 0 or "n" not in nt.column_names:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "rank": pa.array([], pa.float64())}))
+    nodes = np.unique(nt["n"].to_numpy(zero_copy_only=False))
+    n = len(nodes)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(nodes, u)
+        d = np.zeros(n, dtype=np.int64)
+        np.add.at(d, idx, 1)
+        nz = np.nonzero(d)[0]
+        return pa.table({"i": pa.array(nz, pa.int64()),
+                         "d": pa.array(d[nz], pa.int64())})
+
+    dt = collect_table(e.map_batches(deg_partial, batch_format="pyarrow",
+                                     batch_size=None))
+    out_deg = np.zeros(n, dtype=np.int64)
+    np.add.at(out_deg, dt["i"].to_numpy(zero_copy_only=False),
+              dt["d"].to_numpy(zero_copy_only=False))
+
+    rank = np.full(n, 1.0 / n)
+    safe_deg = np.maximum(out_deg, 1)
+    for _ in range(n_iter):
+        share = rank / safe_deg  # per-out-edge contribution of each node
+
+        class Contrib:
+            def __init__(self, share_: np.ndarray):
+                self.share = share_
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                u = np.searchsorted(nodes, t["u"]
+                                    .to_numpy(zero_copy_only=False))
+                v = np.searchsorted(nodes, t["v"]
+                                    .to_numpy(zero_copy_only=False))
+                acc = np.zeros(n, dtype=np.float64)
+                np.add.at(acc, v, self.share[u])
+                nz = np.nonzero(acc)[0]
+                return pa.table({"i": pa.array(nz, pa.int64()),
+                                 "s": pa.array(acc[nz], pa.float64())})
+
+        ct = collect_table(e.map_batches(Contrib(share),
+                                         batch_format="pyarrow",
+                                         batch_size=None))
+        inbound = np.zeros(n, dtype=np.float64)
+        if ct.num_rows and "i" in ct.column_names:
+            # deterministic fold order: sum per index over sorted partials
+            ii = ct["i"].to_numpy(zero_copy_only=False)
+            ss = ct["s"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ii, kind="stable")
+            np.add.at(inbound, ii[order], ss[order])
+        dangling = rank[out_deg == 0].sum()
+        new = (1.0 - damping) / n + damping * (inbound + dangling / n)
+        delta = np.abs(new - rank).sum()
+        rank = new
+        if delta < tol:
+            break
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "rank": pa.array([_rhu(float(r), 9) for r in rank], pa.float64()),
+    }))
+
+
 def connected_components(edges: rd.Dataset, a_col: str = "a",
                          b_col: str = "b", max_rounds: int = 30,
                          n_parts: int = 64) -> rd.Dataset:

@@ -80,3 +80,51 @@ def test_cc_property_random_graphs(ray_session):
         if not clean:
             continue
         assert _run(edges) == _reference(clean), edges[:5]
+
+
+def _ref_pagerank(edges, damping=0.85, n_iter=20, tol=1e-9):
+    """Dense-matrix power iteration (independent of the distributed code)."""
+    nodes = sorted({x for e in edges for x in e})
+    ix = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    for a, b in edges:
+        M[ix[b], ix[a]] += 1.0
+    out = M.sum(axis=0)
+    M[:, out > 0] /= out[out > 0]
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dangling = r[out == 0].sum()
+        new = (1 - damping) / n + damping * (M @ r + dangling / n)
+        if np.abs(new - r).sum() < tol:
+            r = new
+            break
+        r = new
+    return dict(zip(nodes, r))
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    from sema_ray.graph import pagerank
+    rng = np.random.default_rng(41)
+    edges = list({(int(a), int(b))
+                  for a, b in rng.integers(0, 40, size=(150, 2)) if a != b})
+    edges.append((99, 0))  # 99 is dangling (no out-edges... wait, 99->0)
+    edges.append((0, 99))  # make 99 reachable; no out-edge beyond cycle
+    tbl = pa.table({"a": pa.array([a for a, _ in edges], pa.int64()),
+                    "b": pa.array([b for _, b in edges], pa.int64())})
+    got = pagerank(rd.from_arrow(tbl)).to_pandas()
+    want = _ref_pagerank(edges)
+    assert abs(got["rank"].sum() - 1.0) < 1e-6
+    for node, rank in zip(got["node"], got["rank"]):
+        assert abs(rank - want[node]) < 1e-6, node
+
+
+def test_pagerank_sink_gets_more_than_source(ray_session):
+    from sema_ray.graph import pagerank
+    # a hub everyone points at must out-rank its pointers
+    edges = [(i, 0) for i in range(1, 8)]
+    tbl = pa.table({"a": pa.array([a for a, _ in edges], pa.int64()),
+                    "b": pa.array([b for _, b in edges], pa.int64())})
+    got = dict(zip(*[pagerank(rd.from_arrow(tbl)).to_pandas()[c]
+                     for c in ("node", "rank")]))
+    assert got[0] > max(got[i] for i in range(1, 8))
