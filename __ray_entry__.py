@@ -586,6 +586,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_per_user": relational.top_event_per_user,
         "sessionize_users": relational.sessionize_users,
         "orders_per_segment": relational.orders_per_segment,
+        "orders_segment_left_outer": relational.orders_segment_left_outer,
+        "active_customer_keys": relational.active_customer_keys,
+        "inactive_customer_keys": relational.inactive_customer_keys,
+        "event_type_hour_pivot": relational.event_type_hour_pivot,
         "revenue_by_priority": relational.revenue_by_priority,
         "union_key_counts": relational.union_key_counts,
         "exact_text_search": relational.exact_text_search,
@@ -797,6 +801,42 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS sum_totalprice
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        # COALESCE instead of NULL group: the hash compare cannot
+        # canonicalize nulls, so the outer rows get an explicit label
+        "orders_segment_left_outer": """
+            SELECT COALESCE(c.c_mktsegment, '(none)') AS c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100
+                       AS sum_totalprice
+            FROM orders o
+            LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000.0) c
+              ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "active_customer_keys": """
+            SELECT DISTINCT o_custkey FROM orders
+            INTERSECT
+            SELECT DISTINCT user_id FROM events
+        """,
+        "inactive_customer_keys": """
+            SELECT DISTINCT o_custkey FROM orders
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+        """,
+        "event_type_hour_pivot": """
+            SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+              CAST(COUNT(*) FILTER (WHERE event_type='click') AS BIGINT)
+                  AS click_n,
+              CAST(COUNT(*) FILTER (WHERE event_type='error') AS BIGINT)
+                  AS error_n,
+              CAST(COUNT(*) FILTER (WHERE event_type='purchase') AS BIGINT)
+                  AS purchase_n,
+              CAST(COUNT(*) FILTER (WHERE event_type='signup') AS BIGINT)
+                  AS signup_n,
+              CAST(COUNT(*) FILTER (WHERE event_type='view') AS BIGINT)
+                  AS view_n
+            FROM events GROUP BY 1
         """,
         "revenue_by_priority": """
             SELECT o_orderpriority,

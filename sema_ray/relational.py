@@ -952,3 +952,147 @@ def top3_orders_per_customer(sf_dir: str, k: int = 3) -> rd.Dataset:
     partials = ds.map_batches(local_topk, batch_format="pyarrow")
     return partials.groupby("o_custkey").map_groups(merge,
                                                     batch_format="pyarrow")
+
+def orders_segment_left_outer(sf_dir: str,
+                              min_acctbal: float = 5000.0) -> rd.Dataset:
+    """LEFT OUTER broadcast join + aggregate: every order survives.
+
+    The dim side is customer FILTERED to ``c_acctbal > min_acctbal`` so real
+    misses exist; orders whose customer falls outside the dim land in the
+    ``(none)`` group instead of being dropped (the inner-join
+    ``orders_per_segment`` semantics) or emitted as nulls (which the oracle
+    hash compare cannot canonicalize). Same broadcast shape as the inner
+    variant: the compiled lookup's miss code (-1) IS the outer row marker,
+    so outer semantics cost nothing over inner.
+    """
+    cust_tbl = collect_table(
+        load(sf_dir, "customer", columns=["c_custkey", "c_acctbal",
+                                          "c_mktsegment"]))
+    cust_tbl = cust_tbl.filter(pc.greater(cust_tbl["c_acctbal"],
+                                          min_acctbal))
+    gather, seg_dict = compile_int_lookup(cust_tbl["c_custkey"],
+                                          cust_tbl["c_mktsegment"])
+
+    def join_partial(t: pa.Table) -> pa.Table:
+        codes, _hit = gather(t["o_custkey"].to_numpy(zero_copy_only=False))
+        part = pa.table({
+            "code": pa.array(codes, pa.int32()),  # -1 == outer (no match)
+            "price": pc.cast(t["o_totalprice"], pa.float64()),
+        })
+        g = part.group_by(["code"]).aggregate(
+            [("price", "sum"), ("price", "count")])
+        return g.rename_columns(["code", "sum_price", "n"])
+
+    partials = load(sf_dir, "orders",
+                    columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(join_partial, batch_format="pyarrow")
+    out = partials.groupby("code").aggregate(
+        Sum("n", alias_name="n_orders"),
+        Sum("sum_price", alias_name="sum_totalprice"),
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        codes = t["code"].to_numpy(zero_copy_only=False)
+        seg = np.asarray(seg_dict.to_pylist(), dtype=object)
+        names = np.where(codes >= 0, seg[np.clip(codes, 0, None)], "(none)")
+        return pa.table({"c_mktsegment": pa.array(names, pa.string()),
+                         "n_orders": t["n_orders"],
+                         "sum_totalprice": t["sum_totalprice"]})
+
+    return round_result(out.map_batches(decode, batch_format="pyarrow"),
+                        {"sum_totalprice": 2})
+
+
+def key_set_op(a: rd.Dataset, a_col: str, b: rd.Dataset, b_col: str,
+               op: str, out_col: str) -> rd.Dataset:
+    """Distinct-key INTERSECT / EXCEPT between two datasets.
+
+    Shape: per-block distinct + a presence bitmap per side, one union, one
+    key groupby over the (distinct-per-block, so already shrunk) partials
+    with MAX bitmaps, then a bitmap filter. The shuffle moves one row per
+    (key, block) — never one per input row — and no side is collected.
+    """
+    if op not in ("intersect", "except"):
+        raise ValueError(op)
+
+    def tag(col: str, is_a: bool):
+        def f(t: pa.Table) -> pa.Table:
+            g = t.group_by([col]).aggregate([])
+            n = g.num_rows
+            ones = np.ones(n, dtype=np.int8)
+            zeros = np.zeros(n, dtype=np.int8)
+            return pa.table({
+                "key": pc.cast(g[col], pa.int64()),
+                "in_a": pa.array(ones if is_a else zeros, pa.int8()),
+                "in_b": pa.array(zeros if is_a else ones, pa.int8()),
+            })
+        return f
+
+    u = a.map_batches(tag(a_col, True), batch_format="pyarrow").union(
+        b.map_batches(tag(b_col, False), batch_format="pyarrow"))
+    g = u.groupby("key").aggregate(Max("in_a", alias_name="in_a"),
+                                   Max("in_b", alias_name="in_b"))
+
+    def pick(t: pa.Table) -> pa.Table:
+        in_a = pc.equal(t["in_a"], 1)
+        in_b = pc.equal(t["in_b"], 1)
+        keep = pc.and_(in_a, in_b) if op == "intersect" \
+            else pc.and_(in_a, pc.invert(in_b))
+        return pa.table({out_col: t.filter(keep)["key"]})
+
+    return g.map_batches(pick, batch_format="pyarrow")
+
+
+def active_customer_keys(sf_dir: str) -> rd.Dataset:
+    """INTERSECT: order custkeys that also appear as event user ids."""
+    return key_set_op(load(sf_dir, "orders", columns=["o_custkey"]),
+                      "o_custkey",
+                      load(sf_dir, "events", columns=["user_id"]),
+                      "user_id", "intersect", "o_custkey")
+
+
+def inactive_customer_keys(sf_dir: str) -> rd.Dataset:
+    """EXCEPT: order custkeys with no event activity."""
+    return key_set_op(load(sf_dir, "orders", columns=["o_custkey"]),
+                      "o_custkey",
+                      load(sf_dir, "events", columns=["user_id"]),
+                      "user_id", "except", "o_custkey")
+
+
+# The pivot's column set must be static (it IS the output schema); the
+# events generator emits exactly these types at every scale factor.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_hour_pivot(sf_dir: str) -> rd.Dataset:
+    """Pivot / crosstab: hour-of-day rows x one count column per event type.
+
+    The wide form is produced INSIDE each block (group (hour, type), then
+    scatter counts into the fixed type columns), so the global shuffle is a
+    plain per-hour SUM over <=24 x blocks partial rows — the pivot itself
+    never shuffles strings and needs no per-group Python.
+    """
+    type_idx = {t: i for i, t in enumerate(EVENT_TYPES)}
+    k = len(EVENT_TYPES)
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.hour(t["ts"]), pa.int64())
+        g = pa.table({"hour": hour, "event_type": t["event_type"]}) \
+            .group_by(["hour", "event_type"]).aggregate([([], "count_all")])
+        hours = g["hour"].to_numpy(zero_copy_only=False)
+        uniq_hours = np.unique(hours)
+        row_of = {int(h): i for i, h in enumerate(uniq_hours)}
+        wide = np.zeros((len(uniq_hours), k), dtype=np.int64)
+        types = g["event_type"].to_pylist()  # <= 24*k rows: already grouped
+        counts = g["count_all"].to_numpy(zero_copy_only=False)
+        for h, ty, c in zip(hours, types, counts):
+            wide[row_of[int(h)], type_idx[ty]] = c
+        cols = {"hour": pa.array(uniq_hours, pa.int64())}
+        for i, ty in enumerate(EVENT_TYPES):
+            cols[f"{ty}_n"] = pa.array(wide[:, i], pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum(f"{ty}_n", alias_name=f"{ty}_n") for ty in EVENT_TYPES]
+    return load(sf_dir, "events", columns=["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("hour").aggregate(*aggs)

@@ -93,3 +93,34 @@ def test_compile_int_lookup_misses_and_dictionary():
                                pa.array([], pa.string()))
     codes2, hit2 = g2(np.array([1, 2], dtype=np.int64))
     assert not hit2.any()
+
+
+def test_key_set_op_semantics(ray_session):
+    """INTERSECT keeps only keys on both sides; EXCEPT keeps a-only keys;
+    b-only keys never appear in either output; duplicates collapse."""
+    from sema_ray.relational import key_set_op
+    a = rd.from_arrow(pa.table({"k": pa.array([1, 1, 2, 3, 5], pa.int64())}))
+    b = rd.from_arrow(pa.table({"j": pa.array([2, 2, 3, 9], pa.int64())}))
+    inter = key_set_op(a, "k", b, "j", "intersect", "k").to_pandas()
+    exc = key_set_op(a, "k", b, "j", "except", "k").to_pandas()
+    assert sorted(inter["k"]) == [2, 3]
+    assert sorted(exc["k"]) == [1, 5]
+
+
+def test_left_outer_join_keeps_all_orders(ray_session):
+    """Outer group + inner groups together must account for every order."""
+    from sema_ray.relational import orders_segment_left_outer
+    out = orders_segment_left_outer(SF_DIR).to_pandas()
+    n_orders = pq.ParquetFile(
+        os.path.join(SF_DIR, "orders.parquet")).metadata.num_rows
+    assert out["n_orders"].sum() == n_orders
+    assert "(none)" in set(out["c_mktsegment"])
+
+
+def test_event_pivot_row_sums_match_totals(ray_session):
+    """Pivoted per-hour counts sum back to the raw event count."""
+    from sema_ray.relational import event_type_hour_pivot, EVENT_TYPES
+    out = event_type_hour_pivot(SF_DIR).to_pandas()
+    n_events = pq.ParquetFile(
+        os.path.join(SF_DIR, "events.parquet")).metadata.num_rows
+    assert sum(out[f"{t}_n"].sum() for t in EVENT_TYPES) == n_events
