@@ -268,6 +268,16 @@ def _kg_entity_pagerank(sf_dir: str):
     return pagerank(adj, src_col="subj_id", dst_col="obj_id")
 
 
+def _kg_triangle_count(sf_dir: str):
+    """Triangle count over the undirected canonical-entity graph — the
+    clustering-coefficient raw material for KG quality monitoring (a
+    spike in triangles = over-merged entities after canonicalization)."""
+    from sema_ray.graph import triangle_count
+    from sema_ray.pipelines.kg import adjacency, kg_flagship
+    adj = adjacency(kg_flagship(_kg_corpus(sf_dir)))
+    return triangle_count(adj, a_col="subj_id", b_col="obj_id")
+
+
 def _kg_normalized(sf_dir: str):
     """Normalize stage (derived cols only).
 
@@ -573,7 +583,8 @@ def _contamination_sql() -> str:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from sema_ray import dedup, multimodal, relational, simsearch, textops
+    from sema_ray import (dedup, graph, multimodal, relational, simsearch,
+                          textops)
 
     return {
         # --- relational layer (SURVEY §2 M1/A1/A2/K1 + joins) -------------
@@ -667,6 +678,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PageRank over the entity adjacency (iterative; dense-matrix
         # power-iteration oracle in pytest)
         "kg_entity_pagerank": _kg_entity_pagerank,
+        "kg_triangle_count": _kg_triangle_count,
+        "user_cooccurrence_triangles":
+            graph.purchase_cooccurrence_triangles,
     }
 
 
@@ -837,6 +851,23 @@ def oracle_sql() -> dict[str, str]:
               CAST(COUNT(*) FILTER (WHERE event_type='view') AS BIGINT)
                   AS view_n
             FROM events GROUP BY 1
+        """,
+        # exact triangle count via the oriented-edge triple join; the Ray
+        # side orients by (degree, id) instead of (lo, hi) but counts the
+        # same undirected triangles
+        "user_cooccurrence_triangles": """
+            WITH ed AS (
+              SELECT DISTINCT LEAST(a.user_id, b.user_id) AS lo,
+                              GREATEST(a.user_id, b.user_id) AS hi
+              FROM events a JOIN events b
+                ON a.event_type = b.event_type
+               AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+               AND a.user_id < b.user_id
+              WHERE a.event_type = 'purchase')
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM ed e1
+            JOIN ed e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+            JOIN ed e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
         """,
         "revenue_by_priority": """
             SELECT o_orderpriority,

@@ -281,3 +281,248 @@ def connected_components(edges: rd.Dataset, a_col: str = "a",
     from ray.data.aggregate import Min
     return out.groupby("node").aggregate(Min("component",
                                              alias_name="component"))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (node-iterator with degree orientation — Schank & Wagner
+# 2005 / the standard MapReduce formulation; public algorithm).
+# ---------------------------------------------------------------------------
+
+def _segmented_pairs(values: np.ndarray,
+                     seg_lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All ordered within-segment pairs (values[i], values[j]) with i < j,
+    fully vectorized: O(total pairs) with no Python per segment."""
+    n = len(values)
+    if n == 0:
+        return values[:0], values[:0]
+    within = np.arange(n) - np.repeat(np.cumsum(seg_lens) - seg_lens,
+                                      seg_lens)
+    first_counts = np.repeat(seg_lens, seg_lens) - 1 - within
+    total = int(first_counts.sum())
+    if total == 0:
+        return values[:0], values[:0]
+    first_idx = np.repeat(np.arange(n), first_counts)
+    run_starts = np.cumsum(first_counts) - first_counts
+    offsets = np.arange(total) - np.repeat(run_starts, first_counts)
+    second_idx = first_idx + 1 + offsets
+    return values[first_idx], values[second_idx]
+
+
+def _pair_key(v: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Deterministic int64 partition key for a (v, w) pair — hash only, the
+    exact match happens inside the partition."""
+    h = splitmix64(splitmix64(v.astype(np.uint64)) + w.astype(np.uint64))
+    return (h >> np.uint64(1)).astype(np.int64)
+
+
+def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
+                   n_parts: int = 64) -> rd.Dataset:
+    """EXACT triangle count over an undirected edge list.
+
+    Scale shape (every step a bounded-part shuffle or a per-block partial):
+
+    1. canonicalize to (lo, hi), drop self-loops, global dedup inside ONE
+       keyed shuffle (a canonical pair lives wholly in its lo-partition);
+    2. node degrees as per-block partials folded on the driver — the node
+       vocabulary is the small side by construction (same boundary as
+       :func:`pagerank`; for node sets past driver memory the degree fold
+       and the orientation lookup become a groupby + broadcast join, the
+       edge/wedge passes are unchanged);
+    3. orient each edge from its lower-(degree, id) endpoint — out-degrees
+       are then O(sqrt(m)), so the wedge set is <= m^1.5 total;
+    4. wedges (ordered out-neighbor pairs per source) via one keyed shuffle
+       on the source, emitted with a pair-hash partition key;
+    5. exact membership count per pair-hash partition: rank-encode node ids
+       inside the partition so each (v, w) packs into one int64 and the
+       match is a single ``searchsorted`` — hash collisions land in the
+       same partition and are resolved exactly.
+
+    Returns a one-row Dataset ``{n_triangles: int64}``.
+    """
+    def to_lo_hi(t: pa.Table) -> pa.Table:
+        u = pc.cast(t[a_col], pa.int64()).to_numpy(zero_copy_only=False)
+        v = pc.cast(t[b_col], pa.int64()).to_numpy(zero_copy_only=False)
+        lo, hi = _dedup_pairs(np.minimum(u, v), np.maximum(u, v))
+        return pa.table({"u": pa.array(lo, pa.int64()),
+                         "v": pa.array(hi, pa.int64())})
+
+    def dedup_kernel(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        ou, ov = _dedup_pairs(u, v)
+        return pa.table({"u": pa.array(ou, pa.int64()),
+                         "v": pa.array(ov, pa.int64())})
+
+    e0 = edges.map_batches(to_lo_hi, batch_format="pyarrow",
+                           batch_size=None)
+    dedup = keyed_part_kernel(e0, "u", dedup_kernel,
+                              n_parts=n_parts).materialize()
+
+    def node_deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
+                               t["v"].to_numpy(zero_copy_only=False)])
+        nodes_, counts_ = np.unique(both, return_counts=True)
+        return pa.table({"n": pa.array(nodes_, pa.int64()),
+                         "d": pa.array(counts_, pa.int64())})
+
+    from .util import collect_table
+    nt = collect_table(dedup.map_batches(node_deg_partial,
+                                         batch_format="pyarrow",
+                                         batch_size=None))
+    empty = pa.table({"n_triangles": pa.array([0], pa.int64())})
+    if nt.num_rows == 0 or "n" not in nt.column_names:
+        return rd.from_arrow(empty)
+    raw_n = nt["n"].to_numpy(zero_copy_only=False)
+    nodes = np.unique(raw_n)
+    deg = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(deg, np.searchsorted(nodes, raw_n),
+              nt["d"].to_numpy(zero_copy_only=False))
+    # orientation rank: position in the (degree, id) lexicographic order
+    rank = np.empty(len(nodes), dtype=np.int64)
+    rank[np.lexsort((nodes, deg))] = np.arange(len(nodes))
+
+    class Orient:
+        """Broadcast (nodes, rank) rides in the task closure — cached per
+        worker process (task-pool pattern, CLAUDE.md sharp edges)."""
+
+        def __init__(self, nodes_: np.ndarray, rank_: np.ndarray):
+            self.nodes, self.rank = nodes_, rank_
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            ru = self.rank[np.searchsorted(self.nodes, u)]
+            rv = self.rank[np.searchsorted(self.nodes, v)]
+            src = np.where(ru < rv, u, v)
+            dst = np.where(ru < rv, v, u)
+            return pa.table({"src": pa.array(src, pa.int64()),
+                             "dst": pa.array(dst, pa.int64())})
+
+    oriented = dedup.map_batches(Orient(nodes, rank),
+                                 batch_format="pyarrow",
+                                 batch_size=None).materialize()
+
+    class WedgeKernel:
+        def __init__(self, nodes_: np.ndarray, rank_: np.ndarray):
+            self.nodes, self.rank = nodes_, rank_
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out_empty = pa.table({"key": pa.array([], pa.int64()),
+                                  "v": pa.array([], pa.int64()),
+                                  "w": pa.array([], pa.int64()),
+                                  "kind": pa.array([], pa.int8())})
+            if t.num_rows == 0:
+                return out_empty
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            # neighbors ordered by orientation rank within each src segment
+            rd_ = self.rank[np.searchsorted(self.nodes, dst)]
+            order = np.lexsort((rd_, src))
+            src, dst = src[order], dst[order]
+            seg_lens = np.diff(np.r_[
+                np.nonzero(np.r_[True, src[1:] != src[:-1]])[0], len(src)])
+            v, w = _segmented_pairs(dst, seg_lens)
+            if len(v) == 0:
+                return out_empty
+            return pa.table({"key": pa.array(_pair_key(v, w), pa.int64()),
+                             "v": pa.array(v, pa.int64()),
+                             "w": pa.array(w, pa.int64()),
+                             "kind": pa.array(
+                                 np.ones(len(v), np.int8), pa.int8())})
+
+    wedges = keyed_part_kernel(oriented, "src",
+                               WedgeKernel(nodes, rank), n_parts=n_parts)
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        v = t["src"].to_numpy(zero_copy_only=False)
+        w = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"key": pa.array(_pair_key(v, w), pa.int64()),
+                         "v": pa.array(v, pa.int64()),
+                         "w": pa.array(w, pa.int64()),
+                         "kind": pa.array(np.zeros(len(v), np.int8),
+                                          pa.int8())})
+
+    def count_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64())})
+        v = t["v"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        vocab = np.unique(np.concatenate([v, w]))
+        key = (np.searchsorted(vocab, v).astype(np.int64) * len(vocab)
+               + np.searchsorted(vocab, w))
+        ek = np.sort(key[kind == 0])
+        wk = key[kind == 1]
+        if len(ek) == 0 or len(wk) == 0:
+            n = 0
+        else:
+            pos = np.searchsorted(ek, wk)
+            pos[pos == len(ek)] = 0
+            n = int((ek[pos] == wk).sum())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    both = oriented.map_batches(tag_edges, batch_format="pyarrow",
+                                batch_size=None).union(wedges)
+    parts = keyed_part_kernel(both, "key", count_kernel, n_parts=n_parts)
+    tot = collect_table(parts)
+    n_tri = int(pc.sum(tot["n"]).as_py() or 0) \
+        if tot.num_rows and "n" in tot.column_names else 0
+    return rd.from_arrow(pa.table({"n_triangles":
+                                   pa.array([n_tri], pa.int64())}))
+
+
+def cooccurrence_edges(ds: rd.Dataset, bucket_col: str, id_col: str,
+                       n_parts: int = 64) -> rd.Dataset:
+    """Distinct undirected (lo, hi) id pairs sharing a bucket value.
+
+    Per-block distinct (bucket, id) shrinks the shuffle; the pair expansion
+    runs inside one keyed shuffle with complete buckets (vectorized
+    segmented pairs, no per-bucket Python). Cross-bucket duplicate pairs
+    survive here — downstream consumers (``triangle_count``) dedup in their
+    own canonicalization pass.
+    """
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"bucket": pc.cast(t[bucket_col], pa.int64()),
+                      "id": pc.cast(t[id_col], pa.int64())}) \
+            .group_by(["bucket", "id"]).aggregate([])
+        return g
+
+    def pair_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        t = t.sort_by([("bucket", "ascending"), ("id", "ascending")])
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        # per-bucket distinct ids (cross-block repeats collapse here)
+        first = np.r_[True, (b[1:] != b[:-1]) | (ids[1:] != ids[:-1])]
+        b, ids = b[first], ids[first]
+        seg_lens = np.diff(np.r_[
+            np.nonzero(np.r_[True, b[1:] != b[:-1]])[0], len(b)])
+        lo, hi = _segmented_pairs(ids, seg_lens)
+        return pa.table({"a": pa.array(lo, pa.int64()),
+                         "b": pa.array(hi, pa.int64())})
+
+    partials = ds.map_batches(distinct_partial, batch_format="pyarrow")
+    return keyed_part_kernel(partials, "bucket", pair_kernel,
+                             n_parts=n_parts)
+
+
+def purchase_cooccurrence_triangles(sf_dir: str) -> rd.Dataset:
+    """Graph analytics over event data: users co-purchasing in the same
+    hour form an edge; count the triangles (tight co-activity cliques —
+    the fraud / bot-ring smell test a web-scale event pipeline runs)."""
+    import os
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "user_id", "event_type"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        hour = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64())
+        return pa.table({"bucket": hour, "id": pc.cast(t["user_id"],
+                                                       pa.int64())})
+
+    edges = cooccurrence_edges(
+        ds.map_batches(purchases, batch_format="pyarrow"), "bucket", "id")
+    return triangle_count(edges, a_col="a", b_col="b")

@@ -128,3 +128,63 @@ def test_pagerank_sink_gets_more_than_source(ray_session):
     got = dict(zip(*[pagerank(rd.from_arrow(tbl)).to_pandas()[c]
                      for c in ("node", "rank")]))
     assert got[0] > max(got[i] for i in range(1, 8))
+
+
+def _brute_triangles(edges: list[tuple[int, int]]) -> int:
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = 0
+    for u in adj:
+        for v in adj[u]:
+            if v <= u:
+                continue
+            for w in adj[u]:
+                if w <= v:
+                    continue
+                if w in adj[v]:
+                    n += 1
+    return n
+
+
+def test_triangle_count_random_graphs(ray_session):
+    from sema_ray.graph import triangle_count
+    rng = np.random.RandomState(3)
+    for n_nodes, m in [(20, 60), (60, 400), (100, 150)]:
+        a = rng.randint(0, n_nodes, m)
+        b = rng.randint(0, n_nodes, m)
+        # feed duplicates + both directions: canonicalization must absorb
+        ds = rd.from_arrow(pa.table({
+            "a": pa.array(np.concatenate([a, b, a]), pa.int64()),
+            "b": pa.array(np.concatenate([b, a, b]), pa.int64())}))
+        got = triangle_count(ds).to_pandas()["n_triangles"][0]
+        want = _brute_triangles(list(zip(a.tolist(), b.tolist())))
+        assert got == want, (n_nodes, m, got, want)
+
+
+def test_triangle_count_known_shapes(ray_session):
+    from sema_ray.graph import triangle_count
+
+    def count(edges):
+        t = pa.table({"a": pa.array([a for a, _ in edges], pa.int64()),
+                      "b": pa.array([b for _, b in edges], pa.int64())})
+        return triangle_count(rd.from_arrow(t)).to_pandas()["n_triangles"][0]
+
+    # K4 has 4 triangles; a 4-cycle has none; empty graph has none
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    assert count(k4) == 4
+    assert count([(0, 1), (1, 2), (2, 3), (3, 0)]) == 0
+    assert count([(5, 5)]) == 0  # self loop only -> no nodes beyond loop
+
+
+def test_cooccurrence_edges_distinct_pairs(ray_session):
+    from sema_ray.graph import cooccurrence_edges
+    t = pa.table({"bkt": pa.array([1, 1, 1, 2, 2, 2, 2], pa.int64()),
+                  "uid": pa.array([10, 11, 10, 10, 12, 12, 13], pa.int64())})
+    out = cooccurrence_edges(rd.from_arrow(t), "bkt", "uid").to_pandas()
+    pairs = set(map(tuple, out[["a", "b"]].values.tolist()))
+    # bucket 1: {10, 11} -> (10,11); bucket 2: {10, 12, 13} -> 3 pairs
+    assert pairs == {(10, 11), (10, 12), (10, 13), (12, 13)}
