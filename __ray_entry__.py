@@ -601,6 +601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_customer_keys": relational.active_customer_keys,
         "inactive_customer_keys": relational.inactive_customer_keys,
         "event_type_hour_pivot": relational.event_type_hour_pivot,
+        "segment_priority_rollup": relational.segment_priority_rollup,
         "revenue_by_priority": relational.revenue_by_priority,
         "union_key_counts": relational.union_key_counts,
         "exact_text_search": relational.exact_text_search,
@@ -827,6 +828,17 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000.0) c
               ON o.o_custkey = c.c_custkey
             GROUP BY 1
+        """,
+        # COALESCE labels the subtotal levels; the base data has no NULLs
+        # so the label cannot collide with a real group
+        "segment_priority_rollup": """
+            SELECT COALESCE(c_mktsegment, '(all)') AS c_mktsegment,
+                   COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100
+                       AS sum_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
         """,
         "active_customer_keys": """
             SELECT DISTINCT o_custkey FROM orders

@@ -1096,3 +1096,69 @@ def event_type_hour_pivot(sf_dir: str) -> rd.Dataset:
     return load(sf_dir, "events", columns=["ts", "event_type"]) \
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("hour").aggregate(*aggs)
+
+
+def segment_priority_rollup(sf_dir: str) -> rd.Dataset:
+    """GROUP BY ROLLUP(segment, priority): leaf groups + per-segment
+    subtotals + a grand total, subtotal levels labelled ``(all)``.
+
+    ONE pass over the fact table produces (segment-code, priority)
+    partials; all three rollup levels aggregate those same partials (the
+    input is never re-read), so the extra levels cost two tiny shuffles
+    over per-block partial rows. Sums round once per OUTPUT row, after
+    each level's fold — same order as the SQL twin's FLOOR.
+    """
+    cust_tbl = collect_table(
+        load(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]))
+    gather, seg_dict = compile_int_lookup(cust_tbl["c_custkey"],
+                                          cust_tbl["c_mktsegment"])
+    seg_names = np.asarray(seg_dict.to_pylist(), dtype=object)
+
+    def join_partial(t: pa.Table) -> pa.Table:
+        codes, hit = gather(t["o_custkey"].to_numpy(zero_copy_only=False))
+        part = pa.table({
+            "code": pa.array(codes[hit], pa.int32()),
+            "prio": pc.cast(t["o_orderpriority"], pa.string())
+                      .filter(pa.array(hit)),
+            "price": pc.cast(t["o_totalprice"], pa.float64())
+                       .filter(pa.array(hit)),
+        })
+        g = part.group_by(["code", "prio"]).aggregate(
+            [("price", "sum"), ("price", "count")])
+        return g.rename_columns(["code", "prio", "sum_price", "n"])
+
+    partials = load(sf_dir, "orders",
+                    columns=["o_custkey", "o_orderpriority",
+                             "o_totalprice"]) \
+        .map_batches(join_partial, batch_format="pyarrow").materialize()
+
+    def decode(t: pa.Table, with_prio: bool) -> pa.Table:
+        codes = t["code"].to_numpy(zero_copy_only=False)
+        seg = pa.array(seg_names[codes], pa.string())
+        prio = t["prio"] if with_prio \
+            else pa.array(np.full(t.num_rows, "(all)", dtype=object),
+                          pa.string())
+        return pa.table({"c_mktsegment": seg, "o_orderpriority": prio,
+                         "n_orders": t["n_orders"],
+                         "sum_totalprice": t["sum_totalprice"]})
+
+    leaf = partials.groupby(["code", "prio"]).aggregate(
+        Sum("n", alias_name="n_orders"),
+        Sum("sum_price", alias_name="sum_totalprice")) \
+        .map_batches(lambda t: decode(t, True), batch_format="pyarrow")
+    per_seg = partials.groupby("code").aggregate(
+        Sum("n", alias_name="n_orders"),
+        Sum("sum_price", alias_name="sum_totalprice")) \
+        .map_batches(lambda t: decode(t, False), batch_format="pyarrow")
+
+    tot = collect_table(partials)
+    grand = rd.from_arrow(pa.table({
+        "c_mktsegment": pa.array(["(all)"], pa.string()),
+        "o_orderpriority": pa.array(["(all)"], pa.string()),
+        "n_orders": pa.array([int(pc.sum(tot["n"]).as_py() or 0)],
+                             pa.int64()),
+        "sum_totalprice": pa.array(
+            [float(pc.sum(tot["sum_price"]).as_py() or 0.0)], pa.float64()),
+    }))
+    return round_result(leaf.union(per_seg).union(grand),
+                        {"sum_totalprice": 2})

@@ -124,3 +124,18 @@ def test_event_pivot_row_sums_match_totals(ray_session):
     n_events = pq.ParquetFile(
         os.path.join(SF_DIR, "events.parquet")).metadata.num_rows
     assert sum(out[f"{t}_n"].sum() for t in EVENT_TYPES) == n_events
+
+
+def test_rollup_levels_consistent(ray_session):
+    """Each rollup level must re-aggregate to the same totals: the grand
+    total equals the sum of per-segment subtotals equals the sum of leaves."""
+    from sema_ray.relational import segment_priority_rollup
+    out = segment_priority_rollup(SF_DIR).to_pandas()
+    leaf = out[(out.c_mktsegment != "(all)") & (out.o_orderpriority != "(all)")]
+    seg = out[(out.c_mktsegment != "(all)") & (out.o_orderpriority == "(all)")]
+    grand = out[(out.c_mktsegment == "(all)")]
+    assert len(grand) == 1
+    assert leaf["n_orders"].sum() == seg["n_orders"].sum() \
+        == grand["n_orders"].iloc[0]
+    assert abs(leaf["sum_totalprice"].sum()
+               - grand["sum_totalprice"].iloc[0]) < 0.05
