@@ -315,11 +315,70 @@ def _pair_key(v: np.ndarray, w: np.ndarray) -> np.ndarray:
     return (h >> np.uint64(1)).astype(np.int64)
 
 
+# Per-block-deduped edge totals at or below this run the whole count on the
+# driver (~32 MB of int64 pairs): every Ray keyed shuffle carries seconds of
+# fixed actor cost (CLAUDE.md sharp edge), and the triangle pipeline has
+# three of them. Same adaptive pattern as dedup.LOCAL_COUNT_MAX_ROWS.
+TRIANGLE_LOCAL_MAX_EDGES = 2_000_000
+# wedge chunks are bounded so the local path never materializes more than
+# this many candidate pairs at once
+_WEDGE_CHUNK_PAIRS = 16_000_000
+
+
+def _local_triangles(u: np.ndarray, v: np.ndarray) -> int:
+    """Driver-local exact count with the same kernels as the distributed
+    path: canonical dedup, (degree, id) orientation, segmented wedge pairs
+    (chunked by source segments), rank-encoded membership."""
+    u, v = _dedup_pairs(u, v)
+    if len(u) == 0:
+        return 0
+    nodes = np.unique(np.concatenate([u, v]))
+    n = len(nodes)
+    iu = np.searchsorted(nodes, u)
+    iv = np.searchsorted(nodes, v)
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, iu, 1)
+    np.add.at(deg, iv, 1)
+    rank = np.empty(n, dtype=np.int64)
+    rank[np.lexsort((np.arange(n), deg))] = np.arange(n)
+    fwd = rank[iu] < rank[iv]
+    src = np.where(fwd, iu, iv)
+    dst = np.where(fwd, iv, iu)
+    order = np.lexsort((rank[dst], src))
+    src, dst = src[order], dst[order]
+    ek = np.sort(src.astype(np.int64) * n + dst)
+    seg_bounds = np.r_[np.nonzero(np.r_[True, src[1:] != src[:-1]])[0],
+                       len(src)]
+    seg_lens = np.diff(seg_bounds)
+    pair_csum = np.cumsum(seg_lens * (seg_lens - 1) // 2)
+    n_tri, s = 0, 0
+    while s < len(seg_lens):
+        base = pair_csum[s - 1] if s else 0
+        e = max(int(np.searchsorted(pair_csum, base + _WEDGE_CHUNK_PAIRS)),
+                s) + 1
+        e = min(e, len(seg_lens))
+        rows = slice(seg_bounds[s], seg_bounds[e])
+        wv, ww = _segmented_pairs(dst[rows], seg_lens[s:e])
+        if len(wv):
+            key = wv.astype(np.int64) * n + ww
+            pos = np.searchsorted(ek, key)
+            pos[pos == len(ek)] = 0
+            n_tri += int((ek[pos] == key).sum())
+        s = e
+    return n_tri
+
+
 def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
-                   n_parts: int = 64) -> rd.Dataset:
+                   n_parts: int = 64,
+                   local_max_edges: int | None = None) -> rd.Dataset:
     """EXACT triangle count over an undirected edge list.
 
-    Scale shape (every step a bounded-part shuffle or a per-block partial):
+    Size-adaptive: below ``local_max_edges`` (default
+    ``TRIANGLE_LOCAL_MAX_EDGES``) the per-block-deduped pairs are collected
+    and counted on the driver with the same vectorized kernels — three
+    keyed shuffles of fixed actor cost buy nothing on a small graph. The
+    scale path above the threshold (every step a bounded-part shuffle or a
+    per-block partial):
 
     1. canonicalize to (lo, hi), drop self-loops, global dedup inside ONE
        keyed shuffle (a canonical pair lives wholly in its lo-partition);
@@ -339,6 +398,8 @@ def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
 
     Returns a one-row Dataset ``{n_triangles: int64}``.
     """
+    from .util import collect_table
+
     def to_lo_hi(t: pa.Table) -> pa.Table:
         u = pc.cast(t[a_col], pa.int64()).to_numpy(zero_copy_only=False)
         v = pc.cast(t[b_col], pa.int64()).to_numpy(zero_copy_only=False)
@@ -354,7 +415,19 @@ def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
                          "v": pa.array(ov, pa.int64())})
 
     e0 = edges.map_batches(to_lo_hi, batch_format="pyarrow",
-                           batch_size=None)
+                           batch_size=None).materialize()
+    limit = TRIANGLE_LOCAL_MAX_EDGES if local_max_edges is None \
+        else local_max_edges
+    empty = pa.table({"n_triangles": pa.array([0], pa.int64())})
+    if e0.count() <= limit:
+        tbl = collect_table(e0)
+        if tbl.num_rows == 0 or "u" not in tbl.column_names:
+            return rd.from_arrow(empty)
+        n_tri = _local_triangles(tbl["u"].to_numpy(zero_copy_only=False),
+                                 tbl["v"].to_numpy(zero_copy_only=False))
+        return rd.from_arrow(pa.table({"n_triangles":
+                                       pa.array([n_tri], pa.int64())}))
+
     dedup = keyed_part_kernel(e0, "u", dedup_kernel,
                               n_parts=n_parts).materialize()
 
@@ -365,11 +438,9 @@ def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
         return pa.table({"n": pa.array(nodes_, pa.int64()),
                          "d": pa.array(counts_, pa.int64())})
 
-    from .util import collect_table
     nt = collect_table(dedup.map_batches(node_deg_partial,
                                          batch_format="pyarrow",
                                          batch_size=None))
-    empty = pa.table({"n_triangles": pa.array([0], pa.int64())})
     if nt.num_rows == 0 or "n" not in nt.column_names:
         return rd.from_arrow(empty)
     raw_n = nt["n"].to_numpy(zero_copy_only=False)

@@ -160,9 +160,14 @@ def test_triangle_count_random_graphs(ray_session):
         ds = rd.from_arrow(pa.table({
             "a": pa.array(np.concatenate([a, b, a]), pa.int64()),
             "b": pa.array(np.concatenate([b, a, b]), pa.int64())}))
-        got = triangle_count(ds).to_pandas()["n_triangles"][0]
         want = _brute_triangles(list(zip(a.tolist(), b.tolist())))
-        assert got == want, (n_nodes, m, got, want)
+        # driver-local path (default threshold) AND the distributed
+        # shuffle path (threshold forced to 0) must both be exact
+        got_local = triangle_count(ds).to_pandas()["n_triangles"][0]
+        got_dist = triangle_count(ds, local_max_edges=0) \
+            .to_pandas()["n_triangles"][0]
+        assert got_local == want, (n_nodes, m, got_local, want)
+        assert got_dist == want, (n_nodes, m, got_dist, want)
 
 
 def test_triangle_count_known_shapes(ray_session):
