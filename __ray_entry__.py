@@ -586,7 +586,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from sema_ray import (dedup, graph, multimodal, relational, simsearch,
                           textops)
 
+    # Dict order matters: the driver checks the FIRST 50 entries against
+    # oracle_sql(). Every oracle-backed query must sort inside that window;
+    # already-proven redundant rows (green in CORRECTNESS_r03) and
+    # rows-only/pytest-oracled pipelines sort after position 50.
     return {
+        # --- KG construction stage oracles (flagship; VERDICT r3 item 2) --
+        "kg_normalized": _kg_normalized,
+        "kg_chunks": _kg_chunks,
+        "kg_mentions": _kg_mentions,
+        "kg_triples": _kg_triples,
+        # --- similarity search (brute oracle + recall-checked ANN) ---------
+        "knn_bruteforce": simsearch.knn_bruteforce,
+        "knn_lsh": simsearch.knn_lsh_checked,
+        "knn_ivf": simsearch.knn_ivf_checked,
+        "knn_sq8": simsearch.knn_sq8_checked,
+        "bm25_search": simsearch.bm25_search,
+        "bm25_phrase_search": _bm25_phrase_search,
+        "embedding_dup_pairs": _embedding_dup_pairs,
+        "embedding_near_dup": simsearch.embedding_near_dup,
+        # --- dedup family -------------------------------------------------
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_exact_clusters": dedup.exact_dup_clusters,
+        "dedup_minhash": dedup.minhash_near_dup,
+        "dedup_simhash": dedup.simhash_near_dup,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_incremental": dedup.incremental_dedup,
+        "dup_components": _dup_components,
+        # end-to-end curation: dedup reps -> quality gate -> stratified
+        # sample, one streaming pass (sema_ray.curate)
+        "curate_corpus": _curate_corpus,
+        # --- multimodal / graph -------------------------------------------
+        "binary_meta": multimodal.binary_meta,
+        "user_cooccurrence_triangles":
+            graph.purchase_cooccurrence_triangles,
         # --- relational layer (SURVEY §2 M1/A1/A2/K1 + joins) -------------
         "filter_high_quantity": relational.filter_high_quantity,
         "topk_orders": relational.topk_orders,
@@ -599,7 +632,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_segment": relational.orders_per_segment,
         "orders_segment_left_outer": relational.orders_segment_left_outer,
         "active_customer_keys": relational.active_customer_keys,
-        "inactive_customer_keys": relational.inactive_customer_keys,
         "event_type_hour_pivot": relational.event_type_hour_pivot,
         "segment_priority_rollup": relational.segment_priority_rollup,
         "revenue_by_priority": relational.revenue_by_priority,
@@ -607,25 +639,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_text_search": relational.exact_text_search,
         "grouped_search": relational.grouped_search,
         "asof_latest_order": relational.latest_order_before_event,
-        "sliding_window_counts": relational.sliding_window_counts,
         "value_band_counts": relational.value_band_counts,
         "median_value_by_type": relational.median_value_by_type,
         "running_user_totals": relational.running_user_totals,
         "event_gaps": relational.event_gaps,
-        "zscore_by_type": relational.zscore_by_type,
         "approx_distinct_users": _approx_distinct_users,
         "value_quantiles": _value_quantiles,
         "customers_without_orders": _customers_without_orders,
         "top3_orders_per_customer": relational.top3_orders_per_customer,
-        "sample_events": _sample_events,
         # --- text analysis / training-data hygiene ------------------------
+        "lang_id": textops.lang_id,
+        "doc_fingerprints": textops.doc_fingerprints,
+        # ================= driver window boundary (50) =====================
+        # Everything below is either green in CORRECTNESS_r03, redundant
+        # with an in-window row, or rows-only/pytest-oracled by design.
+        "zscore_by_type": relational.zscore_by_type,
+        "sliding_window_counts": relational.sliding_window_counts,
+        "inactive_customer_keys": relational.inactive_customer_keys,
+        "sample_events": _sample_events,
         "doc_stats": textops.doc_stats,
         "token_count_by_lang": textops.token_count_by_lang,
         "bpe_token_counts": textops.bpe_token_counts,
         "cms_heavy_hitters": _cms_heavy_hitters,
         "quality_scores": textops.quality_scores,
-        "lang_id": textops.lang_id,
-        "doc_fingerprints": textops.doc_fingerprints,
         "pii_scrub": textops.pii_scrub,
         "benchmark_contamination": textops.benchmark_contamination,
         "sample_docs_by_lang": _sample_docs_by_lang,
@@ -634,44 +670,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": textops.repetition_stats,
         "dup_span_counts": dedup.dup_span_counts,
         "pack_sequences": _pack_sequences,
-        # --- dedup family -------------------------------------------------
-        "dedup_exact": dedup.exact_dedup,
-        "dedup_exact_clusters": dedup.exact_dup_clusters,
-        "dedup_minhash": dedup.minhash_near_dup,
-        "dedup_simhash": dedup.simhash_near_dup,
-        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
-        "dedup_incremental": dedup.incremental_dedup,
-        "dup_components": _dup_components,
-        # end-to-end curation: dedup reps -> quality gate -> stratified
-        # sample, one streaming pass (sema_ray.curate)
-        "curate_corpus": _curate_corpus,
-        # --- similarity search --------------------------------------------
-        "knn_bruteforce": simsearch.knn_bruteforce,
-        "knn_lsh": simsearch.knn_lsh_checked,
-        "knn_ivf": simsearch.knn_ivf_checked,
-        "knn_sq8": simsearch.knn_sq8_checked,
         "quantize_embeddings": simsearch.quantize_embeddings,
-        "embedding_dup_pairs": _embedding_dup_pairs,
-        "embedding_near_dup": simsearch.embedding_near_dup,
         # iterative: distributed Lloyd's k-means (per-iteration partial-sum
         # reduce; non-SQL by nature — mixture-recovery oracle in pytest)
         "kmeans_clusters": _kmeans_clusters,
         "cluster_balanced_sample": _cluster_balanced_sample,
         "pca_embeddings": _pca_embeddings,
         "semantic_search": simsearch.semantic_search,
-        "bm25_search": simsearch.bm25_search,
-        "bm25_phrase_search": _bm25_phrase_search,
-        # --- multimodal plumbing ------------------------------------------
-        "binary_meta": multimodal.binary_meta,
         # --- reference file-search lifecycle (crawl/chunk/embed/index/query)
         "file_search_semantic": _file_search_semantic,
         "file_search_exact": _file_search_exact,
         "embed_documents": _embed_documents,
-        # --- KG construction (flagship; non-SQL, golden-oracle in pytest) -
-        "kg_normalized": _kg_normalized,
-        "kg_chunks": _kg_chunks,
-        "kg_mentions": _kg_mentions,
-        "kg_triples": _kg_triples,
+        # --- KG tail stages (golden-oracle in pytest) ----------------------
         "kg_entities": _kg_entities,
         "kg_linked_triples": _kg_linked,
         "kg_adjacency": _kg_adjacency,
@@ -680,8 +690,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # power-iteration oracle in pytest)
         "kg_entity_pagerank": _kg_entity_pagerank,
         "kg_triangle_count": _kg_triangle_count,
-        "user_cooccurrence_triangles":
-            graph.purchase_cooccurrence_triangles,
     }
 
 
