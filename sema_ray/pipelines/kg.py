@@ -482,17 +482,20 @@ def neighbors(adj_dir: str, subj_id: int, num_buckets: int = 64) -> pa.Table:
 def coherent_turns(ds: rd.Dataset) -> rd.Dataset:
     """Stable turn ordering: per-conversation sort on turn_idx.
 
-    The only stage needing conversation locality. Whale conversations are a
-    single group each; at 10^12-turn scale a group is at most one
-    conversation (bounded), so no salt is needed *here* — salting applies to
-    the per-turn stages when block balance matters (see
-    :func:`salted_repartition`).
+    The only stage needing conversation locality. Expressed as a
+    bounded-part shuffle (`keyed_part_kernel`): every conversation's turns
+    land wholly in one of ORDERED_PARTS parts and one Arrow sort per part
+    makes conversations contiguous and turn-ordered — one Python call per
+    PART, not per conversation (the r3 per-group map_groups cost one call
+    per conv_id; at 10^9 conversations that is 10^9 Python calls).
     """
+    from ..relational import keyed_part_kernel
 
-    def per_group(g: pa.Table) -> pa.Table:
-        return g.sort_by([("turn_idx", "ascending")])
+    def kern(t: pa.Table) -> pa.Table:
+        return t.sort_by([("conv_id", "ascending"),
+                          ("turn_idx", "ascending")])
 
-    return ds.groupby("conv_id").map_groups(per_group, batch_format="pyarrow")
+    return keyed_part_kernel(ds, "conv_id", kern)
 
 
 def detect_heavy_convs(ds: rd.Dataset, threshold: int = 1000) -> set[str]:

@@ -214,16 +214,18 @@ def top_event_per_user(sf_dir: str) -> rd.Dataset:
     """
     ds = load(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
-    def first_per_group(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    def kern(t: pa.Table) -> pa.Table:
+        t, starts, seg_len = sorted_segments(
+            t, "user_id", [("user_id", "ascending"), ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        idx = pa.array(starts, pa.int64())
         return pa.table({
-            "user_id": g["user_id"].slice(0, 1),
-            "event_id": g["event_id"].slice(0, 1),
-            "n_events": pa.array([g.num_rows], pa.int64()),
+            "user_id": t["user_id"].take(idx),
+            "event_id": t["event_id"].take(idx),
+            "n_events": pa.array(seg_len.astype(np.int64), pa.int64()),
         })
 
-    return ds.groupby("user_id").map_groups(first_per_group,
-                                            batch_format="pyarrow")
+    return keyed_part_kernel(ds, "user_id", kern)
 
 
 def sessionize_users(sf_dir: str, gap_us: int = 1_800_000_000) -> rd.Dataset:
@@ -235,16 +237,23 @@ def sessionize_users(sf_dir: str, gap_us: int = 1_800_000_000) -> rd.Dataset:
     """
     ds = load(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
-    def sessions(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
-        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-        n_sessions = 1 + int((np.diff(us) > gap_us).sum()) if len(us) else 0
+    def kern(t: pa.Table) -> pa.Table:
+        t, starts, seg_len = sorted_segments(
+            t, "user_id", [("user_id", "ascending"), ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        brk = np.zeros(len(us), dtype=np.int64)
+        if len(us) > 1:
+            brk[1:] = (np.diff(us) > gap_us).astype(np.int64)
+            brk[starts] = 0  # a user's first event never breaks a session
+        n_sessions = (1 + np.add.reduceat(brk, starts) if len(starts)
+                      else np.zeros(0, dtype=np.int64))
         return pa.table({
-            "user_id": g["user_id"].slice(0, 1),
-            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "user_id": t["user_id"].take(pa.array(starts, pa.int64())),
+            "n_sessions": pa.array(n_sessions.astype(np.int64), pa.int64()),
         })
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    return keyed_part_kernel(ds, "user_id", kern)
 
 
 # ---------------------------------------------------------------------------
@@ -304,6 +313,31 @@ def _segment_starts(keys: np.ndarray) -> np.ndarray:
     return np.r_[True, keys[1:] != keys[:-1]]
 
 
+def sorted_segments(t: pa.Table, key_col: str,
+                    order: list[tuple[str, str]]
+                    ) -> tuple[pa.Table, np.ndarray, np.ndarray]:
+    """Shared prelude for segmented per-key kernels (VERDICT r3 item 8).
+
+    Sorts ``t`` by ``order`` (which must lead with ``key_col`` ascending so
+    key groups are contiguous) and returns ``(sorted_table, starts,
+    seg_len)`` — the run-start indices and run lengths of each key segment.
+    String keys are dictionary-encoded so the adjacent-unequal scan compares
+    int32 codes, never Python strings.
+    """
+    assert order and order[0] == (key_col, "ascending"), order
+    t = t.sort_by(order)
+    col = t[key_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        k = col.to_numpy(zero_copy_only=False)
+    else:
+        k = col.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    starts = np.nonzero(_segment_starts(k))[0]
+    seg_len = np.diff(np.r_[starts, len(k)])
+    return t, starts, seg_len
+
+
 def cents64(values: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """floor(value*100 + 0.5) as int64 — the fixed-point bridge that makes
     running/variance arithmetic EXACT (association-independent), so the
@@ -327,17 +361,15 @@ def running_user_totals(sf_dir: str) -> rd.Dataset:
                                          "value"])
 
     def kern(t: pa.Table) -> pa.Table:
-        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
-                       ("event_id", "ascending")])
-        u = t["user_id"].to_numpy(zero_copy_only=False)
+        t, starts, seg_len = sorted_segments(
+            t, "user_id", [("user_id", "ascending"), ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        n_rows = t.num_rows
         cents = cents64(t["value"])
-        new = _segment_starts(u)
-        starts = np.nonzero(new)[0]
-        seg_len = np.diff(np.r_[starts, len(u)])
         cs = np.cumsum(cents)
         off = np.where(starts > 0, cs[starts - 1], 0)
         run_cents = cs - np.repeat(off, seg_len)  # exact: int arithmetic
-        run_n = np.arange(len(u), dtype=np.int64) \
+        run_n = np.arange(n_rows, dtype=np.int64) \
             - np.repeat(starts, seg_len) + 1
         return pa.table({
             "event_id": t["event_id"],
@@ -358,15 +390,14 @@ def event_gaps(sf_dir: str) -> rd.Dataset:
     ds = load(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
     def kern(t: pa.Table) -> pa.Table:
-        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
-                       ("event_id", "ascending")])
-        u = t["user_id"].to_numpy(zero_copy_only=False)
+        t, starts, _seg_len = sorted_segments(
+            t, "user_id", [("user_id", "ascending"), ("ts", "ascending"),
+                           ("event_id", "ascending")])
         us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-        gap = np.empty(len(u), dtype=np.int64)
-        if len(u):
-            gap[0] = -1
+        gap = np.empty(len(us), dtype=np.int64)
+        if len(us):
             gap[1:] = us[1:] - us[:-1]
-            gap[_segment_starts(u)] = -1
+            gap[starts] = -1
         return pa.table({
             "event_id": t["event_id"],
             "gap_us": pa.array(gap, pa.int64()),
@@ -856,16 +887,18 @@ def median_value_by_type(sf_dir: str) -> rd.Dataset:
     engines — sort the group, take the element at (n-1)//2."""
     ds = load(sf_dir, "events", columns=["event_type", "value"])
 
-    def med(g: pa.Table) -> pa.Table:
-        vals = np.sort(g["value"].to_numpy(zero_copy_only=False))
+    def kern(t: pa.Table) -> pa.Table:
+        t, starts, seg_len = sorted_segments(
+            t, "event_type", [("event_type", "ascending"),
+                              ("value", "ascending")])
+        mids = pa.array(starts + (seg_len - 1) // 2, pa.int64())
         return pa.table({
-            "event_type": g["event_type"].slice(0, 1),
-            "median_value": pa.array([float(vals[(len(vals) - 1) // 2])],
-                                     pa.float64()),
-            "n": pa.array([len(vals)], pa.int64()),
+            "event_type": t["event_type"].take(pa.array(starts, pa.int64())),
+            "median_value": pc.cast(t["value"].take(mids), pa.float64()),
+            "n": pa.array(seg_len.astype(np.int64), pa.int64()),
         })
 
-    return ds.groupby("event_type").map_groups(med, batch_format="pyarrow")
+    return keyed_part_kernel(ds, "event_type", kern)
 
 
 def grouped_search(sf_dir: str, pattern: str = "vector") -> rd.Dataset:
@@ -883,17 +916,20 @@ def grouped_search(sf_dir: str, pattern: str = "vector") -> rd.Dataset:
                         "score": n})
         return out.filter(pc.greater(out["score"], 0))
 
-    def top1(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("score", "descending"), ("doc_id", "ascending")])
+    def top1(t: pa.Table) -> pa.Table:
+        t, starts, seg_len = sorted_segments(
+            t, "source", [("source", "ascending"), ("score", "descending"),
+                          ("doc_id", "ascending")])
+        idx = pa.array(starts, pa.int64())
         return pa.table({
-            "source": g["source"].slice(0, 1),
-            "doc_id": g["doc_id"].slice(0, 1),
-            "score": g["score"].slice(0, 1),
-            "n_docs_matched": pa.array([g.num_rows], pa.int64()),
+            "source": t["source"].take(idx),
+            "doc_id": t["doc_id"].take(idx),
+            "score": t["score"].take(idx),
+            "n_docs_matched": pa.array(seg_len.astype(np.int64), pa.int64()),
         })
 
     hits = ds.map_batches(scan, batch_format="pyarrow")
-    return hits.groupby("source").map_groups(top1, batch_format="pyarrow")
+    return keyed_part_kernel(hits, "source", top1)
 
 
 def customers_without_orders(sf_dir: str,
@@ -944,14 +980,17 @@ def top3_orders_per_customer(sf_dir: str, k: int = 3) -> rd.Dataset:
         rank = np.arange(n) - run_start
         return t.filter(pa.array(rank < k))
 
-    def merge(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("o_totalprice", "descending"),
-                       ("o_orderkey", "ascending")])
-        return g.slice(0, k)
+    def merge(t: pa.Table) -> pa.Table:
+        t, starts, seg_len = sorted_segments(
+            t, "o_custkey", [("o_custkey", "ascending"),
+                             ("o_totalprice", "descending"),
+                             ("o_orderkey", "ascending")])
+        rank = (np.arange(t.num_rows, dtype=np.int64)
+                - np.repeat(starts, seg_len))
+        return t.filter(pa.array(rank < k))
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow")
-    return partials.groupby("o_custkey").map_groups(merge,
-                                                    batch_format="pyarrow")
+    return keyed_part_kernel(partials, "o_custkey", merge)
 
 def orders_segment_left_outer(sf_dir: str,
                               min_acctbal: float = 5000.0) -> rd.Dataset:
