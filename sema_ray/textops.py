@@ -154,65 +154,89 @@ _LANG_MARKERS: dict[str, frozenset[str]] = {
 }
 
 
-class LangIdStage:
-    """Actor-pool language identifier (n-gram/stopword heuristic + script).
+# RE2 codepoint-class patterns — identical classes to the DuckDB twin
+# (__ray_entry__._lang_id_sql); script counts run over the first 2000 chars.
+_SCRIPT_PATTERNS = (
+    ("cjk", "[一-鿿぀-ヿ]"),
+    ("cyr", "[Ѐ-ӿ]"),
+    ("grk", "[Ͱ-Ͽ]"),
+    ("lat", "[\x41-\x7A\xC0-ſ]"),
+)
+_MAX_VOTE_WORDS = 400
 
-    Profiles are built once per actor in ``__init__`` (reference stateful-
-    stage pattern, SURVEY §2 T1). CJK / Cyrillic / Greek scripts are decided
-    by codepoint ranges; Latin-script languages by stopword votes with a
-    deterministic tie-break (marker order, then "en").
+
+def classify_langs_batch(text: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized language-ID (VERDICT r3 item 4): Arrow
+    ``count_substring_regex`` per script class, then stopword votes computed
+    over the dictionary-encoded flattened word stream — the marker lookup
+    runs once per DISTINCT word per block, the per-row work is bincounts.
+    Decision rule is bit-identical to the r3 per-row classify (script
+    thresholds first, then first-lang-reaching-max vote tie-break, 'und' on
+    zero votes) — the DuckDB twin is the spec.
     """
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = len(text)
+    head = pc.utf8_slice_codeunits(text, 0, 2000)
+    counts = {
+        name: pc.cast(pc.count_substring_regex(head, pattern=pat),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        for name, pat in _SCRIPT_PATTERNS
+    }
+    tot = counts["cjk"] + counts["cyr"] + counts["grk"] + counts["lat"]
+    safe = np.maximum(tot, 1).astype(np.float64)
 
-    def __init__(self):
-        self.markers = {lang: set(words) for lang, words in _LANG_MARKERS.items()}
-
-    @staticmethod
-    def _script(text: str) -> str | None:
-        cjk = cyr = greek = latin = 0
-        for ch in text[:2000]:
-            o = ord(ch)
-            if 0x4E00 <= o <= 0x9FFF or 0x3040 <= o <= 0x30FF:
-                cjk += 1
-            elif 0x0400 <= o <= 0x04FF:
-                cyr += 1
-            elif 0x0370 <= o <= 0x03FF:
-                greek += 1
-            elif (0x41 <= o <= 0x7A) or (0xC0 <= o <= 0x17F):
-                latin += 1
-        total = cjk + cyr + greek + latin
-        if total == 0:
-            return "und"
-        if cjk / total > 0.25:
-            return "zh"
-        if cyr / total > 0.25:
-            return "ru"
-        if greek / total > 0.25:
-            return "el"
-        return None  # latin: decide by stopwords
-
-    def classify(self, text: str) -> str:
-        s = self._script(text)
-        if s is not None:
-            return s
-        words = text.lower().split()[:400]
-        best_lang, best_votes = "en", -1
-        for lang, marks in self.markers.items():
-            votes = sum(1 for w in words if w in marks)
-            if votes > best_votes:
-                best_lang, best_votes = lang, votes
-        return best_lang if best_votes > 0 else "und"
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        preds = pa.array([self.classify(x) for x in t["text"].to_pylist()],
-                         pa.string())
-        return pa.table({"doc_id": t["doc_id"], "pred_lang": preds})
+    # stopword votes over the first 400 whitespace words of lower(text)
+    lists = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    parents = parents[keep.to_numpy(zero_copy_only=False)]
+    if len(parents):
+        new = np.r_[True, parents[1:] != parents[:-1]]
+        run_start = np.maximum.accumulate(
+            np.where(new, np.arange(len(parents)), 0))
+        rank = np.arange(len(parents)) - run_start
+        cap = rank < _MAX_VOTE_WORDS
+        flat = flat.filter(pa.array(cap))
+        parents = parents[cap]
+    langs = list(_LANG_MARKERS)
+    votes = np.zeros((n, len(langs)), dtype=np.int64)
+    if len(parents):
+        enc = flat.dictionary_encode()
+        vocab = enc.dictionary.to_pylist()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        for j, lang in enumerate(langs):
+            marks = _LANG_MARKERS[lang]
+            memb = np.fromiter((w in marks for w in vocab), dtype=bool,
+                               count=len(vocab))
+            hit = memb[idx]
+            if hit.any():
+                votes[:, j] = np.bincount(parents[hit], minlength=n)
+    vmax = votes.max(axis=1)
+    # np.argmax returns the FIRST index attaining the max == the r3
+    # marker-order tie break (first lang reaching best_votes wins)
+    first_win = np.asarray(langs, dtype=object)[votes.argmax(axis=1)]
+    latin_pred = np.where(vmax > 0, first_win, "und")
+    pred = np.where(
+        tot == 0, "und",
+        np.where(counts["cjk"] / safe > 0.25, "zh",
+                 np.where(counts["cyr"] / safe > 0.25, "ru",
+                          np.where(counts["grk"] / safe > 0.25, "el",
+                                   latin_pred))))
+    return pa.array(pred.astype(object), pa.string())
 
 
 def lang_id(sf_dir: str) -> rd.Dataset:
-    """doc_id -> predicted language (heuristic; rows-only driver check)."""
+    """doc_id -> predicted language (full DuckDB value oracle)."""
     ds = _load_docs(sf_dir, ["doc_id", "text"])
-    return ds.map_batches(LangIdStage, batch_format="pyarrow",
-                          concurrency=(1, 4))
+
+    def batch(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "pred_lang": classify_langs_batch(t["text"])})
+
+    return ds.map_batches(batch, batch_format="pyarrow")
 
 
 # token -> md5-low-8-bytes hash, memoized per worker, bounded (ADVICE r2:
@@ -246,38 +270,80 @@ def doc_fingerprints(sf_dir: str, window: int = 8) -> rd.Dataset:
     (``src/storage/mod.rs:72-94``) at document granularity. Every step is
     exact integer arithmetic DuckDB can replicate, so the driver gets a
     full value-hash oracle.
+
+    Vectorized (VERDICT r3 item 3): the whole batch's token stream is
+    flattened once with Arrow kernels and dictionary-encoded, so md5 runs
+    once per DISTINCT token per block (memoized across blocks in the
+    per-worker cache) instead of once per token occurrence; the rolling XOR
+    and per-document min are segmented numpy over the flat stream. Task
+    pool, no fixed concurrency cap (the r3 ``concurrency=(1, 4)`` starved a
+    32-CPU session).
     """
     ds = _load_docs(sf_dir, ["doc_id", "text"])
+    mask = np.uint64(0x7FFF_FFFF_FFFF_FFFF)
 
-    class FingerprintStage:
-        def __init__(self):
-            import re
-            self.tok = re.compile(TOKEN_RE)
+    def batch_fp(t: pa.Table) -> pa.Table:
+        n_docs = t.num_rows
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lower = pc.utf8_lower(text)
+        # findall(TOKEN_RE) == split on the complement and drop empties
+        lists = pc.split_pattern_regex(lower, pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(
+            zero_copy_only=False)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parents = parents[keep.to_numpy(zero_copy_only=False)]
 
-        def fingerprint(self, text: str) -> int:
-            toks = self.tok.findall(text.lower())
-            if not toks:
-                # non-ASCII-token text (CJK, Cyrillic, ...): whole-text hash
-                # so distinct documents keep distinct fingerprints
-                return md5_u64(text) & 0x7FFF_FFFF_FFFF_FFFF if text else 0
-            hs = np.array([md5_u64(t) for t in toks], dtype=np.uint64)
-            if len(hs) < window:
-                acc = int(hs.min())
-            else:
-                # rolling min over XOR-combined windows, vectorized
-                combined = hs.copy()
-                for off in range(1, window):
-                    combined[:-off] ^= np.roll(hs, -off)[:-off]
-                acc = int(combined[: len(hs) - window + 1].min())
-            return acc & 0x7FFF_FFFF_FFFF_FFFF
+        # md5 once per distinct token in this block (memoized per worker)
+        enc = flat.dictionary_encode()
+        vocab_h = np.array([md5_u64(s) for s in enc.dictionary.to_pylist()],
+                           dtype=np.uint64)
+        hs = (vocab_h[enc.indices.to_numpy(zero_copy_only=False)]
+              if len(vocab_h) else np.zeros(0, np.uint64))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            fps = pa.array([self.fingerprint(x) for x in t["text"].to_pylist()],
-                           pa.int64())
-            return pa.table({"doc_id": t["doc_id"], "fingerprint": fps})
+        # segment geometry over the flat token stream (parents are sorted)
+        tok_counts = np.bincount(parents, minlength=n_docs).astype(np.int64)
+        starts_all = np.nonzero(np.r_[True, parents[1:] != parents[:-1]])[0] \
+            if len(parents) else np.zeros(0, np.int64)
+        seg_len = tok_counts[tok_counts > 0]
+        rank = (np.arange(len(hs), dtype=np.int64)
+                - np.repeat(starts_all, seg_len)) if len(hs) else \
+            np.zeros(0, np.int64)
 
-    return ds.map_batches(FingerprintStage, batch_format="pyarrow",
-                          concurrency=(1, 4))
+        # rolling XOR of `window` consecutive hashes (global; windows that
+        # would cross a document boundary are exactly the masked tail ranks)
+        combined = hs.copy()
+        for off in range(1, window):
+            if off < len(hs):
+                combined[:-off] ^= hs[off:]
+        umax = np.uint64(0xFFFF_FFFF_FFFF_FFFF)
+        tail = rank > np.repeat(seg_len, seg_len) - window
+        combined[tail] = umax
+
+        fp = np.zeros(n_docs, dtype=np.uint64)
+        if len(hs):
+            docs_with_toks = parents[starts_all]
+            min_hs = np.minimum.reduceat(hs, starts_all)
+            min_comb = np.minimum.reduceat(combined, starts_all)
+            short = seg_len < window  # all-masked: fall back to min token
+            fp[docs_with_toks] = np.where(short, min_hs, min_comb)
+        # tokenless docs: whole-text hash (non-empty) or 0 (empty)
+        no_tok = tok_counts == 0
+        if no_tok.any():
+            texts = text.to_pylist()
+            for i in np.nonzero(no_tok)[0]:
+                s = texts[i]
+                fp[i] = np.uint64(md5_u64(s)) if s else np.uint64(0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "fingerprint": pa.array((fp & mask).astype(np.int64),
+                                    pa.int64()),
+        })
+
+    return ds.map_batches(batch_fp, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -36,8 +36,8 @@ def lang_dir(tmp_path_factory):
 
 def test_lang_id_heuristic(ray_session, lang_dir):
     d, want = lang_dir
-    got = dict(zip(*[textops.lang_id(d).to_pandas()[c]
-                     for c in ("doc_id", "pred_lang")]))
+    df = textops.lang_id(d).to_pandas()  # one materialization: block order
+    got = dict(zip(df["doc_id"], df["pred_lang"]))  # varies across runs
     hits = sum(1 for k, v in want.items() if got[k] == v)
     assert hits >= 6, got
 
