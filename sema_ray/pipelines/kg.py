@@ -243,8 +243,17 @@ def lsh_candidate_pairs(surfaces: rd.Dataset, max_bucket: int = 1000,
                           pair_tbl["b"].to_pylist())))
 
 
+# Above this many (approximate) mention rows the per-block count partials
+# are aggregated by a DISTRIBUTED groupby before anything reaches the
+# driver (VERDICT r3 item 5) — the driver then only ever holds the
+# vocabulary-sized result it needs for the union-find reduction (the
+# documented boundary), never O(blocks x vocabulary) partial rows.
+DIST_COUNT_MIN_ROWS = 4_000_000
+
+
 def canonical_entities(mentions: rd.Dataset,
-                       distributed_blocking: bool = False
+                       distributed_blocking: bool = False,
+                       approx_rows: int | None = None,
                        ) -> tuple[dict[str, tuple[int, str]], pa.Table]:
     """Full canonicalization: counts -> LSH pairs -> union-find -> table.
 
@@ -252,9 +261,11 @@ def canonical_entities(mentions: rd.Dataset,
     columns entity_id | canonical | surface | n).
 
     The vocabulary (distinct surfaces) is the small side by construction —
-    it is collected to the driver for the union-find reduction regardless —
-    so by default the per-batch count partials are merged and LSH-blocked
-    locally (no shuffle). ``distributed_blocking=True`` switches to the
+    it is collected to the driver for the union-find reduction regardless.
+    Below ``DIST_COUNT_MIN_ROWS`` (estimated) mention rows the per-batch
+    count partials are merged locally (no shuffle); above it they are summed
+    by a distributed ``groupby`` so the driver only receives the final
+    vocabulary-sized table. ``distributed_blocking=True`` switches to the
     groupby-based banding path for vocabularies too large to block locally
     (the shuffle still only moves vocabulary rows, never the corpus).
     """
@@ -268,13 +279,20 @@ def canonical_entities(mentions: rd.Dataset,
         return pa.table({"surface": vc.field("values"),
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
-    # per-BLOCK partials (batch_size=None): the driver collects
+    # per-BLOCK partials (batch_size=None): downstream sees
     # O(blocks x vocabulary) rows, not O(row-batches x vocabulary)
-    partials_tbl = collect_table(
-        mentions.map_batches(partial, batch_format="pyarrow",
-                             batch_size=None))
-    counts_tbl = partials_tbl.group_by("surface").aggregate([("n", "sum")]) \
-        .rename_columns(["surface", "n"]).sort_by("surface")
+    partials = mentions.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=None)
+    if distributed_blocking or (approx_rows is not None
+                                and approx_rows > DIST_COUNT_MIN_ROWS):
+        counts_tbl = collect_table(
+            partials.groupby("surface").aggregate(
+                Sum("n", alias_name="n"))).sort_by("surface")
+    else:
+        partials_tbl = collect_table(partials)
+        counts_tbl = partials_tbl.group_by("surface") \
+            .aggregate([("n", "sum")]) \
+            .rename_columns(["surface", "n"]).sort_by("surface")
     surface_counts = list(zip(counts_tbl["surface"].to_pylist(),
                               counts_tbl["n"].to_pylist()))
     if distributed_blocking:
@@ -295,42 +313,60 @@ def canonical_entities(mentions: rd.Dataset,
     return cmap, ent
 
 
+def cmap_arrays(cmap: dict[str, tuple[int, str]]
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Canonical map as three parallel surface-sorted arrays (the
+    ``assign_reps`` broadcast shape, VERDICT r3 item 5): sorted surfaces,
+    entity ids, canonical surfaces. Ships/deserializes as flat arrays — no
+    per-entry Python dict overhead on the receiving worker."""
+    surfaces = np.array(sorted(cmap), dtype=object)
+    ids = np.fromiter((cmap[s][0] for s in surfaces), np.int64,
+                      count=len(surfaces))
+    canon = np.array([cmap[s][1] for s in surfaces], dtype=object)
+    return surfaces, ids, canon
+
+
 class LinkStage:
     """Broadcast-join entity linker (actor pool).
 
     The canonical map travels once to each actor via an object-store ref
-    (``ray.put`` on the driver, ``ray.get`` in ``__init__``) — the broadcast
-    hash-join pattern for a small dimension side (SURVEY §2 "Joins").
-    Surfaces outside the map (possible only if linking runs on a different
-    corpus than canonicalization) fall back to self-canonicalization, so the
-    stage is total and deterministic.
+    (``ray.put`` on the driver, ``ray.get`` in ``__init__``) as three
+    surface-sorted arrays — the broadcast hash-join pattern for a small
+    dimension side (SURVEY §2 "Joins"), resolved per distinct surface with
+    one ``np.searchsorted`` gather. Surfaces outside the map (possible only
+    if linking runs on a different corpus than canonicalization) fall back
+    to self-canonicalization, so the stage is total and deterministic.
     """
 
     def __init__(self, cmap_ref):
-        self.cmap: dict[str, tuple[int, str]] = ray.get(cmap_ref)
-
-    def _lookup(self, s: str) -> tuple[int, str]:
-        hit = self.cmap.get(s)
-        if hit is None:
-            return stable_id64(normalize_surface(s) or s), s
-        return hit
+        self.surfaces, self.ids, self.canon = ray.get(cmap_ref)
 
     def _lookup_cols(self, arr) -> tuple[pa.Array, pa.Array]:
         """Vectorized: resolve each *distinct* surface once, then gather.
 
         Surfaces are low-cardinality relative to triples, so dictionary-
-        encode the column and run the Python lookup over the dictionary
-        only; the per-row work is one int gather.
+        encode the column and binary-search only the dictionary against the
+        sorted broadcast arrays; the per-row work is one int gather.
         """
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         enc = arr.dictionary_encode()
-        vocab = enc.dictionary.to_pylist()
-        pairs = [self._lookup(s) for s in vocab]
-        ids = np.array([p[0] for p in pairs], dtype=np.int64)
-        canon = np.array([p[1] for p in pairs], dtype=object)
+        vocab = np.array(enc.dictionary.to_pylist(), dtype=object)
+        n_map = len(self.surfaces)
+        if n_map:
+            pos = np.minimum(np.searchsorted(self.surfaces, vocab), n_map - 1)
+            hit = self.surfaces[pos] == vocab
+            ids = np.where(hit, self.ids[pos], 0)
+            canon = np.where(hit, self.canon[pos], vocab)
+        else:
+            hit = np.zeros(len(vocab), dtype=bool)
+            ids = np.zeros(len(vocab), dtype=np.int64)
+            canon = vocab.copy()
+        for i in np.nonzero(~hit)[0]:  # misses only (normally none)
+            s = vocab[i]
+            ids[i] = stable_id64(normalize_surface(s) or s)
         idx = enc.indices.to_numpy(zero_copy_only=False)
-        return (pa.array(ids[idx], pa.int64()),
+        return (pa.array(ids[idx].astype(np.int64), pa.int64()),
                 pa.array(canon[idx].tolist(), pa.string()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -361,9 +397,10 @@ def link_triples(triples: rd.Dataset, cmap: dict[str, tuple[int, str]],
     actor-pool + ``ray.put`` path so the dict is deserialized once per actor
     rather than once per worker-function cache miss.
     """
+    arrays = cmap_arrays(cmap)
     if len(cmap) <= SMALL_CMAP_ROWS:
         stage = LinkStage.__new__(LinkStage)
-        stage.cmap = cmap
+        stage.surfaces, stage.ids, stage.canon = arrays
 
         def link(batch: pa.Table) -> pa.Table:
             return LinkStage.__call__(stage, batch)
@@ -371,7 +408,7 @@ def link_triples(triples: rd.Dataset, cmap: dict[str, tuple[int, str]],
         # per-block batches: one dictionary-encode per block
         return triples.map_batches(link, batch_format="pyarrow",
                                    batch_size=None)
-    cmap_ref = ray.put(cmap)
+    cmap_ref = ray.put(arrays)
     lo, hi = _pool()
     return triples.map_batches(
         LinkStage,
@@ -598,7 +635,9 @@ def kg_flagship(input_dir: str, batch_size: int = DEFAULT_BATCH_SIZE) -> rd.Data
     cols = ["conv_id", "turn_idx", "text"]
     trip = triples_dataset(read_transcripts(input_dir, columns=cols),
                            batch_size=EXTRACT_BATCH_SIZE).materialize()
-    cmap, _ent = canonical_entities(triple_surfaces(trip))
+    # count() is metadata-cheap on a materialized Dataset; surfaces = 2/triple
+    cmap, _ent = canonical_entities(triple_surfaces(trip),
+                                    approx_rows=2 * trip.count())
     return link_triples(trip, cmap, batch_size=batch_size)
 
 
@@ -666,9 +705,18 @@ def run_kg(input_dir: str, out_dir: str, *, shards_per_wave: int = 4,
             })
 
     # Phase B: global entity resolution over all shards' mentions + triples.
+    # canonical_entities only needs the surface column (VERDICT r3 item 5 —
+    # the other 4 mention columns never leave storage), and the mention row
+    # count is free from parquet footers.
     tb = time.time()
-    mentions = rd.read_parquet(os.path.join(out_dir, "mentions"))
-    cmap, ent_table = canonical_entities(mentions)
+    mdir = os.path.join(out_dir, "mentions")
+    import pyarrow.parquet as pq
+    n_mentions = sum(
+        pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        for root, _dirs, files in os.walk(mdir)
+        for f in files if f.endswith(".parquet"))
+    mentions = rd.read_parquet(mdir, columns=["surface"])
+    cmap, ent_table = canonical_entities(mentions, approx_rows=n_mentions)
     ent_dir = os.path.join(out_dir, "entities")
     shutil.rmtree(ent_dir, ignore_errors=True)  # phase B is global: overwrite
     rd.from_arrow(ent_table).write_parquet(ent_dir)
