@@ -608,8 +608,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family -------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_exact_clusters": dedup.exact_dup_clusters,
-        "dedup_minhash": dedup.minhash_near_dup,
-        "dedup_simhash": dedup.simhash_near_dup,
+        # cluster-validity twins: clusters themselves are permutation-
+        # dependent (rows-only), but every member must have an in-cluster
+        # neighbor within the recomputed-exact similarity budget — pinned
+        # TRUE in SQL (VERDICT r3 item 6)
+        "dedup_minhash": dedup.minhash_cluster_ok,
+        "dedup_simhash": dedup.simhash_cluster_ok,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_incremental": dedup.incremental_dedup,
         "dup_components": _dup_components,
@@ -670,6 +674,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": textops.repetition_stats,
         "dup_span_counts": dedup.dup_span_counts,
         "pack_sequences": _pack_sequences,
+        # raw near-dup cluster assignments (rows-only: reps depend on the
+        # permutation seeds; validity is oracle-checked in-window above)
+        "dedup_minhash_clusters": dedup.minhash_near_dup,
+        "dedup_simhash_clusters": dedup.simhash_near_dup,
         "quantize_embeddings": simsearch.quantize_embeddings,
         # iterative: distributed Lloyd's k-means (per-iteration partial-sum
         # reduce; non-SQL by nature — mixture-recovery oracle in pytest)
@@ -1110,6 +1118,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    MIN(doc_id) OVER (PARTITION BY text) AS rep_id
             FROM documents
+        """,
+        # cluster-validity twins: the Ray side recomputes, exactly from
+        # text, that every near-dup-cluster member has an in-cluster
+        # neighbor within the similarity budget (Jaccard ≥ thr - tol /
+        # hamming ≤ k) and emits cluster_ok per doc; SQL pins it TRUE.
+        "dedup_minhash": """
+            SELECT doc_id, CAST(1 AS BIGINT) AS cluster_ok FROM documents
+        """,
+        "dedup_simhash": """
+            SELECT doc_id, CAST(1 AS BIGINT) AS cluster_ok FROM documents
         """,
         # snapshot-over-snapshot dedup: odd-id docs checked against even-id
         # docs; Ray side is Bloom-prefiltered but exact (128-bit verify)

@@ -712,11 +712,17 @@ def minhash_near_dup(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
     union-find runs over pair members only and the member->rep map is
     broadcast back for a distributed assignment pass (default rep=self).
     """
+    return assign_reps(_load_docs(sf_dir, ["doc_id"]),
+                       _minhash_rep_map(sf_dir, threshold))
+
+
+def _minhash_rep_map(sf_dir: str, threshold: float = 0.7) -> dict[int, int]:
+    """member doc_id -> cluster rep for the minhash family (shared by the
+    cluster output and the ``cluster_ok`` validity twin)."""
     ds = _load_docs(sf_dir, ["doc_id", "text"])
     pair_tbl = minhash_candidate_pairs(
         ds, threshold, approx_rows=_doc_count(sf_dir) * BANDS)
-    return assign_reps(_load_docs(sf_dir, ["doc_id"]),
-                       rep_map_from_pairs(pair_tbl))
+    return rep_map_from_pairs(pair_tbl)
 
 
 # ---------------------------------------------------------------------------
@@ -732,6 +738,13 @@ def simhash_near_dup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     distance inside the group. Only verified pairs reach the driver; cluster
     assignment is distributed (:func:`assign_reps`).
     """
+    rep_of = _simhash_rep_map(sf_dir, max_hamming)
+    return assign_reps(_load_docs(sf_dir, ["doc_id"]), rep_of)
+
+
+def _simhash_rep_map(sf_dir: str, max_hamming: int = 3) -> dict[int, int]:
+    """member doc_id -> cluster rep for the simhash family (shared by the
+    cluster output and the ``cluster_ok`` validity twin)."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
 
@@ -793,7 +806,153 @@ def simhash_near_dup(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
 
         rep_of = rep_map_from_pairs(_verified_pairs(members, kernel,
                                                     member_rows))
-    return assign_reps(_load_docs(sf_dir, ["doc_id"]), rep_of)
+    return rep_of
+
+
+# ---------------------------------------------------------------------------
+# Cluster-validity twins (VERDICT r3 item 6)
+# ---------------------------------------------------------------------------
+# Near-dup CLUSTERS are permutation-dependent (rows-only by design), but
+# cluster VALIDITY is oracle-checkable: every member of a non-singleton
+# cluster must have at least one OTHER member of its cluster within the
+# similarity budget, recomputed EXACTLY from text (not from the sketch that
+# formed the cluster). The Ray side emits (doc_id, cluster_ok) for every
+# document; the SQL twin pins cluster_ok=1 for all rows. Chain-safe: a
+# transitive a-b-c merge keeps a valid via b even when sim(a, c) is low.
+#
+# MinHash needs a tolerance below the clustering threshold: pair
+# verification is signature-estimated (NUM_PERMS=64 perms, std ~0.06 at
+# J=0.7), so a genuinely verified pair's EXACT Jaccard can sit a few sigma
+# under the threshold. SimHash verification is exact, so no tolerance.
+MINHASH_OK_TOLERANCE = 0.25
+CLUSTER_OK_PARTS = 64
+
+
+def _cluster_invalid_ids(member_rows: rd.Dataset, rep_of: dict[int, int],
+                         sig_col: str, decode, pair_ok) -> np.ndarray:
+    """Doc ids of members with NO in-cluster neighbor passing ``pair_ok``.
+
+    ``member_rows`` holds (doc_id, <sig_col>) for every member (reps
+    included). Clusters are gathered whole via a bounded-part shuffle on
+    rep_id (the :func:`_verified_pairs` placement), one segmented kernel per
+    part; only failing ids (normally zero) reach the driver.
+    """
+    mem = np.fromiter(rep_of.keys(), np.int64, count=len(rep_of))
+    rep = np.fromiter(rep_of.values(), np.int64, count=len(rep_of))
+    reps_u = np.unique(rep)
+    mem_all = np.r_[mem, reps_u]          # identity rows complete clusters
+    rep_all = np.r_[rep, reps_u]
+    order = np.argsort(mem_all)
+    map_ref = ray.put((mem_all[order], rep_all[order]))
+    pmask = np.uint64(CLUSTER_OK_PARTS - 1)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        m, r = ray.get(map_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        rp = r[np.searchsorted(m, ids)]   # every row IS a member
+        part = (_mix64(rp.astype(np.uint64)) & pmask).astype(np.int32)
+        t = t.append_column("rep_id", pa.array(rp, pa.int64()))
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    def kern(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("rep_id", "ascending"), ("doc_id", "ascending")])
+        reps_np = g["rep_id"].to_numpy(zero_copy_only=False)
+        ids_np = g["doc_id"].to_numpy(zero_copy_only=False)
+        raw = g[sig_col].to_pylist()
+        starts = np.nonzero(np.r_[True, reps_np[1:] != reps_np[:-1]])[0]
+        ends = np.r_[starts[1:], len(reps_np)]
+        bad: list[int] = []
+        for s, e in zip(starts, ends):
+            seg = [decode(x) for x in raw[s:e]]
+            for i in range(e - s):
+                if not any(i != j and pair_ok(seg[i], seg[j])
+                           for j in range(e - s)):
+                    bad.append(int(ids_np[s + i]))
+        return pa.table({"doc_id": pa.array(bad, pa.int64())})
+
+    out = (member_rows.map_batches(add_part, batch_format="pyarrow",
+                                   batch_size=None)
+           .groupby("part").map_groups(kern, batch_format="pyarrow"))
+    tbl = collect_table(out)
+    if "doc_id" not in tbl.column_names or tbl.num_rows == 0:
+        return np.empty(0, dtype=np.int64)
+    return tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _cluster_ok_dataset(sf_dir: str, bad_ids: np.ndarray) -> rd.Dataset:
+    """(doc_id, cluster_ok) over ALL documents; singleton docs are trivially
+    ok, members flagged by ``bad_ids`` (tiny; broadcast in the closure)."""
+    bad_sorted = np.sort(bad_ids)
+
+    def flag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        okv = ~np.isin(ids, bad_sorted)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "cluster_ok": pa.array(okv.astype(np.int64),
+                                                pa.int64())})
+
+    return _load_docs(sf_dir, ["doc_id"]).map_batches(
+        flag, batch_format="pyarrow", batch_size=None)
+
+
+def minhash_cluster_ok(sf_dir: str, threshold: float = 0.7,
+                       tolerance: float = MINHASH_OK_TOLERANCE) -> rd.Dataset:
+    """(doc_id, cluster_ok): every minhash-cluster member has an in-cluster
+    neighbor with EXACT word-3-gram Jaccard ≥ threshold - tolerance."""
+    rep_of = _minhash_rep_map(sf_dir, threshold)
+    bad = np.empty(0, dtype=np.int64)
+    if rep_of:
+        ds = _load_docs(sf_dir, ["doc_id", "text"])
+        members = np.unique(np.r_[
+            np.fromiter(rep_of.keys(), np.int64, count=len(rep_of)),
+            np.fromiter(rep_of.values(), np.int64, count=len(rep_of))])
+        srows = _member_shingle_rows(ds, members)
+        min_j = threshold - tolerance
+
+        def decode(blob: bytes) -> np.ndarray:
+            return np.frombuffer(blob, dtype=np.uint64)
+
+        def ok(xa: np.ndarray, xb: np.ndarray) -> bool:
+            inter = len(np.intersect1d(xa, xb, assume_unique=True))
+            union = len(xa) + len(xb) - inter
+            return (inter / union if union else 1.0) >= min_j
+
+        bad = _cluster_invalid_ids(srows, rep_of, "shingles", decode, ok)
+    return _cluster_ok_dataset(sf_dir, bad)
+
+
+def simhash_cluster_ok(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
+    """(doc_id, cluster_ok): every simhash-cluster member has an in-cluster
+    neighbor within EXACT hamming ≤ max_hamming (recomputed from text)."""
+    rep_of = _simhash_rep_map(sf_dir, max_hamming)
+    bad = np.empty(0, dtype=np.int64)
+    if rep_of:
+        ds = _load_docs(sf_dir, ["doc_id", "text"])
+        members = np.unique(np.r_[
+            np.fromiter(rep_of.keys(), np.int64, count=len(rep_of)),
+            np.fromiter(rep_of.values(), np.int64, count=len(rep_of))])
+        members_ref = ray.put(np.sort(members))
+
+        def sim_rows(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(np.isin(ids, ray.get(members_ref))))
+            hs = np.fromiter((simhash64(x) for x in t["text"].to_pylist()),
+                             dtype=np.uint64, count=t.num_rows)
+            return pa.table({"doc_id": t["doc_id"],
+                             "simhash": pa.array(hs.view(np.int64),
+                                                 pa.int64())})
+
+        hrows = ds.map_batches(sim_rows, batch_format="pyarrow")
+
+        def decode(h: int) -> int:
+            return h
+
+        def ok(ha: int, hb: int) -> bool:
+            return bin((ha ^ hb) & 0xFFFF_FFFF_FFFF_FFFF).count("1") \
+                <= max_hamming
+
+        bad = _cluster_invalid_ids(hrows, rep_of, "simhash", decode, ok)
+    return _cluster_ok_dataset(sf_dir, bad)
 
 
 # ---------------------------------------------------------------------------

@@ -102,6 +102,33 @@ def test_minhash_near_dup_clusters(ray_session, dup_dir):
     assert len(reps) == 20
 
 
+def test_cluster_ok_twins_true_on_valid_clusters(ray_session, dup_dir):
+    """The validity twins must pass every doc on genuinely valid clusters."""
+    mh = dedup.minhash_cluster_ok(dup_dir, threshold=0.5).to_pandas()
+    assert (mh["cluster_ok"] == 1).all()
+    sh = dedup.simhash_cluster_ok(dup_dir, max_hamming=3).to_pandas()
+    assert (sh["cluster_ok"] == 1).all()
+
+
+def test_cluster_ok_detects_planted_invalid_merge(ray_session, dup_dir,
+                                                  monkeypatch):
+    """Force two dissimilar docs (10 and 11) into one cluster: the exact
+    recomputation must flag BOTH (neither has a valid in-cluster neighbor),
+    and leave every genuinely clustered doc ok."""
+    real = dedup._minhash_rep_map
+
+    def rigged(sf_dir, threshold=0.7):
+        rep_of = real(sf_dir, threshold)
+        rep_of[11] = 10  # 10 and 11 are distinct random docs
+        return rep_of
+
+    monkeypatch.setattr(dedup, "_minhash_rep_map", rigged)
+    df = dedup.minhash_cluster_ok(dup_dir, threshold=0.5).to_pandas()
+    flags = dict(zip(df["doc_id"], df["cluster_ok"]))
+    assert flags[10] == 0 and flags[11] == 0
+    assert sum(1 for v in flags.values() if v == 0) == 2
+
+
 def test_simhash_near_dup_exact_copies(ray_session, dup_dir):
     tbl = dedup.simhash_near_dup(dup_dir, max_hamming=3).to_pandas()
     rep = dict(zip(tbl["doc_id"], tbl["rep_id"]))
