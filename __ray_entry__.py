@@ -679,6 +679,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_clusters": dedup.minhash_near_dup,
         "dedup_simhash_clusters": dedup.simhash_near_dup,
         "quantize_embeddings": simsearch.quantize_embeddings,
+        # IVF-PQ (Jégou et al. 2011): coarse-list pruning + ADC lookup-table
+        # candidate selection + exact rescore; same recall-check oracle
+        # shape as knn_lsh/knn_ivf/knn_sq8 (outside the 50-row driver
+        # window — test_oracles.py runs the twin)
+        "knn_ivfpq": simsearch.knn_ivfpq_checked,
+        "pq_encode_embeddings": simsearch.pq_encode_embeddings,
         # iterative: distributed Lloyd's k-means (per-iteration partial-sum
         # reduce; non-SQL by nature — mixture-recovery oracle in pytest)
         "kmeans_clusters": _kmeans_clusters,
@@ -1302,6 +1308,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": _KNN_CHECK_SQL,
         "knn_ivf": _KNN_CHECK_SQL,
         "knn_sq8": _KNN_CHECK_SQL,
+        "knn_ivfpq": _KNN_CHECK_SQL,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

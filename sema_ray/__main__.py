@@ -1,4 +1,11 @@
-"""CLI entry point: ``python -m sema_ray {index,search} ...``.
+"""CLI entry point: ``python -m sema_ray {index,search,kg} ...``.
+
+``kg`` is the job entry the north rule names: submit with
+``ray job submit -- python -m sema_ray kg INPUT_DIR --out OUT_DIR`` —
+RAY_ADDRESS (exported by the job runtime) routes ``ray.init`` at the
+cluster; the run checkpoints per shard and resumes by manifest
+fingerprint, so a killed job re-submitted with the same arguments skips
+every finished partition.
 
 The argument surface mirrors the reference CLI (``/root/reference/src/cli/
 args.rs:10-46``: directory, --max-file-size, --include-hidden,
@@ -46,12 +53,26 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--index-dir", required=True)
     ps.add_argument("--k", type=int, default=50)
 
+    pk = sub.add_parser(
+        "kg",
+        help="checkpointed KG construction over transcript parquet shards "
+             "(the `ray job submit` entry point: resumes by skipping shards "
+             "whose manifest fingerprint matches)")
+    pk.add_argument("input_dir",
+                    help="directory of transcript .parquet shards "
+                         "(conv_id, turn_idx, role, text, tool, ts)")
+    pk.add_argument("--out", required=True, help="output/checkpoint dir")
+    pk.add_argument("--shards-per-wave", type=int, default=4)
+
     args = p.parse_args(argv)
 
     import ray
     owns_session = not ray.is_initialized()
     if owns_session:
-        ray.init(address="local", include_dashboard=False,
+        # Under `ray job submit` the runtime exports RAY_ADDRESS pointing at
+        # the cluster; standalone runs fall back to a local session.
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False,
                  logging_level="ERROR")
     try:
         from .pipelines.search import build_index, display_path, search
@@ -68,6 +89,13 @@ def main(argv: list[str] | None = None) -> int:
             stats = build_index(os.path.abspath(args.directory),
                                 args.index_dir, config=cfg)
             print(stats)
+        elif args.cmd == "kg":
+            import json
+            from .pipelines.kg import run_kg
+            stats = run_kg(os.path.abspath(args.input_dir),
+                           os.path.abspath(args.out),
+                           shards_per_wave=args.shards_per_wave)
+            print(json.dumps(stats))
         else:
             results = search(args.index_dir, args.query, k=args.k)
             for row in results.to_pylist():

@@ -164,6 +164,26 @@ def test_cli_index_and_search(ray_session, tmp_path, capsys):
     assert "b.txt" in out
 
 
+def test_cli_kg_job_entry(ray_session, tmp_path, capsys):
+    """`python -m sema_ray kg` — the `ray job submit` entry: runs the
+    checkpointed KG pipeline and prints the lineage/metrics JSON; a second
+    invocation resumes by skipping every finished shard."""
+    import json
+    from sema_ray.sources.transcripts import generate_transcripts, \
+        write_sharded
+    d = str(tmp_path / "shards")
+    write_sharded(generate_transcripts(n_convs=12, seed=3), d, num_shards=2)
+    out = str(tmp_path / "kg_out")
+    from sema_ray.__main__ import main
+    assert main(["kg", d, "--out", out, "--shards-per-wave", "1"]) == 0
+    m1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m1["shards_processed"] == m1["shards_total"] == 2
+    assert m1["triples_out"] > 0
+    assert main(["kg", d, "--out", out]) == 0
+    m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m2["shards_skipped"] == 2 and m2["shards_processed"] == 0
+
+
 def test_crawl_doublestar_grammar(tmp_path):
     """Full ``**`` semantics (reference gets these from the ignore crate):
     ``a/**/b`` spans zero or more directories, leading ``**/`` matches at

@@ -211,6 +211,31 @@ def test_knn_ivf_recall_vs_bruteforce(ray_session, vec_dir):
         assert 100 + q in a
 
 
+def test_knn_ivfpq_recall_and_code_shape(ray_session, vec_dir):
+    """IVF-PQ: ADC candidate selection + exact rescore must find the planted
+    near-duplicate for every query, and the storable PQ codes are one uint8
+    per subspace."""
+    exact = simsearch.knn_bruteforce(vec_dir, k=5, n_queries=4).to_pandas()
+    approx = simsearch.knn_ivfpq(vec_dir, k=5, n_queries=4,
+                                 n_lists=8, n_probe=6, m_sub=4).to_pandas()
+    recalls = []
+    for q in range(4):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+        assert 100 + q in a  # planted near-dup (cos ~0.999) always found
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    codes = simsearch.pq_encode_embeddings(vec_dir, m_sub=4).to_pandas()
+    assert len(codes) == 48
+    assert all(len(c) == 4 for c in codes["pq_code"])
+    # deterministic: same corpus -> same codes
+    codes2 = simsearch.pq_encode_embeddings(vec_dir, m_sub=4).to_pandas()
+    a1 = codes.sort_values("vec_id").reset_index(drop=True)
+    a2 = codes2.sort_values("vec_id").reset_index(drop=True)
+    assert a1["vec_id"].equals(a2["vec_id"])
+    assert all((x == y).all() for x, y in zip(a1["pq_code"], a2["pq_code"]))
+
+
 def test_semantic_and_bm25_deterministic(ray_session, dup_dir):
     s1 = simsearch.semantic_search(dup_dir, query="alpha beta", k=5).to_pandas()
     s2 = simsearch.semantic_search(dup_dir, query="alpha beta", k=5).to_pandas()
