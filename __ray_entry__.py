@@ -671,6 +671,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs_by_lang": _sample_docs_by_lang,
         "docs_per_source_cap": _docs_per_source_cap,
         "ngram_counts": textops.ngram_counts,
+        # distributed word-count (the corpus-sized half of BPE training)
+        "word_counts": lambda sf: textops.word_counts(sf, min_freq=2),
+        # BPE tokenizer-vocabulary training: one distributed word-count
+        # shuffle + vocabulary-bounded merge loop (iterative — pure-Python
+        # Sennrich-2016 oracle in pytest)
+        "bpe_vocab": textops.bpe_train_vocab,
         "repetition_stats": textops.repetition_stats,
         "dup_span_counts": dedup.dup_span_counts,
         "pack_sequences": _pack_sequences,
@@ -924,6 +930,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY n DESC, ngram
             LIMIT 20
+        """,
+        # the distributed half of BPE training: exact corpus word counts
+        # above the min_freq threshold (Ray side: per-block value_counts
+        # partials -> one groupby Sum shuffle -> bounded top-cap merge)
+        "word_counts": """
+            SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                                   '[a-z0-9]+')) AS w
+                  FROM documents)
+            GROUP BY 1
+            HAVING COUNT(*) >= 2
+            ORDER BY n DESC, word
         """,
         # same exact counts as ngram_counts; cms_ok pinned TRUE (any sketch
         # regression becomes a value-hash mismatch — the HLL oracle shape)

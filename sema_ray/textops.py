@@ -478,6 +478,141 @@ def ngram_counts(sf_dir: str, k: int = 20) -> pa.Table:
                      "n": pc.cast(tbl["n"], pa.int64())})
 
 
+def word_counts(sf_dir: str, min_freq: int = 1,
+                max_words: int = 1 << 20) -> pa.Table:
+    """Corpus-wide word frequencies: (word, n), n desc then word asc.
+
+    The distributed half of BPE training (and a useful operator on its
+    own): per-block ``value_counts`` partials -> one groupby Sum shuffle ->
+    per-block local top-``max_words`` -> bounded driver merge. The driver
+    never sees more than ``max_words`` rows per block, so the collect is
+    bounded even on an open-vocabulary corpus (the tail below ``min_freq``
+    can't win a merge anyway — the standard frequency-threshold cap)."""
+    from .util import collect_table
+    ds = _load_docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"word": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        low = pc.utf8_lower(t["text"])
+        parts = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(parts)
+        if len(flat) == 0:
+            return empty
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"word": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .groupby("word").aggregate(Sum("n", alias_name="n"))
+
+    def local_cap(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n"], min_freq))
+        return t.sort_by([("n", "descending"),
+                          ("word", "ascending")]).slice(0, max_words)
+
+    tbl = collect_table(agg.map_batches(local_cap, batch_format="pyarrow",
+                                        batch_size=None))
+    if tbl.num_rows == 0 or "word" not in tbl.column_names:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    tbl = tbl.sort_by([("n", "descending"), ("word", "ascending")]) \
+        .slice(0, max_words)
+    return pa.table({"word": pc.cast(tbl["word"], pa.string()),
+                     "n": pc.cast(tbl["n"], pa.int64())})
+
+
+END_OF_WORD = "</w>"
+
+
+def bpe_train_reference(word_freq: list[tuple[str, int]],
+                        num_merges: int) -> list[tuple[str, str, int]]:
+    """Pure-Python BPE merge loop (Sennrich, Haddow & Birch 2016) over a
+    word-frequency table: repeatedly merge the most frequent adjacent
+    symbol pair (ties broken lexicographically — deterministic).
+
+    This IS the production tail of :func:`bpe_train_vocab`, not just a test
+    oracle: after the distributed word count collapses the corpus to its
+    frequency-weighted distinct-word table, the merge loop's cost is
+    bounded by vocabulary size, not corpus size — the same small-side
+    driver fold as the flagship's canonical vocabulary."""
+    words: list[list[str]] = [list(w) + [END_OF_WORD] for w, _ in word_freq]
+    freqs = [n for _, n in word_freq]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in zip(words, freqs):
+            for i in range(len(syms) - 1):
+                pr = (syms[i], syms[i + 1])
+                counts[pr] = counts.get(pr, 0) + n
+        if not counts:
+            break
+        (left, right), best = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((left, right, best))
+        joined = left + right
+        for syms in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == left and syms[i + 1] == right:
+                    syms[i:i + 2] = [joined]
+                else:
+                    i += 1
+    return merges
+
+
+def bpe_train_vocab(sf_dir: str, num_merges: int = 40,
+                    min_freq: int = 2) -> pa.Table:
+    """Distributed BPE tokenizer-vocabulary training over the documents
+    table: (rank, left, right, freq) — the ordered merge list that defines
+    the learned subword vocabulary.
+
+    Standard two-phase shape (subword-nmt / HF trainers do the same): the
+    corpus-sized work is ONE distributed word-count
+    (:func:`word_counts` — per-block partials, one shuffle), and the
+    iterative merge loop runs over the vocabulary-bounded frequency table.
+    Deterministic: ties on pair frequency break lexicographically, so the
+    merge list is a pure function of the corpus."""
+    wc = word_counts(sf_dir, min_freq=min_freq)
+    merges = bpe_train_reference(
+        list(zip(wc["word"].to_pylist(),
+                 wc["n"].to_pylist())), num_merges)
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "freq": pa.array([m[2] for m in merges], pa.int64()),
+    })
+
+
+def bpe_apply(texts: list[str], merges: list[tuple[str, str]]) -> list[list[str]]:
+    """Segment texts with a trained merge list (rank order = priority),
+    mirroring the reference encoder loop — used by the round-trip test."""
+    rank_of = {(l, r): i for i, (l, r) in enumerate(merges)}
+    out = []
+    for text in texts:
+        toks: list[str] = []
+        low = text.lower()
+        import re as _re
+        for w in _re.findall("[a-z0-9]+", low):
+            syms = list(w) + [END_OF_WORD]
+            while len(syms) > 1:
+                best_i, best_rank = -1, len(rank_of)
+                for i in range(len(syms) - 1):
+                    r = rank_of.get((syms[i], syms[i + 1]))
+                    if r is not None and r < best_rank:
+                        best_i, best_rank = i, r
+                if best_i < 0:
+                    break
+                syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            toks.extend(syms)
+        out.append(toks)
+    return out
+
+
 def repetition_stats(sf_dir: str) -> rd.Dataset:
     """Within-document repetition signals (Gopher-style quality rules):
     (doc_id, n_tokens, n_distinct_tokens, n_bigrams, n_distinct_bigrams).

