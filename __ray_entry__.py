@@ -710,6 +710,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # power-iteration oracle in pytest)
         "kg_entity_pagerank": _kg_entity_pagerank,
         "kg_triangle_count": _kg_triangle_count,
+        # k-core decomposition of the purchase co-occurrence graph
+        # (iterative peel — pure-Python Seidman oracle in pytest)
+        "user_cooccurrence_cores": graph.user_cooccurrence_cores,
     }
 
 

@@ -597,3 +597,157 @@ def purchase_cooccurrence_triangles(sf_dir: str) -> rd.Dataset:
     edges = cooccurrence_edges(
         ds.map_batches(purchases, batch_format="pyarrow"), "bucket", "id")
     return triangle_count(edges, a_col="a", b_col="b")
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (Seidman 1983; the distributed peel is the standard
+# iterated degree-filter — Montresor, De Pellegrini & Miorandi 2011).
+# ---------------------------------------------------------------------------
+
+def _peel(cur: rd.Dataset, k: int,
+          max_rounds: int) -> tuple[rd.Dataset, pa.Table]:
+    """Peel ``cur`` (deduped undirected (u, v) edges) down to its k-core.
+
+    Each round: per-block degree partials folded on the driver (the node
+    vocabulary is the small side — same documented boundary as
+    :func:`pagerank`; past driver memory the fold becomes a groupby and the
+    removal filter a broadcast join), then one vectorized edge filter with
+    the sorted removed-node array riding in the task closure. Converges in
+    at most max_rounds; each round strictly shrinks the edge set.
+
+    Returns (k-core edge Dataset, (node, degree) table of the k-core).
+    """
+    from .util import collect_table
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
+                               t["v"].to_numpy(zero_copy_only=False)])
+        nodes_, counts_ = np.unique(both, return_counts=True)
+        return pa.table({"n": pa.array(nodes_, pa.int64()),
+                         "d": pa.array(counts_, pa.int64())})
+
+    empty_nd = pa.table({"node": pa.array([], pa.int64()),
+                         "degree": pa.array([], pa.int64())})
+    for _ in range(max_rounds):
+        nt = collect_table(cur.map_batches(deg_partial,
+                                           batch_format="pyarrow",
+                                           batch_size=None))
+        if nt.num_rows == 0 or "n" not in nt.column_names:
+            return cur, empty_nd
+        raw = nt["n"].to_numpy(zero_copy_only=False)
+        nodes = np.unique(raw)
+        deg = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(deg, np.searchsorted(nodes, raw),
+                  nt["d"].to_numpy(zero_copy_only=False))
+        removed = nodes[deg < k]
+        if len(removed) == 0:
+            return cur, pa.table({"node": pa.array(nodes, pa.int64()),
+                                  "degree": pa.array(deg, pa.int64())})
+
+        class DropIncident:
+            """Sorted removed-id array ships in the task closure (cached
+            per worker — the cheap small-broadcast pattern)."""
+
+            def __init__(self, removed_: np.ndarray):
+                self.removed = removed_
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                u = t["u"].to_numpy(zero_copy_only=False)
+                v = t["v"].to_numpy(zero_copy_only=False)
+                keep = ~(np.isin(u, self.removed)
+                         | np.isin(v, self.removed))
+                return t.filter(pa.array(keep))
+
+        cur = cur.map_batches(DropIncident(removed), batch_format="pyarrow",
+                              batch_size=None).materialize()
+    return cur, empty_nd
+
+
+def _canonical_edges(edges: rd.Dataset, a_col: str, b_col: str,
+                     n_parts: int) -> rd.Dataset:
+    """Canonicalize to deduped (lo, hi) pairs, self-loops dropped, global
+    dedup inside one keyed shuffle (a canonical pair lives wholly in its
+    lo-partition)."""
+    def to_lo_hi(t: pa.Table) -> pa.Table:
+        u = pc.cast(t[a_col], pa.int64()).to_numpy(zero_copy_only=False)
+        v = pc.cast(t[b_col], pa.int64()).to_numpy(zero_copy_only=False)
+        lo, hi = _dedup_pairs(np.minimum(u, v), np.maximum(u, v))
+        return pa.table({"u": pa.array(lo, pa.int64()),
+                         "v": pa.array(hi, pa.int64())})
+
+    def dedup_kernel(t: pa.Table) -> pa.Table:
+        ou, ov = _dedup_pairs(t["u"].to_numpy(zero_copy_only=False),
+                              t["v"].to_numpy(zero_copy_only=False))
+        return pa.table({"u": pa.array(ou, pa.int64()),
+                         "v": pa.array(ov, pa.int64())})
+
+    e0 = edges.map_batches(to_lo_hi, batch_format="pyarrow",
+                           batch_size=None)
+    return keyed_part_kernel(e0, "u", dedup_kernel,
+                             n_parts=n_parts).materialize()
+
+
+def k_core(edges: rd.Dataset, k: int, a_col: str = "a", b_col: str = "b",
+           n_parts: int = 64, max_rounds: int = 200) -> rd.Dataset:
+    """(node, degree) of the k-core: the maximal subgraph where every node
+    keeps degree >= k. Deterministic (the k-core is unique)."""
+    cur = _canonical_edges(edges, a_col, b_col, n_parts)
+    _, nd = _peel(cur, k, max_rounds)
+    return rd.from_arrow(nd)
+
+
+def core_numbers(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
+                 n_parts: int = 64, max_rounds: int = 200) -> rd.Dataset:
+    """(node, core) for every node in the edge list — core = the largest k
+    whose k-core contains the node (Seidman 1983; unique, deterministic).
+
+    Peels by increasing k, reusing each k-core as the next peel's input, so
+    total work is one pass per distinct core level. Isolated-after-
+    canonicalization nodes can't occur (every node has an edge), so cores
+    start at 1.
+    """
+    cur = _canonical_edges(edges, a_col, b_col, n_parts)
+    out_nodes: list[np.ndarray] = []
+    out_core: list[np.ndarray] = []
+    _, nd = _peel(cur, 1, max_rounds)
+    alive = nd["node"].to_numpy(zero_copy_only=False)
+    k = 1
+    while len(alive) and k < max_rounds:
+        cur2, nd2 = _peel(cur, k + 1, max_rounds)
+        survivors = nd2["node"].to_numpy(zero_copy_only=False)
+        dropped = alive[~np.isin(alive, survivors)]
+        if len(dropped):
+            out_nodes.append(dropped)
+            out_core.append(np.full(len(dropped), k, dtype=np.int64))
+        cur, alive, k = cur2, survivors, k + 1
+    if len(alive):  # everything left shares the max core
+        out_nodes.append(alive)
+        out_core.append(np.full(len(alive), k, dtype=np.int64))
+    if not out_nodes:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "core": pa.array([], pa.int64())}))
+    return rd.from_arrow(pa.table({
+        "node": pa.array(np.concatenate(out_nodes), pa.int64()),
+        "core": pa.array(np.concatenate(out_core), pa.int64())}))
+
+
+def user_cooccurrence_cores(sf_dir: str) -> rd.Dataset:
+    """Core-number histogram of the purchase co-occurrence graph:
+    (core, n_users) — the cohesion profile a web-scale event pipeline uses
+    to find dense co-activity shells (complements the triangle count)."""
+    import os
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "user_id", "event_type"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        hour = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64())
+        return pa.table({"bucket": hour,
+                         "id": pc.cast(t["user_id"], pa.int64())})
+
+    edges = cooccurrence_edges(
+        ds.map_batches(purchases, batch_format="pyarrow"), "bucket", "id")
+    cores = core_numbers(edges)
+    from ray.data.aggregate import Count
+    return cores.groupby("core").aggregate(Count(alias_name="n_users"))

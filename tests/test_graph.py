@@ -193,3 +193,65 @@ def test_cooccurrence_edges_distinct_pairs(ray_session):
     pairs = set(map(tuple, out[["a", "b"]].values.tolist()))
     # bucket 1: {10, 11} -> (10,11); bucket 2: {10, 12, 13} -> 3 pairs
     assert pairs == {(10, 11), (10, 12), (10, 13), (12, 13)}
+
+
+# --------------------------- k-core decomposition ---------------------------
+
+def _ref_core_numbers(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Textbook peel: repeatedly remove min-degree nodes (Seidman 1983)."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core: dict[int, int] = {}
+    k = 0
+    while adj:
+        k += 1
+        changed = True
+        while changed:
+            changed = False
+            for n in [n for n, nb in adj.items() if len(nb) < k]:
+                core[n] = k - 1
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return core
+
+
+def test_core_numbers_random_graphs(ray_session):
+    from sema_ray.graph import core_numbers
+    rng = np.random.default_rng(31)
+    for trial in range(3):
+        n = 40
+        m = 120
+        edges = [(int(a), int(b)) for a, b in
+                 rng.integers(0, n, size=(m, 2)) if a != b]
+        want = {n_: c for n_, c in _ref_core_numbers(edges).items()
+                if c >= 1}
+        t = pa.table({"a": pa.array([e[0] for e in edges], pa.int64()),
+                      "b": pa.array([e[1] for e in edges], pa.int64())})
+        got_df = core_numbers(rd.from_arrow(t)).to_pandas()
+        got = dict(zip(got_df["node"], got_df["core"]))
+        assert got == want, (trial, {k: (got.get(k), want.get(k))
+                                     for k in set(got) ^ set(want) or want
+                                     if got.get(k) != want.get(k)})
+
+
+def test_k_core_known_shapes(ray_session):
+    from sema_ray.graph import k_core
+    # K4 (4-clique) + a pendant chain: the 3-core is exactly the clique
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 4), (4, 5)]
+    t = pa.table({"a": pa.array([e[0] for e in edges], pa.int64()),
+                  "b": pa.array([e[1] for e in edges], pa.int64())})
+    got = k_core(rd.from_arrow(t), 3).to_pandas().sort_values(
+        "node", ignore_index=True)
+    assert list(got["node"]) == [0, 1, 2, 3]
+    assert list(got["degree"]) == [3, 3, 3, 3]
+    # 2-core of a pure chain is empty
+    chain = pa.table({"a": pa.array([0, 1, 2], pa.int64()),
+                      "b": pa.array([1, 2, 3], pa.int64())})
+    assert len(k_core(rd.from_arrow(chain), 2).to_pandas()) == 0
