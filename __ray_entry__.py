@@ -679,6 +679,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_vocab": textops.bpe_train_vocab,
         "repetition_stats": textops.repetition_stats,
         "dup_span_counts": dedup.dup_span_counts,
+        # substring-level dedup REWRITE (Lee et al. 2022): drop every token
+        # covered by a cross-document duplicated 8-token span
+        "remove_dup_spans": dedup.remove_dup_spans,
         "pack_sequences": _pack_sequences,
         # raw near-dup cluster assignments (rows-only: reps depend on the
         # permutation seeds; validity is oracle-checked in-window above)
@@ -1001,6 +1004,48 @@ def oracle_sql() -> dict[str, str]:
             ON t.doc_id = c.doc_id
         """.format(joins=" || ' ' || ".join(
             f"l[i+{j}]" for j in range(8))),
+        # substring-dedup rewrite: kept_text drops every token position
+        # covered by a cross-doc duplicated 8-token span (union of
+        # overlapping hit windows); same hash-vs-literal-string equivalence
+        # as dup_span_counts
+        "remove_dup_spans": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id,
+                     unnest([i for i in range(1, len(l) - 6)]) AS i,
+                     unnest([array_to_string(l[i:i+7], ' ')
+                             for i in range(1, len(l) - 6)]) AS w
+              FROM toks
+            ),
+            dup AS (
+              SELECT w FROM wins GROUP BY w
+              HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            cov AS (
+              SELECT DISTINCT doc_id, p FROM (
+                SELECT wins.doc_id, unnest(range(wins.i, wins.i + 8)) AS p
+                FROM wins JOIN dup USING (w))
+            ),
+            tok_pos AS (
+              SELECT doc_id, unnest(l) AS tok,
+                     unnest(range(1, len(l) + 1)) AS p
+              FROM toks
+            ),
+            kept AS (
+              SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p)
+                         AS kept_text
+              FROM tok_pos t
+              LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+              WHERE c.p IS NULL
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id, COALESCE(k.kept_text, '') AS kept_text
+            FROM documents d LEFT JOIN kept k USING (doc_id)
+        """,
         # exact quantile_cont recomputed by SQL; est_ok is the Ray-side
         # histogram-sketch accuracy assertion (constant TRUE here)
         "value_quantiles": " UNION ALL ".join(

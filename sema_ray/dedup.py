@@ -1253,42 +1253,60 @@ def incremental_dedup(sf_dir: str) -> rd.Dataset:
 # verbatim elsewhere in the corpus)
 # ---------------------------------------------------------------------------
 
-def _window_hashes_batch(t: pa.Table, window: int
-                         ) -> tuple[np.ndarray, np.ndarray]:
-    """(row_index, hash) for every ``window``-token span of every doc —
-    fully vectorized: split -> flatten -> dictionary-encode, token ids
-    via the memoized blake2b cache ONCE PER DISTINCT TOKEN, positional
-    odd-multiplier combine + splitmix64 (same hash family as
-    :func:`word_shingles`), row boundaries respected via parent indices."""
+def _window_hash_stream(
+        t: pa.Table, window: int
+) -> tuple[np.ndarray, pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    """Token + window-hash stream for the span ops, fully vectorized:
+    split -> flatten -> dictionary-encode, token ids via the memoized
+    blake2b cache ONCE PER DISTINCT TOKEN, positional odd-multiplier
+    combine + splitmix64 (same hash family as :func:`word_shingles`), row
+    boundaries respected via parent indices.
+
+    Returns ``(tok_par, toks, win_rows, win_starts, win_hashes)``:
+    ``tok_par[i]`` is the batch row of kept (non-empty, lowercased) token
+    ``toks[i]``; each window is identified by its start index into that
+    kept-token stream (windows crossing a document boundary are dropped).
+    """
     low = pc.utf8_lower(t["text"])
     parts = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
     flat = pc.list_flatten(parts)
     empty = np.empty(0, dtype=np.int64)
+    empty_s = pa.array([], pa.string())
     if len(flat) == 0:
-        return empty, empty
+        return empty, empty_s, empty, empty, empty
     parents = pc.list_parent_indices(parts) \
         .to_numpy(zero_copy_only=False).astype(np.int64)
     keep = np.nonzero(pc.not_equal(flat, "")
                       .to_numpy(zero_copy_only=False))[0]
-    if len(keep) < window:
-        return empty, empty
+    if len(keep) == 0:
+        return empty, empty_s, empty, empty, empty
     toks = flat.take(pa.array(keep, pa.int64()))
     par = parents[keep]
+    if len(keep) < window:
+        return par, toks, empty, empty, empty
     enc = toks.dictionary_encode()
     vocab_ids = _token_ids(enc.dictionary.to_pylist())
     ids = vocab_ids[enc.indices.to_numpy(zero_copy_only=False)]
     n = len(ids) - window + 1
-    if n <= 0:
-        return empty, empty
     acc = np.full(n, window, dtype=np.uint64)
     for j in range(window):
         acc += ids[j:j + n] * _C[j % len(_C)]
     hashes = (_mix64(acc)
               & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
     valid = par[:n] == par[window - 1:]  # window inside one document
-    return par[:n][valid], hashes[valid]
+    starts = np.nonzero(valid)[0].astype(np.int64)
+    return par, toks, par[starts], starts, hashes[valid]
+
+
+def _window_hashes_batch(t: pa.Table, window: int
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """(row_index, hash) per ``window``-token span (see
+    :func:`_window_hash_stream`)."""
+    _par, _toks, win_rows, _starts, win_hashes = \
+        _window_hash_stream(t, window)
+    return win_rows, win_hashes
 
 
 def dup_span_counts(sf_dir: str, window: int = 8) -> rd.Dataset:
@@ -1331,4 +1349,71 @@ def dup_span_counts(sf_dir: str, window: int = 8) -> rd.Dataset:
                            batch_size=None)
     hot, _member_rows = _hot_buckets(light, _doc_count(sf_dir) * 64)
     return ds.map_batches(SpanStage(hot=hot), batch_format="pyarrow",
+                          batch_size=None)
+
+
+def remove_dup_spans(sf_dir: str, window: int = 8) -> rd.Dataset:
+    """Substring-level dedup REWRITE (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", 2022 — at word-n-gram granularity):
+    (doc_id, kept_text), where kept_text is the normalized token stream
+    with every token covered by a cross-document duplicated ``window``-span
+    removed (a span is duplicated iff its exact token sequence occurs in
+    ≥ 2 distinct documents).
+
+    Same two-pass hot-bucket shape as :func:`dup_span_counts` — pass 1
+    shuffles only per-doc-distinct 8-byte span hashes, pass 2 re-derives
+    each doc's windows, marks coverage with one difference-array cumsum
+    (union of overlapping hit windows, no per-span Python), and rebuilds
+    the surviving text with Arrow list offsets + ``binary_join``. Span
+    identity is the 64-bit token-sequence hash (collision odds ~n²/2⁶³ —
+    negligible below ~10⁹ distinct spans; the DuckDB twin is exact
+    strings)."""
+    ds = _load_docs(sf_dir, ["doc_id", "text"])
+
+    def light(t: pa.Table) -> pa.Table:
+        win_rows, win_hash = _window_hashes_batch(t, window)
+        if len(win_hash) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64())})
+        order = np.lexsort((win_hash, win_rows))
+        r, h = win_rows[order], win_hash[order]
+        first = np.r_[True, (r[1:] != r[:-1]) | (h[1:] != h[:-1])]
+        return pa.table({"bucket": pa.array(h[first], pa.int64())})
+
+    light_ds = ds.map_batches(light, batch_format="pyarrow",
+                              batch_size=None)
+    hot, _ = _hot_buckets(light_ds, _doc_count(sf_dir) * 64)
+    hot = np.sort(hot)
+
+    class Rewrite:
+        """Sorted hot-span array rides in the task closure (cached per
+        worker — the small-broadcast task-pool pattern)."""
+
+        def __init__(self, hot_: np.ndarray):
+            self.hot = hot_
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = pc.cast(t["doc_id"], pa.int64())
+            par, toks, _win_rows, starts, win_hash = \
+                _window_hash_stream(t, window)
+            n_tok = len(par)
+            if n_tok == 0:
+                return pa.table({
+                    "doc_id": ids,
+                    "kept_text": pa.array([""] * t.num_rows, pa.string())})
+            hit = starts[np.isin(win_hash, self.hot)]
+            diff = np.zeros(n_tok + window + 1, dtype=np.int64)
+            if len(hit):
+                np.add.at(diff, hit, 1)
+                np.add.at(diff, hit + window, -1)
+            keep_mask = np.cumsum(diff[:n_tok]) == 0
+            kept = toks.filter(pa.array(keep_mask))
+            counts = np.bincount(par[keep_mask], minlength=t.num_rows)
+            offsets = np.r_[0, np.cumsum(counts)]
+            la = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), kept)
+            return pa.table({
+                "doc_id": ids,
+                "kept_text": pc.cast(pc.binary_join(la, " "), pa.string())})
+
+    return ds.map_batches(Rewrite(hot), batch_format="pyarrow",
                           batch_size=None)

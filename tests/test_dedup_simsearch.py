@@ -211,6 +211,34 @@ def test_knn_ivf_recall_vs_bruteforce(ray_session, vec_dir):
         assert 100 + q in a
 
 
+def test_remove_dup_spans_planted(ray_session, tmp_path):
+    """Planted shared 8+-token span: removed from BOTH docs (coverage =
+    union of overlapping hit windows), unique text kept verbatim."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, f"unique zero words here {shared} trailing tail zero"),
+        (1, f"{shared} other one text entirely different from zero"),
+        (2, "totally novel document with no duplicated span at all ok"),
+    ]
+    import os as _os
+    d = str(tmp_path / "spans")
+    _os.makedirs(d)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string())}),
+        _os.path.join(d, "documents.parquet"))
+    got = dedup.remove_dup_spans(d).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    kept = dict(zip(got["doc_id"], got["kept_text"]))
+    # every token of the 10-token shared run is covered by some dup window
+    for tok in shared.split():
+        assert tok not in kept[0].split(), (tok, kept[0])
+        assert tok not in kept[1].split(), (tok, kept[1])
+    assert kept[0] == "unique zero words here trailing tail zero"
+    assert kept[1] == "other one text entirely different from zero"
+    assert kept[2] == rows[2][1]  # untouched (already normalized form)
+
+
 def test_knn_ivfpq_recall_and_code_shape(ray_session, vec_dir):
     """IVF-PQ: ADC candidate selection + exact rescore must find the planted
     near-duplicate for every query, and the storable PQ codes are one uint8
