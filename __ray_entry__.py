@@ -673,6 +673,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": textops.ngram_counts,
         # distributed word-count (the corpus-sized half of BPE training)
         "word_counts": lambda sf: textops.word_counts(sf, min_freq=2),
+        # per-doc tf-idf top-terms featurization (df map broadcast, fully
+        # vectorized per-block scoring; rounded-score ranking both engines)
+        "tfidf_top_terms": textops.tfidf_top_terms,
         # BPE tokenizer-vocabulary training: one distributed word-count
         # shuffle + vocabulary-bounded merge loop (iterative — pure-Python
         # Sennrich-2016 oracle in pytest)
@@ -948,6 +951,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             HAVING COUNT(*) >= 2
             ORDER BY n DESC, word
+        """,
+        # per-doc top-5 tf-idf terms; ranking on the ROUNDED score (the
+        # half-up floor form) so the k-boundary is engine-exact
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+              FROM documents
+            ),
+            tp AS (SELECT doc_id, unnest(l) AS term FROM toks),
+            tfc AS (SELECT doc_id, term, COUNT(*) AS tf
+                    FROM tp GROUP BY 1, 2),
+            dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                    FROM tp GROUP BY 1),
+            nd AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+              SELECT doc_id, term,
+                     FLOOR(tf * ln(CAST(n AS DOUBLE) / df)
+                           * 1000000 + 0.5) / 1000000 AS tfidf
+              FROM tfc JOIN dfc USING (term), nd
+            )
+            SELECT doc_id, term, tfidf FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term) AS r
+              FROM scored)
+            WHERE r <= 5
         """,
         # same exact counts as ngram_counts; cms_ok pinned TRUE (any sketch
         # regression becomes a value-hash mismatch — the HLL oracle shape)

@@ -525,6 +525,124 @@ def word_counts(sf_dir: str, min_freq: int = 1,
                      "n": pc.cast(tbl["n"], pa.int64())})
 
 
+def tfidf_top_terms(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Per-document tf-idf featurization: (doc_id, term, tfidf) for each
+    document's top-``k`` terms (tfidf = tf x ln(N/df); rank by rounded
+    score desc then term asc — deterministic, oracle-exact k-boundary).
+
+    Two passes, both corpus-sized work vectorized:
+
+    1. document frequencies: per-block doc-distinct term partials -> one
+       groupby Sum shuffle (term-vocabulary sized); the (term, df) map
+       broadcasts as sorted arrays in the task closure (the
+       ``assign_reps`` shape — same documented small-side boundary as the
+       flagship's canonical vocabulary).
+    2. per-block scoring: (row, term) counts via one np.unique over packed
+       keys, df lookup via searchsorted, segmented per-row top-k (the
+       distributed-top-k run-start trick) — no per-doc Python.
+
+    The score crosses the DuckDB-oracle boundary, so it rounds via the
+    half-up floor form (ties at the k-boundary rank on the ROUNDED value
+    on both engines)."""
+    from .util import collect_table
+    ds = _load_docs(sf_dir, ["doc_id", "text"])
+
+    def _tok(t: pa.Table):
+        low = pc.utf8_lower(t["text"])
+        parts = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = pc.list_flatten(parts)
+        if len(flat) == 0:
+            return None, None
+        parents = pc.list_parent_indices(parts) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.nonzero(pc.not_equal(flat, "")
+                          .to_numpy(zero_copy_only=False))[0]
+        if len(keep) == 0:
+            return None, None
+        return flat.take(pa.array(keep, pa.int64())), parents[keep]
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64())})
+        toks, par = _tok(t)
+        if toks is None:
+            return empty
+        enc = toks.dictionary_encode()
+        tid = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = len(enc.dictionary)
+        uniq = np.unique(par * nv + tid)
+        vals, counts = np.unique(uniq % nv, return_counts=True)
+        return pa.table({
+            "term": enc.dictionary.take(pa.array(vals, pa.int64())),
+            "df": pa.array(counts, pa.int64())})
+
+    dft = collect_table(
+        ds.map_batches(df_partial, batch_format="pyarrow",
+                       batch_size=None)
+        .groupby("term").aggregate(Sum("df", alias_name="df")))
+    empty_out = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "tfidf": pa.array([], pa.float64())})
+    if dft.num_rows == 0 or "term" not in dft.column_names:
+        return rd.from_arrow(empty_out)
+    df_term_arr = pc.cast(dft["term"], pa.string()).combine_chunks()
+    df_vals = dft["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+    n_docs = float(_load_docs(sf_dir, ["doc_id"]).count())
+
+    class Score:
+        """The (term, df) map rides in the task closure — cached per
+        worker (the cheap small-broadcast task-pool pattern). All
+        per-batch string work (df lookup, lexicographic tie-rank) runs on
+        the BATCH VOCABULARY via Arrow hash/sort kernels, never per token
+        or per (doc, term)."""
+
+        def __init__(self, terms_: pa.Array, dfs_: np.ndarray, n_: float):
+            self.terms, self.dfs, self.n = terms_, dfs_, n_
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks, par = _tok(t)
+            if toks is None:
+                return empty_out
+            ids = pc.cast(t["doc_id"], pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            enc = toks.dictionary_encode()
+            tid = enc.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            nv = len(enc.dictionary)
+            keys, tf = np.unique(par * nv + tid, return_counts=True)
+            row, term_i = keys // nv, keys % nv
+            # per-vocab df via one hash lookup; per-vocab lexicographic
+            # rank via one C++ sort — both nv-sized
+            pos = pc.index_in(enc.dictionary, value_set=self.terms) \
+                .to_numpy(zero_copy_only=False)
+            df_of_vocab = self.dfs[pos]
+            dfv = df_of_vocab[term_i]
+            # numpy form of util.round_half_up — identical IEEE op order
+            # to the DuckDB twin's FLOOR(x * 1e6 + 0.5) / 1e6
+            score = np.floor(tf.astype(np.float64) * np.log(self.n / dfv)
+                             * 1e6 + 0.5) / 1e6
+            term_rank = np.empty(nv, dtype=np.int64)
+            term_rank[pc.sort_indices(enc.dictionary)
+                      .to_numpy(zero_copy_only=False)] = np.arange(nv)
+            order = np.lexsort((term_rank[term_i], -score, row))
+            row_o = row[order]
+            starts = np.r_[True, row_o[1:] != row_o[:-1]]
+            run_start = np.maximum.accumulate(
+                np.where(starts, np.arange(len(row_o)), 0))
+            keep = (np.arange(len(row_o)) - run_start) < k
+            sel = order[keep]
+            return pa.table({
+                "doc_id": pa.array(ids[row[sel]], pa.int64()),
+                "term": pc.cast(enc.dictionary.take(
+                    pa.array(term_i[sel], pa.int64())), pa.string()),
+                "tfidf": pa.array(score[sel], pa.float64())})
+
+    return ds.map_batches(Score(df_term_arr, df_vals, n_docs),
+                          batch_format="pyarrow", batch_size=None)
+
+
 END_OF_WORD = "</w>"
 
 

@@ -104,6 +104,29 @@ def test_bpe_train_vocab_matches_pure_python(ray_session, bpe_dir):
     assert all(len(s) >= 1 for s in segs)
 
 
+def test_tfidf_top_terms_rare_term_wins(ray_session, tmp_path):
+    """A corpus-unique term must rank first for its doc; terms in every doc
+    score ln(1) = 0."""
+    texts = ["common words here zzqx common words",
+             "common words here common words again",
+             "common words here and more common words"]
+    d = str(tmp_path / "tfidf")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        os.path.join(d, "documents.parquet"))
+    got = textops.tfidf_top_terms(d, k=3).to_pandas()
+    doc0 = got[got["doc_id"] == 0].reset_index(drop=True)
+    assert doc0.iloc[0]["term"] == "zzqx"
+    assert doc0.iloc[0]["tfidf"] > 0
+    # 'common'/'words' appear in all docs -> idf 0
+    everywhere = got[got["term"].isin(["common", "words"])]
+    assert (everywhere["tfidf"] == 0).all()
+    # per-doc top-k bound respected
+    assert got.groupby("doc_id").size().max() <= 3
+
+
 def test_decode_stage_plumbing(ray_session):
     items = multimodal.synthesize_binary_items(n=48)
     ds = rd.from_arrow(items)
