@@ -583,8 +583,8 @@ def _contamination_sql() -> str:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from sema_ray import (dedup, graph, multimodal, relational, simsearch,
-                          textops)
+    from sema_ray import (dedup, graph, multimodal, relational, sampling,
+                          simsearch, textops)
 
     # Dict order matters: the driver checks the FIRST 50 entries against
     # oracle_sql(). Every oracle-backed query must sort inside that window;
@@ -669,6 +669,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": textops.pii_scrub,
         "benchmark_contamination": textops.benchmark_contamination,
         "sample_docs_by_lang": _sample_docs_by_lang,
+        # deterministic leakage-free train/val/test assignment (hash-mod
+        # thresholds — pure per-batch map, partition-invariant)
+        "assign_splits": sampling.assign_splits,
         "docs_per_source_cap": _docs_per_source_cap,
         "ngram_counts": textops.ngram_counts,
         # distributed word-count (the corpus-sized half of BPE training)
@@ -1339,6 +1342,20 @@ def oracle_sql() -> dict[str, str]:
                             WHEN 'de' THEN 1073741824
                             WHEN 'fr' THEN 1073741824
                             ELSE 536870912 END
+        """,
+        # train/val/test assignment at 0.9/0.05/0.05 cumulative thresholds
+        # (int(0.9 * 2^32) = 3865470566; int((0.9 + 0.05) * 2^32) =
+        # 4080218931 — the float sum, matching the Ray side exactly)
+        "assign_splits": """
+            SELECT doc_id,
+                   CASE WHEN b < 3865470566 THEN 'train'
+                        WHEN b < 4080218931 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         (((CAST(doc_id AS HUGEINT) % 4294967296)
+                           + 4294967296) % 4294967296 * 2654435761)
+                         % 4294967296 AS b
+                  FROM documents)
         """,
         "lang_id": _lang_id_sql(),
         # winnowing fingerprint: md5-low8 token hashes, XOR-combined rolling

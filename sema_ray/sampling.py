@@ -105,3 +105,35 @@ def docs_per_source_cap(sf_dir: str, cap: int = 20) -> rd.Dataset:
         return t.filter(pa.array(rank < cap))
 
     return keyed_part_kernel(ds, "source", kern)
+
+
+SPLIT_NAMES = ("train", "val", "test")
+
+
+def assign_splits(sf_dir: str,
+                  ratios: tuple[float, float, float] = (0.9, 0.05, 0.05)
+                  ) -> rd.Dataset:
+    """Deterministic train/val/test assignment: (doc_id, split).
+
+    The same Knuth-multiplicative bucket as :func:`hash_mod_sample` cut at
+    cumulative ratio thresholds, so the split is a pure per-batch map —
+    partition-invariant, reproducible at any cluster size, every doc in
+    exactly one split, and leakage-free by construction (membership depends
+    only on doc_id). Exact integer thresholds keep the DuckDB twin
+    bit-identical."""
+    t1 = np.uint64(sample_threshold(ratios[0]))
+    t2 = np.uint64(sample_threshold(ratios[0] + ratios[1]))
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        buckets = ((ids % _MOD32) * _KNUTH) % _MOD32
+        split = np.where(buckets < t1, SPLIT_NAMES[0],
+                         np.where(buckets < t2, SPLIT_NAMES[1],
+                                  SPLIT_NAMES[2]))
+        return pa.table({"doc_id": t["doc_id"],
+                         "split": pa.array(split, pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")

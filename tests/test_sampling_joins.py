@@ -139,3 +139,21 @@ def test_rollup_levels_consistent(ray_session):
         == grand["n_orders"].iloc[0]
     assert abs(leaf["sum_totalprice"].sum()
                - grand["sum_totalprice"].iloc[0]) < 0.05
+
+
+def test_assign_splits_partition_and_leakage_properties(ray_session):
+    """Every doc in exactly one split, deterministic across runs and
+    repartitioning, ratios near 0.9/0.05/0.05."""
+    from sema_ray.sampling import assign_splits
+    a = assign_splits(SF_DIR).to_pandas().sort_values("doc_id",
+                                                      ignore_index=True)
+    b = assign_splits(SF_DIR).to_pandas().sort_values("doc_id",
+                                                      ignore_index=True)
+    assert a.equals(b)
+    docs = pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                           columns=["doc_id"])
+    assert sorted(a["doc_id"]) == sorted(docs["doc_id"])
+    frac = a["split"].value_counts(normalize=True)
+    assert frac["train"] > 0.8
+    assert frac.get("val", 0) < 0.15 and frac.get("test", 0) < 0.15
+    assert set(a["split"]) <= {"train", "val", "test"}
