@@ -660,7 +660,10 @@ def _peel(cur: rd.Dataset, k: int,
 
         cur = cur.map_batches(DropIncident(removed), batch_format="pyarrow",
                               batch_size=None).materialize()
-    return cur, empty_nd
+    raise RuntimeError(
+        f"k-core peel did not converge in {max_rounds} rounds (adversarial "
+        "long-chain topology) — raise max_rounds; a wrong answer is never "
+        "returned silently")
 
 
 def _canonical_edges(edges: rd.Dataset, a_col: str, b_col: str,
@@ -687,42 +690,122 @@ def _canonical_edges(edges: rd.Dataset, a_col: str, b_col: str,
                              n_parts=n_parts).materialize()
 
 
+CORE_LOCAL_MAX_EDGES = 2_000_000
+
+
+def _local_core_numbers(u: np.ndarray,
+                        v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-local level-by-level peel over deduped (u, v) edges — the
+    same fixpoint as the distributed loop with microsecond rounds (each
+    inner step is bincount/boolean numpy over the edge arrays, never
+    per-vertex Python). Returns (nodes, core)."""
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    m, n = len(u), len(nodes)
+    ui, vi = inv[:m], inv[m:]
+    deg = (np.bincount(ui, minlength=n)
+           + np.bincount(vi, minlength=n)).astype(np.int64)
+    alive_v = np.ones(n, dtype=bool)
+    alive_e = np.ones(m, dtype=bool)
+    core = np.zeros(n, dtype=np.int64)
+    k = 0
+    while alive_v.any():
+        k += 1
+        while True:
+            rm = alive_v & (deg < k)
+            if not rm.any():
+                break
+            core[rm] = k - 1
+            alive_v[rm] = False
+            dead_e = alive_e & (rm[ui] | rm[vi])
+            if dead_e.any():
+                deg -= np.bincount(ui[dead_e], minlength=n)
+                deg -= np.bincount(vi[dead_e], minlength=n)
+                alive_e &= ~dead_e
+    return nodes, core
+
+
+def _collect_uv(cur: rd.Dataset) -> tuple[np.ndarray, np.ndarray]:
+    from .util import collect_table
+    tbl = collect_table(cur)
+    if tbl.num_rows == 0 or "u" not in tbl.column_names:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    return (tbl["u"].to_numpy(zero_copy_only=False),
+            tbl["v"].to_numpy(zero_copy_only=False))
+
+
 def k_core(edges: rd.Dataset, k: int, a_col: str = "a", b_col: str = "b",
-           n_parts: int = 64, max_rounds: int = 200) -> rd.Dataset:
+           n_parts: int = 64, max_rounds: int = 200,
+           local_max_edges: int | None = None) -> rd.Dataset:
     """(node, degree) of the k-core: the maximal subgraph where every node
-    keeps degree >= k. Deterministic (the k-core is unique)."""
+    keeps degree >= k. Deterministic (the k-core is unique).
+
+    Size-adaptive like :func:`triangle_count`: below ``local_max_edges``
+    the deduped edges are collected and peeled driver-locally (O(max_core)
+    distributed rounds of fixed shuffle cost buy nothing on a small
+    graph); the distributed peel is the scale path."""
     cur = _canonical_edges(edges, a_col, b_col, n_parts)
+    limit = CORE_LOCAL_MAX_EDGES if local_max_edges is None \
+        else local_max_edges
+    if cur.count() <= limit:
+        u, v = _collect_uv(cur)
+        nodes, core = _local_core_numbers(u, v)
+        keep = core >= k
+        nk = nodes[keep]
+        # degrees inside the k-core subgraph
+        in_core = np.isin(u, nk) & np.isin(v, nk)
+        deg = np.zeros(len(nk), dtype=np.int64)
+        np.add.at(deg, np.searchsorted(nk, u[in_core]), 1)
+        np.add.at(deg, np.searchsorted(nk, v[in_core]), 1)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nk, pa.int64()),
+            "degree": pa.array(deg, pa.int64())}))
     _, nd = _peel(cur, k, max_rounds)
     return rd.from_arrow(nd)
 
 
 def core_numbers(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
-                 n_parts: int = 64, max_rounds: int = 200) -> rd.Dataset:
+                 n_parts: int = 64, max_rounds: int = 200,
+                 local_max_edges: int | None = None) -> rd.Dataset:
     """(node, core) for every node in the edge list — core = the largest k
     whose k-core contains the node (Seidman 1983; unique, deterministic).
 
-    Peels by increasing k, reusing each k-core as the next peel's input, so
-    total work is one pass per distinct core level. Isolated-after-
+    Size-adaptive (``CORE_LOCAL_MAX_EDGES``): small graphs peel driver-
+    locally in vectorized numpy; above the threshold, peels by increasing
+    k, reusing each k-core as the next peel's input, so total work is one
+    distributed pass per distinct core level. Isolated-after-
     canonicalization nodes can't occur (every node has an edge), so cores
     start at 1.
     """
     cur = _canonical_edges(edges, a_col, b_col, n_parts)
+    limit = CORE_LOCAL_MAX_EDGES if local_max_edges is None \
+        else local_max_edges
+    if cur.count() <= limit:
+        u, v = _collect_uv(cur)
+        nodes, core = _local_core_numbers(u, v)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "core": pa.array(core, pa.int64())}))
     out_nodes: list[np.ndarray] = []
     out_core: list[np.ndarray] = []
     _, nd = _peel(cur, 1, max_rounds)
     alive = nd["node"].to_numpy(zero_copy_only=False)
-    k = 1
-    while len(alive) and k < max_rounds:
-        cur2, nd2 = _peel(cur, k + 1, max_rounds)
+    deg = nd["degree"].to_numpy(zero_copy_only=False)
+    while len(alive):
+        # level jump: every level j in (k, dmin] has the identical core
+        # set (nothing peels while j <= the current min degree), so the
+        # next informative peel is at dmin + 1, and the nodes it drops
+        # have core number exactly dmin. A clique resolves in ONE jump;
+        # no truncation at any core height.
+        dmin = int(deg.min())
+        cur2, nd2 = _peel(cur, dmin + 1, max_rounds)
         survivors = nd2["node"].to_numpy(zero_copy_only=False)
         dropped = alive[~np.isin(alive, survivors)]
         if len(dropped):
             out_nodes.append(dropped)
-            out_core.append(np.full(len(dropped), k, dtype=np.int64))
-        cur, alive, k = cur2, survivors, k + 1
-    if len(alive):  # everything left shares the max core
-        out_nodes.append(alive)
-        out_core.append(np.full(len(alive), k, dtype=np.int64))
+            out_core.append(np.full(len(dropped), dmin, dtype=np.int64))
+        cur, alive = cur2, survivors
+        deg = nd2["degree"].to_numpy(zero_copy_only=False)
     if not out_nodes:
         return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
                                        "core": pa.array([], pa.int64())}))

@@ -233,7 +233,9 @@ def test_core_numbers_random_graphs(ray_session):
                 if c >= 1}
         t = pa.table({"a": pa.array([e[0] for e in edges], pa.int64()),
                       "b": pa.array([e[1] for e in edges], pa.int64())})
-        got_df = core_numbers(rd.from_arrow(t)).to_pandas()
+        # trial 0 forces the distributed peel; others take the local path
+        kw = {"local_max_edges": 0} if trial == 0 else {}
+        got_df = core_numbers(rd.from_arrow(t), **kw).to_pandas()
         got = dict(zip(got_df["node"], got_df["core"]))
         assert got == want, (trial, {k: (got.get(k), want.get(k))
                                      for k in set(got) ^ set(want) or want
@@ -247,11 +249,12 @@ def test_k_core_known_shapes(ray_session):
              (3, 4), (4, 5)]
     t = pa.table({"a": pa.array([e[0] for e in edges], pa.int64()),
                   "b": pa.array([e[1] for e in edges], pa.int64())})
-    got = k_core(rd.from_arrow(t), 3).to_pandas().sort_values(
-        "node", ignore_index=True)
-    assert list(got["node"]) == [0, 1, 2, 3]
-    assert list(got["degree"]) == [3, 3, 3, 3]
-    # 2-core of a pure chain is empty
-    chain = pa.table({"a": pa.array([0, 1, 2], pa.int64()),
-                      "b": pa.array([1, 2, 3], pa.int64())})
-    assert len(k_core(rd.from_arrow(chain), 2).to_pandas()) == 0
+    for kw in ({}, {"local_max_edges": 0}):  # local AND distributed paths
+        got = k_core(rd.from_arrow(t), 3, **kw).to_pandas().sort_values(
+            "node", ignore_index=True)
+        assert list(got["node"]) == [0, 1, 2, 3]
+        assert list(got["degree"]) == [3, 3, 3, 3]
+        # 2-core of a pure chain is empty
+        chain = pa.table({"a": pa.array([0, 1, 2], pa.int64()),
+                          "b": pa.array([1, 2, 3], pa.int64())})
+        assert len(k_core(rd.from_arrow(chain), 2, **kw).to_pandas()) == 0
