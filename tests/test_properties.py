@@ -133,3 +133,65 @@ def test_extract_batches_match_golden(texts):
     wa = sorted(zip(*[wm[c].to_pylist() for c in wm.column_names])) \
         if wm.num_rows else []
     assert ga == wa
+
+
+@settings(max_examples=100, deadline=None, derandomize=True)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=1, max_size=120))
+def test_local_core_numbers_matches_reference_peel(edges):
+    """Driver-local vectorized peel == textbook per-node peel on arbitrary
+    multigraph input (self-loops / duplicates / reversed edges)."""
+    import numpy as np
+    from sema_ray.graph import _dedup_pairs, _local_core_numbers
+
+    u = np.array([min(a, b) for a, b in edges], dtype=np.int64)
+    v = np.array([max(a, b) for a, b in edges], dtype=np.int64)
+    keep = u != v
+    u, v = _dedup_pairs(u[keep], v[keep])
+    if len(u) == 0:
+        return
+    nodes, core = _local_core_numbers(u, v)
+    # reference: repeatedly strip min-degree nodes
+    adj: dict[int, set[int]] = {}
+    for a, b in zip(u.tolist(), v.tolist()):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[int, int] = {}
+    k = 0
+    while adj:
+        k += 1
+        changed = True
+        while changed:
+            changed = False
+            for n_ in [n_ for n_, nb in adj.items() if len(nb) < k]:
+                want[n_] = k - 1
+                for m_ in adj[n_]:
+                    adj[m_].discard(n_)
+                del adj[n_]
+                changed = True
+    assert dict(zip(nodes.tolist(), core.tolist())) == want
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.lists(st.lists(st.sampled_from("ab cd ef gh ij kl".split()),
+                         min_size=0, max_size=24),
+                min_size=1, max_size=8))
+def test_bpe_merges_are_applicable_and_shrink(word_lists):
+    """Every learned merge has freq >= the next one's is not required
+    (merges change pair counts), but: merges apply cleanly, and encoding
+    with all merges never yields MORE symbols than raw characters."""
+    import collections
+    from sema_ray.textops import bpe_apply, bpe_train_reference
+
+    texts = [" ".join(ws) for ws in word_lists]
+    cnt = collections.Counter(w for ws in word_lists for w in ws)
+    wf = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    merges = bpe_train_reference(wf, num_merges=12)
+    segs = bpe_apply(texts, [(l, r) for l, r, _ in merges])
+    for text, toks in zip(texts, segs):
+        raw = [c for w in text.split() for c in w]
+        n_words = len(text.split())
+        assert len(toks) <= len(raw) + n_words  # </w> markers at most
+        # reassembly: stripping markers recovers the concatenated words
+        joined = "".join(toks).replace("</w>", "")
+        assert joined == "".join(text.split())
