@@ -764,6 +764,25 @@ def k_core(edges: rd.Dataset, k: int, a_col: str = "a", b_col: str = "b",
     return rd.from_arrow(nd)
 
 
+def _segment_h_index(seg_id: np.ndarray,
+                     est: np.ndarray, n_segs: int) -> np.ndarray:
+    """Per-segment h-index of ``est`` values: the largest h such that the
+    segment holds >= h values >= h. Fully vectorized: sort (segment, est
+    desc), within-segment rank via the run-start trick; since est is
+    non-increasing inside a segment, {i : est_i >= i+1} is a prefix, so
+    h = the count of positions satisfying it."""
+    order = np.lexsort((-est, seg_id))
+    s, e = seg_id[order], est[order]
+    starts = np.r_[True, s[1:] != s[:-1]]
+    run_start = np.maximum.accumulate(
+        np.where(starts, np.arange(len(s)), 0))
+    rank = np.arange(len(s)) - run_start  # 0-based within segment
+    cond = e >= rank + 1
+    h = np.zeros(n_segs, dtype=np.int64)
+    np.add.at(h, s, cond.astype(np.int64))
+    return h
+
+
 def core_numbers(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
                  n_parts: int = 64, max_rounds: int = 200,
                  local_max_edges: int | None = None) -> rd.Dataset:
@@ -771,12 +790,16 @@ def core_numbers(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
     whose k-core contains the node (Seidman 1983; unique, deterministic).
 
     Size-adaptive (``CORE_LOCAL_MAX_EDGES``): small graphs peel driver-
-    locally in vectorized numpy; above the threshold, peels by increasing
-    k, reusing each k-core as the next peel's input, so total work is one
-    distributed pass per distinct core level. Isolated-after-
-    canonicalization nodes can't occur (every node has an edge), so cores
-    start at 1.
-    """
+    locally in vectorized numpy. The scale path is the h-index iteration
+    (Montresor, De Pellegrini & Miorandi, "Distributed k-core
+    decomposition", 2011 / Lü et al. 2016): estimates start at the degree
+    and each round lowers every node's estimate to the h-index of its
+    neighbors' estimates — monotone from above, fixpoint = the exact core
+    numbers, and convergence takes tens of rounds TOTAL (one bounded-part
+    shuffle each) rather than one distributed peel per core level. The
+    estimate vector is node-sized on the driver (same documented boundary
+    as :func:`pagerank`; past driver memory it becomes a join against a
+    (node, est) table — the edge pass is unchanged)."""
     cur = _canonical_edges(edges, a_col, b_col, n_parts)
     limit = CORE_LOCAL_MAX_EDGES if local_max_edges is None \
         else local_max_edges
@@ -786,32 +809,67 @@ def core_numbers(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
         return rd.from_arrow(pa.table({
             "node": pa.array(nodes, pa.int64()),
             "core": pa.array(core, pa.int64())}))
-    out_nodes: list[np.ndarray] = []
-    out_core: list[np.ndarray] = []
-    _, nd = _peel(cur, 1, max_rounds)
-    alive = nd["node"].to_numpy(zero_copy_only=False)
-    deg = nd["degree"].to_numpy(zero_copy_only=False)
-    while len(alive):
-        # level jump: every level j in (k, dmin] has the identical core
-        # set (nothing peels while j <= the current min degree), so the
-        # next informative peel is at dmin + 1, and the nodes it drops
-        # have core number exactly dmin. A clique resolves in ONE jump;
-        # no truncation at any core height.
-        dmin = int(deg.min())
-        cur2, nd2 = _peel(cur, dmin + 1, max_rounds)
-        survivors = nd2["node"].to_numpy(zero_copy_only=False)
-        dropped = alive[~np.isin(alive, survivors)]
-        if len(dropped):
-            out_nodes.append(dropped)
-            out_core.append(np.full(len(dropped), dmin, dtype=np.int64))
-        cur, alive = cur2, survivors
-        deg = nd2["degree"].to_numpy(zero_copy_only=False)
-    if not out_nodes:
+    from .util import collect_table
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
+                               t["v"].to_numpy(zero_copy_only=False)])
+        nodes_, counts_ = np.unique(both, return_counts=True)
+        return pa.table({"n": pa.array(nodes_, pa.int64()),
+                         "d": pa.array(counts_, pa.int64())})
+
+    nt = collect_table(cur.map_batches(deg_partial, batch_format="pyarrow",
+                                       batch_size=None))
+    if nt.num_rows == 0 or "n" not in nt.column_names:
         return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
                                        "core": pa.array([], pa.int64())}))
-    return rd.from_arrow(pa.table({
-        "node": pa.array(np.concatenate(out_nodes), pa.int64()),
-        "core": pa.array(np.concatenate(out_core), pa.int64())}))
+    raw = nt["n"].to_numpy(zero_copy_only=False)
+    nodes = np.unique(raw)
+    est = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(est, np.searchsorted(nodes, raw),
+              nt["d"].to_numpy(zero_copy_only=False))
+    big = cur.map_batches(_both_directions, batch_format="pyarrow",
+                          batch_size=None).materialize()
+
+    for _ in range(max_rounds):
+
+        class HRound:
+            """(nodes, est) ride in the task closure — cached per worker;
+            each part holds COMPLETE neighborhoods of its keys, so the
+            per-part h-index partial is exact, and the driver only folds
+            (node, h) rows."""
+
+            def __init__(self, nodes_: np.ndarray, est_: np.ndarray):
+                self.nodes, self.est = nodes_, est_
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return pa.table({"n": pa.array([], pa.int64()),
+                                     "h": pa.array([], pa.int64())})
+                uu = t["u"].to_numpy(zero_copy_only=False)
+                vv = t["v"].to_numpy(zero_copy_only=False)
+                segs, seg_id = np.unique(uu, return_inverse=True)
+                nb_est = self.est[np.searchsorted(self.nodes, vv)]
+                h = _segment_h_index(seg_id, nb_est, len(segs))
+                return pa.table({"n": pa.array(segs, pa.int64()),
+                                 "h": pa.array(h, pa.int64())})
+
+        ht = collect_table(keyed_part_kernel(big, "u", HRound(nodes, est),
+                                             n_parts=n_parts))
+        new_est = est.copy()
+        hn = ht["n"].to_numpy(zero_copy_only=False)
+        hv = ht["h"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(nodes, hn)
+        np.minimum.at(new_est, idx, hv)
+        if np.array_equal(new_est, est):
+            return rd.from_arrow(pa.table({
+                "node": pa.array(nodes, pa.int64()),
+                "core": pa.array(est, pa.int64())}))
+        est = new_est
+    raise RuntimeError(
+        f"core_numbers h-index iteration did not converge in {max_rounds} "
+        "rounds — raise max_rounds; a wrong answer is never returned "
+        "silently")
 
 
 def user_cooccurrence_cores(sf_dir: str) -> rd.Dataset:
