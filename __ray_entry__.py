@@ -469,6 +469,11 @@ def _cluster_balanced_sample(sf_dir: str):
     return cluster_balanced_sample(sf_dir)
 
 
+def _semdedup(sf_dir: str):
+    from sema_ray.clustering import semdedup
+    return semdedup(sf_dir)
+
+
 def _pca_embeddings(sf_dir: str):
     """Distributed PCA: one moment-partials pass -> driver eigh -> project
     (numpy whole-matrix oracle in pytest; non-SQL by nature)."""
@@ -704,6 +709,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reduce; non-SQL by nature — mixture-recovery oracle in pytest)
         "kmeans_clusters": _kmeans_clusters,
         "cluster_balanced_sample": _cluster_balanced_sample,
+        # SemDeDup (Abbas et al. 2023): k-means blocks the pairwise-cosine
+        # near-dup pass to n^2/k per cluster (iterative — planted-dup
+        # oracle in pytest)
+        "semdedup": _semdedup,
         "pca_embeddings": _pca_embeddings,
         "semantic_search": simsearch.semantic_search,
         # --- reference file-search lifecycle (crawl/chunk/embed/index/query)

@@ -332,3 +332,71 @@ def cluster_balanced_sample(sf_dir: str, k: int = DEFAULT_K,
         "vec_id": pa.array(ids[sel], pa.int64()),
         "cluster": pa.array(cl[sel].astype(np.int32), pa.int32()),
     }))
+
+
+def semdedup(sf_dir: str, k: int = DEFAULT_K, threshold: float = 0.95,
+             n_iter: int = DEFAULT_ITERS, n_parts: int = 64) -> rd.Dataset:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): k-means clusters make
+    the pairwise-cosine pass tractable — near-duplicate pairs are only
+    sought INSIDE a cluster, so the quadratic work is n²/k per cluster
+    instead of n² corpus-wide.
+
+    Output (vec_id, keep): keep[i] is False iff some SAME-CLUSTER member
+    with a smaller vec_id has cosine >= threshold (deterministic: the
+    lowest id of every near-dup group survives). One keyed shuffle
+    co-locates each cluster's members (whole clusters per part — cluster
+    sizes are the documented memory bound, controlled by ``k``); the
+    per-cluster work is one gram matrix + a strict-upper-triangle max,
+    one vectorized step per CLUSTER (bounded by k), never per vector."""
+    from .relational import keyed_part_kernel
+
+    ds = _load_embeddings(sf_dir)
+    cents = kmeans_fit(ds, k=k, n_iter=n_iter)
+
+    class AssignEmb:
+        def __init__(self, c: np.ndarray):
+            self.c = c
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                return pa.table({
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "embedding": t["embedding"]})
+            m = _normalize_rows(_batch_matrix(t))
+            a = np.argmax(m @ self.c.T, axis=1)
+            return pa.table({
+                "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "embedding": t["embedding"]})
+
+    assigned = ds.map_batches(AssignEmb(cents), batch_format="pyarrow",
+                              batch_size=None)
+
+    def dedup_kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "keep": pa.array([], pa.bool_())})
+        if t.num_rows == 0:
+            return empty
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        m = _normalize_rows(_batch_matrix(t))
+        order = np.lexsort((ids, cl))
+        ids, cl, m = ids[order], cl[order], m[order]
+        bounds = np.r_[0, np.nonzero(cl[1:] != cl[:-1])[0] + 1, len(cl)]
+        keep = np.ones(len(ids), dtype=bool)
+        for s, e in zip(bounds[:-1], bounds[1:]):  # one step per CLUSTER
+            if e - s < 2:
+                continue
+            g = m[s:e] @ m[s:e].T
+            # max cosine to any smaller-id member of the same cluster
+            max_prev = np.where(np.triu(np.ones_like(g, dtype=bool), 1),
+                                g, -np.inf).max(axis=0)
+            keep[s:e] = max_prev < threshold
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "keep": pa.array(keep, pa.bool_())})
+
+    return keyed_part_kernel(assigned, "cluster", dedup_kernel,
+                             n_parts=n_parts)

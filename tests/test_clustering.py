@@ -137,3 +137,35 @@ def test_pca_projection_shape_on_testdata(ray_session):
     out = pca_embeddings(SF_DIR, out_dim=8).to_pandas()
     assert len(out) > 0
     assert all(len(p) == 8 for p in out["proj"])
+
+
+def test_semdedup_planted_near_dups(ray_session, tmp_path):
+    """SemDeDup: planted near-copies (cos ~0.999) drop, the lowest id of
+    each group survives, distinct vectors all keep."""
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((30, 24)).astype(np.float32)
+    ids = list(range(30))
+    vecs = [base[i] for i in range(30)]
+    for j in range(6):  # 100+j: near-copy of j
+        ids.append(100 + j)
+        vecs.append(base[j]
+                    + 0.005 * rng.standard_normal(24).astype(np.float32))
+    d = str(tmp_path / "sem")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32()))}),
+        os.path.join(d, "embeddings.parquet"))
+    out = clustering.semdedup(d, k=3, threshold=0.95).to_pandas()
+    assert len(out) == 36
+    keep = dict(zip(out["vec_id"], out["keep"]))
+    for j in range(6):
+        assert keep[j] is True or keep[j] == True  # noqa: E712
+        assert not keep[100 + j], (j, keep)
+    dropped = [i for i, kp in keep.items() if not kp]
+    assert sorted(dropped) == [100 + j for j in range(6)]
+    # deterministic
+    out2 = clustering.semdedup(d, k=3, threshold=0.95).to_pandas()
+    assert out.sort_values("vec_id", ignore_index=True).equals(
+        out2.sort_values("vec_id", ignore_index=True))
