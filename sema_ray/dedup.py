@@ -1309,6 +1309,19 @@ def _window_hashes_batch(t: pa.Table, window: int
     return win_rows, win_hashes
 
 
+def _distinct_span_buckets(t: pa.Table, window: int) -> pa.Table:
+    """Pass-1 light partial shared by the span ops: one ``bucket`` row per
+    per-document-DISTINCT window hash, so the downstream count aggregate
+    is distinct-documents-per-span (a doc is never split across batches)."""
+    win_rows, win_hash = _window_hashes_batch(t, window)
+    if len(win_hash) == 0:
+        return pa.table({"bucket": pa.array([], pa.int64())})
+    order = np.lexsort((win_hash, win_rows))
+    r, h = win_rows[order], win_hash[order]
+    first = np.r_[True, (r[1:] != r[:-1]) | (h[1:] != h[:-1])]
+    return pa.table({"bucket": pa.array(h[first], pa.int64())})
+
+
 def dup_span_counts(sf_dir: str, window: int = 8) -> rd.Dataset:
     """Per-document count of ``window``-token spans that also occur in at
     least one OTHER document: (doc_id, n_dup_windows), every doc included.
@@ -1329,15 +1342,9 @@ def dup_span_counts(sf_dir: str, window: int = 8) -> rd.Dataset:
             self.hot = np.sort(hot) if hot is not None else None
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            rows, hashes = _window_hashes_batch(t, window)
             if self.hot is None:
-                # pass 1: distinct (doc, span) -> span rows only
-                if len(hashes) == 0:
-                    return pa.table({"bucket": pa.array([], pa.int64())})
-                order = np.lexsort((hashes, rows))
-                r, h = rows[order], hashes[order]
-                first = np.r_[True, (r[1:] != r[:-1]) | (h[1:] != h[:-1])]
-                return pa.table({"bucket": pa.array(h[first], pa.int64())})
+                return _distinct_span_buckets(t, window)
+            rows, hashes = _window_hashes_batch(t, window)
             hit = np.isin(hashes, self.hot)
             n = np.zeros(t.num_rows, dtype=np.int64)
             if hit.any():
@@ -1370,17 +1377,8 @@ def remove_dup_spans(sf_dir: str, window: int = 8) -> rd.Dataset:
     strings)."""
     ds = _load_docs(sf_dir, ["doc_id", "text"])
 
-    def light(t: pa.Table) -> pa.Table:
-        win_rows, win_hash = _window_hashes_batch(t, window)
-        if len(win_hash) == 0:
-            return pa.table({"bucket": pa.array([], pa.int64())})
-        order = np.lexsort((win_hash, win_rows))
-        r, h = win_rows[order], win_hash[order]
-        first = np.r_[True, (r[1:] != r[:-1]) | (h[1:] != h[:-1])]
-        return pa.table({"bucket": pa.array(h[first], pa.int64())})
-
-    light_ds = ds.map_batches(light, batch_format="pyarrow",
-                              batch_size=None)
+    light_ds = ds.map_batches(lambda t: _distinct_span_buckets(t, window),
+                              batch_format="pyarrow", batch_size=None)
     hot, _ = _hot_buckets(light_ds, _doc_count(sf_dir) * 64)
     hot = np.sort(hot)
 

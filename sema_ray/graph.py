@@ -604,19 +604,13 @@ def purchase_cooccurrence_triangles(sf_dir: str) -> rd.Dataset:
 # iterated degree-filter — Montresor, De Pellegrini & Miorandi 2011).
 # ---------------------------------------------------------------------------
 
-def _peel(cur: rd.Dataset, k: int,
-          max_rounds: int) -> tuple[rd.Dataset, pa.Table]:
-    """Peel ``cur`` (deduped undirected (u, v) edges) down to its k-core.
-
-    Each round: per-block degree partials folded on the driver (the node
-    vocabulary is the small side — same documented boundary as
-    :func:`pagerank`; past driver memory the fold becomes a groupby and the
-    removal filter a broadcast join), then one vectorized edge filter with
-    the sorted removed-node array riding in the task closure. Converges in
-    at most max_rounds; each round strictly shrinks the edge set.
-
-    Returns (k-core edge Dataset, (node, degree) table of the k-core).
-    """
+def _fold_degrees(cur: rd.Dataset
+                  ) -> tuple[np.ndarray, np.ndarray] | None:
+    """(nodes, degree) of a deduped (u, v) edge Dataset — per-block
+    ``np.unique`` partials folded on the driver (the node vocabulary is
+    the small side; same documented boundary as :func:`pagerank` — past
+    driver memory the fold becomes a groupby and consumers switch to
+    broadcast joins). None when the edge set is empty."""
     from .util import collect_table
 
     def deg_partial(t: pa.Table) -> pa.Table:
@@ -626,19 +620,36 @@ def _peel(cur: rd.Dataset, k: int,
         return pa.table({"n": pa.array(nodes_, pa.int64()),
                          "d": pa.array(counts_, pa.int64())})
 
+    nt = collect_table(cur.map_batches(deg_partial, batch_format="pyarrow",
+                                       batch_size=None))
+    if nt.num_rows == 0 or "n" not in nt.column_names:
+        return None
+    raw = nt["n"].to_numpy(zero_copy_only=False)
+    nodes = np.unique(raw)
+    deg = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(deg, np.searchsorted(nodes, raw),
+              nt["d"].to_numpy(zero_copy_only=False))
+    return nodes, deg
+
+
+def _peel(cur: rd.Dataset, k: int,
+          max_rounds: int) -> tuple[rd.Dataset, pa.Table]:
+    """Peel ``cur`` (deduped undirected (u, v) edges) down to its k-core.
+
+    Each round: one driver degree fold (:func:`_fold_degrees`), then one
+    vectorized edge filter with the sorted removed-node array riding in
+    the task closure. Converges in at most max_rounds; each round strictly
+    shrinks the edge set.
+
+    Returns (k-core edge Dataset, (node, degree) table of the k-core).
+    """
     empty_nd = pa.table({"node": pa.array([], pa.int64()),
                          "degree": pa.array([], pa.int64())})
     for _ in range(max_rounds):
-        nt = collect_table(cur.map_batches(deg_partial,
-                                           batch_format="pyarrow",
-                                           batch_size=None))
-        if nt.num_rows == 0 or "n" not in nt.column_names:
+        folded = _fold_degrees(cur)
+        if folded is None:
             return cur, empty_nd
-        raw = nt["n"].to_numpy(zero_copy_only=False)
-        nodes = np.unique(raw)
-        deg = np.zeros(len(nodes), dtype=np.int64)
-        np.add.at(deg, np.searchsorted(nodes, raw),
-                  nt["d"].to_numpy(zero_copy_only=False))
+        nodes, deg = folded
         removed = nodes[deg < k]
         if len(removed) == 0:
             return cur, pa.table({"node": pa.array(nodes, pa.int64()),
@@ -795,8 +806,10 @@ def core_numbers(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
     decomposition", 2011 / Lü et al. 2016): estimates start at the degree
     and each round lowers every node's estimate to the h-index of its
     neighbors' estimates — monotone from above, fixpoint = the exact core
-    numbers, and convergence takes tens of rounds TOTAL (one bounded-part
-    shuffle each) rather than one distributed peel per core level. The
+    numbers, and convergence takes tens of rounds TOTAL, each a plain
+    map_batches over the ONCE-partitioned neighborhood blocks (a single
+    keyed shuffle for the whole run) rather than one distributed peel per
+    core level. The
     estimate vector is node-sized on the driver (same documented boundary
     as :func:`pagerank`; past driver memory it becomes a join against a
     (node, est) table — the edge pass is unchanged)."""
@@ -811,32 +824,26 @@ def core_numbers(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
             "core": pa.array(core, pa.int64())}))
     from .util import collect_table
 
-    def deg_partial(t: pa.Table) -> pa.Table:
-        both = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
-                               t["v"].to_numpy(zero_copy_only=False)])
-        nodes_, counts_ = np.unique(both, return_counts=True)
-        return pa.table({"n": pa.array(nodes_, pa.int64()),
-                         "d": pa.array(counts_, pa.int64())})
-
-    nt = collect_table(cur.map_batches(deg_partial, batch_format="pyarrow",
-                                       batch_size=None))
-    if nt.num_rows == 0 or "n" not in nt.column_names:
+    folded = _fold_degrees(cur)
+    if folded is None:
         return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
                                        "core": pa.array([], pa.int64())}))
-    raw = nt["n"].to_numpy(zero_copy_only=False)
-    nodes = np.unique(raw)
-    est = np.zeros(len(nodes), dtype=np.int64)
-    np.add.at(est, np.searchsorted(nodes, raw),
-              nt["d"].to_numpy(zero_copy_only=False))
-    big = cur.map_batches(_both_directions, batch_format="pyarrow",
-                          batch_size=None).materialize()
+    nodes, est = folded
+    # Partition ONCE: after this keyed shuffle every materialized block is
+    # a union of whole u-neighborhoods, so each round below is a plain
+    # map_batches over part-pure blocks — no re-shuffle per round (the
+    # CLAUDE.md fixed-shuffle-cost sharp edge, paid a single time).
+    parted = keyed_part_kernel(
+        cur.map_batches(_both_directions, batch_format="pyarrow",
+                        batch_size=None),
+        "u", lambda t: t, n_parts=n_parts).materialize()
 
     for _ in range(max_rounds):
 
         class HRound:
             """(nodes, est) ride in the task closure — cached per worker;
-            each part holds COMPLETE neighborhoods of its keys, so the
-            per-part h-index partial is exact, and the driver only folds
+            each block holds COMPLETE neighborhoods of its keys, so the
+            per-block h-index partial is exact, and the driver only folds
             (node, h) rows."""
 
             def __init__(self, nodes_: np.ndarray, est_: np.ndarray):
@@ -854,8 +861,9 @@ def core_numbers(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
                 return pa.table({"n": pa.array(segs, pa.int64()),
                                  "h": pa.array(h, pa.int64())})
 
-        ht = collect_table(keyed_part_kernel(big, "u", HRound(nodes, est),
-                                             n_parts=n_parts))
+        ht = collect_table(parted.map_batches(HRound(nodes, est),
+                                              batch_format="pyarrow",
+                                              batch_size=None))
         new_est = est.copy()
         hn = ht["n"].to_numpy(zero_copy_only=False)
         hv = ht["h"].to_numpy(zero_copy_only=False)

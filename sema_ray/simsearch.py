@@ -226,6 +226,27 @@ def _train_centroids(sample: np.ndarray, n_lists: int, n_iter: int = 8,
     return cents
 
 
+def _ivf_setup(sf_dir: str, n_lists: int, n_probe: int, n_queries: int,
+               sample_rows: int):
+    """Shared IVF front half (used by :func:`knn_ivf` and
+    :func:`knn_ivfpq`): corpus handle, sample matrix, trained coarse
+    centroids, sorted query table + ids + unit query matrix, and the
+    [len(cents), nq] probe-membership matrix."""
+    ds = _load_embeddings(sf_dir)
+    sample_tbl = collect_table(ds.filter(expr=f"vec_id < {sample_rows}"))
+    sm = _batch_matrix(sample_tbl)
+    cents = _train_centroids(sm, n_lists)
+    qt = collect_table(ds.filter(expr=f"vec_id < {n_queries}")) \
+        .sort_by("vec_id")
+    q_ids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    qm = _normalize_rows(_batch_matrix(qt))
+    q_lists = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
+    probe_of = np.zeros((len(cents), len(q_ids)), bool)
+    for j in range(len(q_ids)):
+        probe_of[q_lists[j], j] = True
+    return ds, sm, cents, qt, q_ids, qm, probe_of
+
+
 def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
             n_lists: int = 16, n_probe: int = 4,
             sample_rows: int = 2048) -> rd.Dataset:
@@ -238,26 +259,13 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
     query only scores vectors whose list is among the query's ``n_probe``
     closest lists. Output: query_id, neighbor_id.
     """
-    ds = _load_embeddings(sf_dir)
-    sample_tbl = collect_table(ds.filter(expr=f"vec_id < {sample_rows}"))
-    cents = _train_centroids(_batch_matrix(sample_tbl), n_lists)
-    head = ds.filter(expr=f"vec_id < {n_queries}")
-    qt = collect_table(head).sort_by("vec_id")
-    qm = _normalize_rows(_batch_matrix(qt))
-    q_ids = qt["vec_id"].to_numpy(zero_copy_only=False)
-    # lists each query probes
-    q_lists = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
-    probe_sets = [set(row.tolist()) for row in q_lists]
+    ds, _sm, cents, qt, q_ids, _qm, probe_of = _ivf_setup(
+        sf_dir, n_lists, n_probe, n_queries, sample_rows)
 
     class IVFScore(TopKScoreStage):
         def __init__(self):
             super().__init__(q_ids, _batch_matrix(qt), k, True)
             self.cents = cents
-            # [n_lists, q] membership: probe_of[l, j] == list l probed by qj
-            probe_of = np.zeros((len(cents), len(probe_sets)), bool)
-            for j, lists in enumerate(probe_sets):
-                for l in lists:
-                    probe_of[l, j] = True
             self.probe_of = probe_of
 
         def __call__(self, t: pa.Table) -> pa.Table:
@@ -509,10 +517,14 @@ def _train_pq_codebooks(sample: np.ndarray, m_sub: int, k_codes: int = 16,
     n, d = sample.shape
     dsub = d // m_sub
     rng = np.random.default_rng(seed)
+    # clip to the sample size — zero-filled codebook rows would win the
+    # L2 argmin for vectors with x.c < ||c||^2 / 2 and silently zero out
+    # their ADC contribution
+    k_codes = min(k_codes, n)
     books = np.zeros((m_sub, k_codes, dsub))
     for s in range(m_sub):
         sub = sample[:, s * dsub:(s + 1) * dsub]
-        init = rng.choice(n, size=min(k_codes, n), replace=False)
+        init = rng.choice(n, size=k_codes, replace=False)
         cents = sub[np.sort(init)].copy()
         for _ in range(n_iter):
             # argmin ||x - c||^2 == argmin (||c||^2 - 2 x.c)
@@ -578,19 +590,9 @@ def knn_ivfpq(sf_dir: str, k: int = 10, n_queries: int = 5,
     ``k x rescore`` ADC candidates per query get the exact cosine, and the
     batch emits exact-scored local top-k (output scores exact, recall is
     the only approximation — same contract as :func:`knn_sq8`)."""
-    ds = _load_embeddings(sf_dir)
-    sample_tbl = collect_table(ds.filter(expr=f"vec_id < {sample_rows}"))
-    sm = _batch_matrix(sample_tbl)
-    cents = _train_centroids(sm, n_lists)
+    ds, sm, cents, _qt, qids, qm, probe_of = _ivf_setup(
+        sf_dir, n_lists, n_probe, n_queries, sample_rows)
     books = _train_pq_codebooks(sm, m_sub)
-    head = ds.filter(expr=f"vec_id < {n_queries}")
-    qt = collect_table(head).sort_by("vec_id")
-    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
-    qm = _normalize_rows(_batch_matrix(qt))
-    q_lists = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
-    probe_of = np.zeros((n_lists, len(qids)), bool)
-    for j in range(len(qids)):
-        probe_of[q_lists[j], j] = True
     # ADC lookup tables: lut[s, c, j] = books[s, c] . q_j_sub
     dsub = qm.shape[1] // m_sub
     lut = np.stack([books[s] @ qm[:, s * dsub:(s + 1) * dsub].T

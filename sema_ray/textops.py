@@ -506,7 +506,16 @@ def word_counts(sf_dir: str, min_freq: int = 1,
         return pa.table({"word": vc.field("values"),
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
+    def recombine(t: pa.Table) -> pa.Table:
+        # coalescing no-shuffle combine: every natural-language block emits
+        # most of the common vocabulary, so without this the sort-shuffle
+        # sees O(blocks x vocab) rows (CLAUDE.md partial-aggregation edge)
+        g = t.group_by(["word"]).aggregate([("n", "sum")])
+        return g.rename_columns(["word", "n"])
+
     agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .map_batches(recombine, batch_format="pyarrow",
+                     batch_size=1 << 21) \
         .groupby("word").aggregate(Sum("n", alias_name="n"))
 
     def local_cap(t: pa.Table) -> pa.Table:
@@ -578,9 +587,17 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> rd.Dataset:
             "term": enc.dictionary.take(pa.array(vals, pa.int64())),
             "df": pa.array(counts, pa.int64())})
 
+    def df_recombine(t: pa.Table) -> pa.Table:
+        # coalescing combine before the term shuffle (same vocabulary-
+        # cardinality edge as word_counts)
+        g = t.group_by(["term"]).aggregate([("df", "sum")])
+        return g.rename_columns(["term", "df"])
+
     dft = collect_table(
         ds.map_batches(df_partial, batch_format="pyarrow",
                        batch_size=None)
+        .map_batches(df_recombine, batch_format="pyarrow",
+                     batch_size=1 << 21)
         .groupby("term").aggregate(Sum("df", alias_name="df")))
     empty_out = pa.table({"doc_id": pa.array([], pa.int64()),
                           "term": pa.array([], pa.string()),
@@ -709,12 +726,12 @@ def bpe_train_vocab(sf_dir: str, num_merges: int = 40,
 def bpe_apply(texts: list[str], merges: list[tuple[str, str]]) -> list[list[str]]:
     """Segment texts with a trained merge list (rank order = priority),
     mirroring the reference encoder loop — used by the round-trip test."""
+    import re as _re
     rank_of = {(l, r): i for i, (l, r) in enumerate(merges)}
     out = []
     for text in texts:
         toks: list[str] = []
         low = text.lower()
-        import re as _re
         for w in _re.findall("[a-z0-9]+", low):
             syms = list(w) + [END_OF_WORD]
             while len(syms) > 1:
