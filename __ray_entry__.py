@@ -474,6 +474,11 @@ def _semdedup(sf_dir: str):
     return semdedup(sf_dir)
 
 
+def _semdedup_ok(sf_dir: str):
+    from sema_ray.clustering import semdedup_ok
+    return semdedup_ok(sf_dir)
+
+
 def _pca_embeddings(sf_dir: str):
     """Distributed PCA: one moment-partials pass -> driver eigh -> project
     (numpy whole-matrix oracle in pytest; non-SQL by nature)."""
@@ -710,9 +715,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _kmeans_clusters,
         "cluster_balanced_sample": _cluster_balanced_sample,
         # SemDeDup (Abbas et al. 2023): k-means blocks the pairwise-cosine
-        # near-dup pass to n^2/k per cluster (iterative — planted-dup
-        # oracle in pytest)
-        "semdedup": _semdedup,
+        # near-dup pass to n^2/k per cluster. The checked form recomputes
+        # validity via an independent exact brute-force pass (every dropped
+        # vector has a smaller-id near-dup; pinned TRUE in SQL — the
+        # dedup_minhash twin shape); raw keep flags stay rows-only.
+        "semdedup": _semdedup_ok,
+        "semdedup_keep": _semdedup,
         "pca_embeddings": _pca_embeddings,
         "semantic_search": simsearch.semantic_search,
         # --- reference file-search lifecycle (crawl/chunk/embed/index/query)
@@ -1242,6 +1250,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": """
             SELECT doc_id, CAST(1 AS BIGINT) AS cluster_ok FROM documents
+        """,
+        # SemDeDup validity (same pinned-TRUE shape): the Ray side
+        # recomputes, via an independent exact brute-force cosine pass,
+        # that every dropped vector has a smaller-id near-duplicate
+        "semdedup": """
+            SELECT vec_id, CAST(1 AS BIGINT) AS dedup_ok FROM embeddings
         """,
         # snapshot-over-snapshot dedup: odd-id docs checked against even-id
         # docs; Ray side is Bloom-prefiltered but exact (128-bit verify)

@@ -400,3 +400,28 @@ def semdedup(sf_dir: str, k: int = DEFAULT_K, threshold: float = 0.95,
 
     return keyed_part_kernel(assigned, "cluster", dedup_kernel,
                              n_parts=n_parts)
+
+
+def semdedup_ok(sf_dir: str, k: int = DEFAULT_K,
+                threshold: float = 0.95) -> pa.Table:
+    """SemDeDup validity summary (the dedup_minhash/simhash twin shape):
+    (vec_id, dedup_ok) with dedup_ok recomputed via an INDEPENDENT exact
+    brute-force cosine pass — every dropped vector must have a smaller-id
+    near-duplicate (cosine >= threshold) somewhere in the corpus. SQL pins
+    dedup_ok TRUE, so any cluster-co-location / normalization bug in
+    :func:`semdedup` becomes a value-hash mismatch."""
+    from .simsearch import embedding_dup_pairs
+
+    sd = collect_table(semdedup(sf_dir, k=k, threshold=threshold)) \
+        .sort_by("vec_id")
+    ids = sd["vec_id"].to_numpy(zero_copy_only=False)
+    keep = sd["keep"].to_numpy(zero_copy_only=False)
+    pairs = collect_table(embedding_dup_pairs(sf_dir, threshold=threshold))
+    has_smaller = np.zeros(len(ids), dtype=bool)
+    if pairs.num_rows and "b" in pairs.column_names:
+        b = np.unique(pairs["b"].to_numpy(zero_copy_only=False))
+        has_smaller = np.isin(ids, b)
+    ok = keep | has_smaller
+    # int64 on both sides (driver-contract rule; SQL pins CAST(1 AS BIGINT))
+    return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                     "dedup_ok": pa.array(ok.astype(np.int64), pa.int64())})

@@ -169,3 +169,25 @@ def test_semdedup_planted_near_dups(ray_session, tmp_path):
     out2 = clustering.semdedup(d, k=3, threshold=0.95).to_pandas()
     assert out.sort_values("vec_id", ignore_index=True).equals(
         out2.sort_values("vec_id", ignore_index=True))
+
+
+def test_semdedup_ok_validity_twin(ray_session, tmp_path):
+    """The validity summary pins TRUE: dropped vectors must have a
+    smaller-id exact near-dup; a corrupted keep column would flip it."""
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    ids = list(range(20)) + [100, 101]
+    vecs = [base[i] for i in range(20)]
+    vecs.append(base[0] + 0.004 * rng.standard_normal(16).astype(np.float32))
+    vecs.append(base[1] + 0.004 * rng.standard_normal(16).astype(np.float32))
+    d = str(tmp_path / "semok")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32()))}),
+        os.path.join(d, "embeddings.parquet"))
+    out = clustering.semdedup_ok(d, k=3, threshold=0.95).to_pandas()
+    assert len(out) == 22
+    assert (out["dedup_ok"] == 1).all()
+    assert str(out["dedup_ok"].dtype) == "int64"
