@@ -693,6 +693,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shuffle + vocabulary-bounded merge loop (iterative — pure-Python
         # Sennrich-2016 oracle in pytest)
         "bpe_vocab": textops.bpe_train_vocab,
+        # distributed encoding pass under the trained vocab: per-doc
+        # subword totals, greedy encoder once per DISTINCT word
+        # (iterative — bpe_apply oracle in pytest)
+        "bpe_subword_counts": textops.bpe_encode_counts,
         "repetition_stats": textops.repetition_stats,
         "dup_span_counts": dedup.dup_span_counts,
         # substring-level dedup REWRITE (Lee et al. 2022): drop every token

@@ -723,6 +723,23 @@ def bpe_train_vocab(sf_dir: str, num_merges: int = 40,
     })
 
 
+def _bpe_segment_word(w: str,
+                      rank_of: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-merge-first segmentation of one word (the
+    reference BPE encoder loop)."""
+    syms = list(w) + [END_OF_WORD]
+    while len(syms) > 1:
+        best_i, best_rank = -1, len(rank_of)
+        for i in range(len(syms) - 1):
+            r = rank_of.get((syms[i], syms[i + 1]))
+            if r is not None and r < best_rank:
+                best_i, best_rank = i, r
+        if best_i < 0:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
 def bpe_apply(texts: list[str], merges: list[tuple[str, str]]) -> list[list[str]]:
     """Segment texts with a trained merge list (rank order = priority),
     mirroring the reference encoder loop — used by the round-trip test."""
@@ -731,21 +748,75 @@ def bpe_apply(texts: list[str], merges: list[tuple[str, str]]) -> list[list[str]
     out = []
     for text in texts:
         toks: list[str] = []
-        low = text.lower()
-        for w in _re.findall("[a-z0-9]+", low):
-            syms = list(w) + [END_OF_WORD]
-            while len(syms) > 1:
-                best_i, best_rank = -1, len(rank_of)
-                for i in range(len(syms) - 1):
-                    r = rank_of.get((syms[i], syms[i + 1]))
-                    if r is not None and r < best_rank:
-                        best_i, best_rank = i, r
-                if best_i < 0:
-                    break
-                syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
-            toks.extend(syms)
+        for w in _re.findall("[a-z0-9]+", text.lower()):
+            toks.extend(_bpe_segment_word(w, rank_of))
         out.append(toks)
     return out
+
+
+def bpe_encode_counts(sf_dir: str, num_merges: int = 40,
+                      min_freq: int = 2) -> rd.Dataset:
+    """Distributed BPE encoding pass: (doc_id, n_subwords) under the vocab
+    trained by :func:`bpe_train_vocab` — the token-budget accounting a
+    training pipeline runs after learning its tokenizer.
+
+    The merge list is the broadcast small side (task closure). Per batch,
+    the greedy encoder runs ONCE PER DISTINCT WORD (dictionary-encode,
+    memoized per worker via a bounded cache); per-document subword totals
+    are one ``np.bincount`` over the encoded indices — never per-token
+    Python."""
+    vocab_tbl = bpe_train_vocab(sf_dir, num_merges=num_merges,
+                                min_freq=min_freq)
+    merges = list(zip(vocab_tbl["left"].to_pylist(),
+                      vocab_tbl["right"].to_pylist()))
+    rank_of = {pair: i for i, pair in enumerate(merges)}
+
+    class Encode:
+        """rank_of rides in the task closure (cached per worker); the
+        per-distinct-word segment cache is per-instance and bounded by
+        the batch vocabulary."""
+
+        def __init__(self, rank_of_: dict):
+            self.rank_of = rank_of_
+            self.cache: dict[str, int] = {}
+
+        def _n_subwords(self, w: str) -> int:
+            n = self.cache.get(w)
+            if n is None:
+                n = len(_bpe_segment_word(w, self.rank_of))
+                if len(self.cache) < (1 << 20):
+                    self.cache[w] = n
+            return n
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = pc.cast(t["doc_id"], pa.int64())
+            low = pc.utf8_lower(t["text"])
+            parts = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+            if isinstance(parts, pa.ChunkedArray):
+                parts = parts.combine_chunks()
+            flat = pc.list_flatten(parts)
+            n = np.zeros(t.num_rows, dtype=np.int64)
+            if len(flat):
+                parents = pc.list_parent_indices(parts) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                keep = np.nonzero(pc.not_equal(flat, "")
+                                  .to_numpy(zero_copy_only=False))[0]
+                if len(keep):
+                    enc = flat.take(pa.array(keep, pa.int64())) \
+                        .dictionary_encode()
+                    per_word = np.fromiter(
+                        (self._n_subwords(w)
+                         for w in enc.dictionary.to_pylist()),
+                        dtype=np.int64, count=len(enc.dictionary))
+                    weights = per_word[
+                        enc.indices.to_numpy(zero_copy_only=False)]
+                    np.add.at(n, parents[keep], weights)
+            return pa.table({"doc_id": ids,
+                             "n_subwords": pa.array(n, pa.int64())})
+
+    ds = _load_docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(Encode(rank_of), batch_format="pyarrow",
+                          batch_size=None)
 
 
 def repetition_stats(sf_dir: str) -> rd.Dataset:

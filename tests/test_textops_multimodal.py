@@ -225,3 +225,20 @@ def test_bpe_token_counts_vs_regex_reference(ray_session):
     want = tbl["text"].map(lambda t: len(pat.findall(t))).astype("int64")
     assert (out["doc_id"].values == tbl["doc_id"].values).all()
     assert (out["n_tokens_bpe"].values == want.values).all()
+
+
+def test_bpe_encode_counts_matches_apply(ray_session, bpe_dir):
+    """Distributed per-doc subword totals == driver bpe_apply lengths."""
+    d, texts = bpe_dir
+    import collections
+    import re
+    cnt = collections.Counter(
+        w for t in texts for w in re.findall("[a-z0-9]+", t.lower()))
+    wf = sorted(((w, n) for w, n in cnt.items() if n >= 2),
+                key=lambda kv: (-kv[1], kv[0]))
+    merges = [(l, r) for l, r, _ in
+              textops.bpe_train_reference(wf, num_merges=25)]
+    want = [len(s) for s in textops.bpe_apply(texts, merges)]
+    got = textops.bpe_encode_counts(d, num_merges=25, min_freq=2) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    assert list(got["n_subwords"]) == want
