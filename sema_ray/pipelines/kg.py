@@ -684,6 +684,7 @@ def run_kg(input_dir: str, out_dir: str, *, shards_per_wave: int = 4,
             tdir = os.path.join(out_dir, "triples", f"part={shard}")
             shutil.rmtree(tdir, ignore_errors=True)  # recompute = overwrite (S6)
             trip.write_parquet(tdir)
+            t_trip = time.time()
             ment = mentions_dataset(
                 read_transcripts(path, columns=["conv_id", "turn_idx", "text"]),
                 batch_size=EXTRACT_BATCH_SIZE,
@@ -691,17 +692,26 @@ def run_kg(input_dir: str, out_dir: str, *, shards_per_wave: int = 4,
             mdir = os.path.join(out_dir, "mentions", f"part={shard}")
             shutil.rmtree(mdir, ignore_errors=True)
             ment.write_parquet(mdir)
+            t_ment = time.time()
             n_out = sum(pq.ParquetFile(os.path.join(tdir, f)).metadata.num_rows
                         for f in os.listdir(tdir) if f.endswith(".parquet"))
             rows_in += n_in
             rows_out += n_out
+            wall_ms = int((time.time() - tw) * 1000)
             write_manifest(out_dir, shard, {
                 "input_fingerprint": fp,
                 "input_path": path,
                 "rows_in": n_in,
                 "rows_out": n_out,
-                "wall_ms": int((time.time() - tw) * 1000),
+                "wall_ms": wall_ms,
                 "stages": ["normalize", "triple_extract", "mention_detect"],
+                # per-stage throughput metrics (north-star lineage item):
+                # rows/s per pipeline stage of this partition's run
+                "stage_ms": {
+                    "triple_extract": int((t_trip - tw) * 1000),
+                    "mention_detect": int((t_ment - t_trip) * 1000),
+                },
+                "turns_per_sec": int(n_in / max(1e-9, time.time() - tw)),
             })
 
     # Phase B: global entity resolution over all shards' mentions + triples.
@@ -741,4 +751,6 @@ def run_kg(input_dir: str, out_dir: str, *, shards_per_wave: int = 4,
         "adjacency_edges": n_adj,
         "phase_b_ms": int((time.time() - tb) * 1000),
         "wall_ms": int((time.time() - t0) * 1000),
+        "turns_per_sec": int(rows_in / max(1e-9, time.time() - t0)),
+        "triples_per_sec": int(rows_out / max(1e-9, time.time() - t0)),
     }
