@@ -242,3 +242,26 @@ def test_bpe_encode_counts_matches_apply(ray_session, bpe_dir):
     got = textops.bpe_encode_counts(d, num_merges=25, min_freq=2) \
         .to_pandas().sort_values("doc_id", ignore_index=True)
     assert list(got["n_subwords"]) == want
+
+
+def test_token_ops_tolerate_null_text(ray_session, tmp_path):
+    """Null text rows behave as empty documents in every token-stream op
+    (Arrow's list_flatten/parent_indices skip null lists by construction)."""
+    d = str(tmp_path / "nulls")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["alpha beta gamma delta epsilon zeta eta theta",
+                          None, "alpha beta"], pa.string())}),
+        os.path.join(d, "documents.parquet"))
+    wc = textops.word_counts(d, min_freq=1).to_pandas()
+    assert dict(zip(wc["word"], wc["n"]))["alpha"] == 2
+    tf = textops.tfidf_top_terms(d, k=3).to_pandas()
+    assert set(tf["doc_id"]) == {0, 2}  # null doc emits no terms
+    enc = textops.bpe_encode_counts(d, num_merges=5, min_freq=1) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    assert len(enc) == 3 and enc.loc[1, "n_subwords"] == 0
+    from sema_ray import dedup
+    spans = dedup.remove_dup_spans(d).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert len(spans) == 3 and spans.loc[1, "kept_text"] == ""
