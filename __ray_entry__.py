@@ -174,8 +174,23 @@ def _kg_oracle_sqls() -> dict[str, str]:
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM turns
     """
+    conv_stats = f"""
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_user,
+               CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_assistant,
+               CAST(SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_tool_calls,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(date_diff('microsecond', MIN(ts), MAX(ts))
+                    AS BIGINT) AS span_us
+        FROM read_parquet('{corpus}/*.parquet')
+        GROUP BY conv_id
+    """
     out = {"kg_normalized": normalized, "kg_mentions": mentions,
-           "kg_triples": triples}
+           "kg_triples": triples, "conv_stats": conv_stats}
 
     # The chunker (chunker.py, bit-exact reference port) emits exactly one
     # whole-text chunk per turn when every text is under OVERLAP_SIZE+1
@@ -276,6 +291,11 @@ def _kg_triangle_count(sf_dir: str):
     from sema_ray.pipelines.kg import adjacency, kg_flagship
     adj = adjacency(kg_flagship(_kg_corpus(sf_dir)))
     return triangle_count(adj, a_col="subj_id", b_col="obj_id")
+
+
+def _conv_stats(sf_dir: str):
+    from sema_ray.pipelines.kg import conv_stats
+    return conv_stats(_kg_corpus(sf_dir))
 
 
 def _kg_normalized(sf_dir: str):
@@ -731,6 +751,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "file_search_semantic": _file_search_semantic,
         "file_search_exact": _file_search_exact,
         "embed_documents": _embed_documents,
+        # per-conversation profile over the FULL input-hint schema
+        # (role / tool / ts) — exact-integer DuckDB twin
+        "conv_stats": _conv_stats,
         # --- KG tail stages (golden-oracle in pytest) ----------------------
         "kg_entities": _kg_entities,
         "kg_linked_triples": _kg_linked,

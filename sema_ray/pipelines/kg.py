@@ -516,6 +516,67 @@ def neighbors(adj_dir: str, subj_id: int, num_buckets: int = 64) -> pa.Table:
     return t.filter(pc.equal(t["subj_id"], pa.scalar(subj_id, pa.int64())))
 
 
+def conv_stats(input_dir: str) -> rd.Dataset:
+    """Per-conversation profile over the FULL input-hint schema
+    (role / tool / ts alongside conv_id / text): (conv_id, n_turns,
+    n_user, n_assistant, n_tool_calls, total_chars, span_us).
+
+    Conversation cardinality is unbounded, so this is the canonical
+    partial-aggregation shape: one per-block Arrow ``group_by`` partial
+    (7 numbers per conv per block), one distributed groupby merge
+    (sum/sum/sum/sum/sum/min/max), and a final vectorized projection —
+    never a driver fold. Exact integers end to end (ts min/max carried as
+    int64 microseconds), so the DuckDB twin hashes identically."""
+    from ray.data.aggregate import Max, Min
+
+    ds = read_transcripts(input_dir,
+                          columns=["conv_id", "role", "text", "tool", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        flags = pa.table({
+            "conv_id": t["conv_id"],
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "n_user": pc.cast(pc.equal(t["role"], "user"), pa.int64()),
+            "n_assistant": pc.cast(pc.equal(t["role"], "assistant"),
+                                   pa.int64()),
+            "n_tool_calls": pc.cast(pc.not_equal(t["tool"], ""),
+                                    pa.int64()),
+            "total_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            "ts_min": ts_us,
+            "ts_max": ts_us,
+        })
+        return flags.group_by("conv_id").aggregate(
+            [("n", "sum"), ("n_user", "sum"), ("n_assistant", "sum"),
+             ("n_tool_calls", "sum"), ("total_chars", "sum"),
+             ("ts_min", "min"), ("ts_max", "max")]).rename_columns(
+            ["conv_id", "n", "n_user", "n_assistant", "n_tool_calls",
+             "total_chars", "ts_min", "ts_max"])
+
+    merged = ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None) \
+        .groupby("conv_id").aggregate(
+            Sum("n", alias_name="n_turns"),
+            Sum("n_user", alias_name="n_user"),
+            Sum("n_assistant", alias_name="n_assistant"),
+            Sum("n_tool_calls", alias_name="n_tool_calls"),
+            Sum("total_chars", alias_name="total_chars"),
+            Min("ts_min", alias_name="ts_min"),
+            Max("ts_max", alias_name="ts_max"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {c: pc.cast(t[c], pa.int64())
+                for c in ["n_turns", "n_user", "n_assistant",
+                          "n_tool_calls", "total_chars"]}
+        return pa.table({
+            "conv_id": t["conv_id"], **cols,
+            "span_us": pc.cast(pc.subtract(t["ts_max"], t["ts_min"]),
+                               pa.int64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None)
+
+
 def coherent_turns(ds: rd.Dataset) -> rd.Dataset:
     """Stable turn ordering: per-conversation sort on turn_idx.
 
