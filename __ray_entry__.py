@@ -189,8 +189,23 @@ def _kg_oracle_sqls() -> dict[str, str]:
         FROM read_parquet('{corpus}/*.parquet')
         GROUP BY conv_id
     """
+    assistant_latency = f"""
+        WITH w AS (
+          SELECT conv_id, turn_idx, role, ts,
+                 LAG(role) OVER (PARTITION BY conv_id
+                                 ORDER BY turn_idx) AS prev_role,
+                 LAG(ts) OVER (PARTITION BY conv_id
+                               ORDER BY turn_idx) AS prev_ts
+          FROM read_parquet('{corpus}/*.parquet')
+        )
+        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+               CAST(date_diff('microsecond', prev_ts, ts) AS BIGINT)
+                   AS latency_us
+        FROM w WHERE role = 'assistant' AND prev_role = 'user'
+    """
     out = {"kg_normalized": normalized, "kg_mentions": mentions,
-           "kg_triples": triples, "conv_stats": conv_stats}
+           "kg_triples": triples, "conv_stats": conv_stats,
+           "assistant_latency": assistant_latency}
 
     # The chunker (chunker.py, bit-exact reference port) emits exactly one
     # whole-text chunk per turn when every text is under OVERLAP_SIZE+1
@@ -296,6 +311,11 @@ def _kg_triangle_count(sf_dir: str):
 def _conv_stats(sf_dir: str):
     from sema_ray.pipelines.kg import conv_stats
     return conv_stats(_kg_corpus(sf_dir))
+
+
+def _assistant_latency(sf_dir: str):
+    from sema_ray.pipelines.kg import assistant_latency
+    return assistant_latency(_kg_corpus(sf_dir))
 
 
 def _kg_normalized(sf_dir: str):
@@ -754,6 +774,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-conversation profile over the FULL input-hint schema
         # (role / tool / ts) — exact-integer DuckDB twin
         "conv_stats": _conv_stats,
+        # role-aware LAG over conversations: assistant response latency
+        "assistant_latency": _assistant_latency,
         # --- KG tail stages (golden-oracle in pytest) ----------------------
         "kg_entities": _kg_entities,
         "kg_linked_triples": _kg_linked,

@@ -577,6 +577,45 @@ def conv_stats(input_dir: str) -> rd.Dataset:
                               batch_size=None)
 
 
+def assistant_latency(input_dir: str) -> rd.Dataset:
+    """Assistant response latency: (conv_id, turn_idx, latency_us) for
+    every assistant turn whose PREVIOUS turn (by turn_idx within the
+    conversation) is a user turn — the agent-transcript counterpart of
+    the events LAG op (``relational.event_gaps``).
+
+    One bounded-part keyed shuffle (complete conversations per part),
+    segmented numpy LAG — exact integer microseconds end to end, so the
+    DuckDB LAG twin hashes identically."""
+    from ..relational import keyed_part_kernel, sorted_segments
+
+    ds = read_transcripts(input_dir,
+                          columns=["conv_id", "turn_idx", "role", "ts"])
+
+    def kern(t: pa.Table) -> pa.Table:
+        t, starts, _seg_len = sorted_segments(
+            t, "conv_id", [("conv_id", "ascending"),
+                           ("turn_idx", "ascending")])
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        n = len(us)
+        lat = np.empty(n, dtype=np.int64)
+        prev_is_user = np.zeros(n, dtype=bool)
+        if n:
+            lat[1:] = us[1:] - us[:-1]
+            prev_is_user[1:] = role[:-1] == "user"
+            prev_is_user[starts] = False  # no previous turn in-conv
+        keep = (role == "assistant") & prev_is_user
+        return pa.table({
+            "conv_id": t["conv_id"].filter(pa.array(keep)),
+            "turn_idx": pc.cast(t["turn_idx"].filter(pa.array(keep)),
+                                pa.int64()),
+            "latency_us": pa.array(lat[keep], pa.int64()),
+        })
+
+    return keyed_part_kernel(ds, "conv_id", kern)
+
+
 def coherent_turns(ds: rd.Dataset) -> rd.Dataset:
     """Stable turn ordering: per-conversation sort on turn_idx.
 
