@@ -203,9 +203,17 @@ def _kg_oracle_sqls() -> dict[str, str]:
                    AS latency_us
         FROM w WHERE role = 'assistant' AND prev_role = 'user'
     """
+    tool_usage = f"""
+        SELECT tool, CAST(COUNT(*) AS BIGINT) AS n_calls,
+               CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+        FROM read_parquet('{corpus}/*.parquet')
+        WHERE tool <> ''
+        GROUP BY tool
+    """
     out = {"kg_normalized": normalized, "kg_mentions": mentions,
            "kg_triples": triples, "conv_stats": conv_stats,
-           "assistant_latency": assistant_latency}
+           "assistant_latency": assistant_latency,
+           "tool_usage": tool_usage}
 
     # The chunker (chunker.py, bit-exact reference port) emits exactly one
     # whole-text chunk per turn when every text is under OVERLAP_SIZE+1
@@ -316,6 +324,11 @@ def _conv_stats(sf_dir: str):
 def _assistant_latency(sf_dir: str):
     from sema_ray.pipelines.kg import assistant_latency
     return assistant_latency(_kg_corpus(sf_dir))
+
+
+def _tool_usage(sf_dir: str):
+    from sema_ray.pipelines.kg import tool_usage
+    return tool_usage(_kg_corpus(sf_dir))
 
 
 def _kg_normalized(sf_dir: str):
@@ -776,6 +789,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_stats": _conv_stats,
         # role-aware LAG over conversations: assistant response latency
         "assistant_latency": _assistant_latency,
+        # per-tool call + distinct-conversation counts (scale-safe
+        # COUNT DISTINCT: per-block distinct pairs, one pair groupby)
+        "tool_usage": _tool_usage,
         # --- KG tail stages (golden-oracle in pytest) ----------------------
         "kg_entities": _kg_entities,
         "kg_linked_triples": _kg_linked,

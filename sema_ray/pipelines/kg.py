@@ -616,6 +616,53 @@ def assistant_latency(input_dir: str) -> rd.Dataset:
     return keyed_part_kernel(ds, "conv_id", kern)
 
 
+def tool_usage(input_dir: str) -> rd.Dataset:
+    """Per-tool usage profile: (tool, n_calls, n_convs) over tool turns.
+
+    COUNT DISTINCT across blocks done the scale-safe way: per-block
+    distinct (tool, conv_id) partials carry per-pair call counts, one
+    groupby collapses cross-block repeats exactly, and the per-tool
+    rollup is a second (tool-cardinality-sized) aggregate — the distinct
+    set itself is never centralized."""
+    ds = read_transcripts(input_dir, columns=["conv_id", "tool"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["tool"], ""))
+        return t.group_by(["tool", "conv_id"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["tool", "conv_id", "n"])
+
+    pair = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None) \
+        .groupby(["tool", "conv_id"]).aggregate(Sum("n", alias_name="n"))
+
+    def per_tool(t: pa.Table) -> pa.Table:
+        g = t.group_by("tool").aggregate([("n", "sum"),
+                                          ("conv_id", "count")])
+        return pa.table({"tool": g["tool"],
+                         "n_calls": pc.cast(g["n_sum"], pa.int64()),
+                         "n_convs": pc.cast(g["conv_id_count"],
+                                            pa.int64())})
+
+    # the (tool, conv) table holds complete pairs after the groupby, but
+    # a tool's pairs can span blocks — one per-block partial + a final
+    # tool-sized combine
+    parts = pair.map_batches(per_tool, batch_format="pyarrow",
+                             batch_size=None)
+    from ..util import collect_table
+    tbl = collect_table(parts)
+    if tbl.num_rows == 0 or "tool" not in tbl.column_names:
+        return rd.from_arrow(pa.table({"tool": pa.array([], pa.string()),
+                                       "n_calls": pa.array([], pa.int64()),
+                                       "n_convs": pa.array([], pa.int64())}))
+    g = tbl.group_by("tool").aggregate([("n_calls", "sum"),
+                                        ("n_convs", "sum")])
+    return rd.from_arrow(pa.table({
+        "tool": pc.cast(g["tool"], pa.string()),
+        "n_calls": pc.cast(g["n_calls_sum"], pa.int64()),
+        "n_convs": pc.cast(g["n_convs_sum"], pa.int64())}))
+
+
 def coherent_turns(ds: rd.Dataset) -> rd.Dataset:
     """Stable turn ordering: per-conversation sort on turn_idx.
 
