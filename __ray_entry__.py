@@ -773,9 +773,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_balanced_sample": _cluster_balanced_sample,
         # SemDeDup (Abbas et al. 2023): k-means blocks the pairwise-cosine
         # near-dup pass to n^2/k per cluster. The checked form recomputes
-        # validity via an independent exact brute-force pass (every dropped
-        # vector has a smaller-id near-dup; pinned TRUE in SQL — the
-        # dedup_minhash twin shape); raw keep flags stay rows-only.
+        # validity via an independent exact brute-force pass (every DROPPED
+        # vector has a smaller-id near-dup; pinned TRUE in SQL — catches
+        # over-dropping; under-dropping is covered by the planted-dup
+        # pytest); raw keep flags stay rows-only.
         "semdedup": _semdedup_ok,
         "semdedup_keep": _semdedup,
         "pca_embeddings": _pca_embeddings,

@@ -402,21 +402,31 @@ def semdedup(sf_dir: str, k: int = DEFAULT_K, threshold: float = 0.95,
                              n_parts=n_parts)
 
 
+SEMDEDUP_OK_TOL = 1e-6  # witness threshold slack: the per-cluster gram and
+# the brute-force pass accumulate the same cosine in different BLAS orders,
+# so a pair landing exactly on the float boundary could otherwise flap the
+# pinned-TRUE oracle (the CLAUDE.md oracle-boundary rule).
+
+
 def semdedup_ok(sf_dir: str, k: int = DEFAULT_K,
                 threshold: float = 0.95) -> pa.Table:
     """SemDeDup validity summary (the dedup_minhash/simhash twin shape):
     (vec_id, dedup_ok) with dedup_ok recomputed via an INDEPENDENT exact
-    brute-force cosine pass — every dropped vector must have a smaller-id
-    near-duplicate (cosine >= threshold) somewhere in the corpus. SQL pins
-    dedup_ok TRUE, so any cluster-co-location / normalization bug in
-    :func:`semdedup` becomes a value-hash mismatch."""
+    brute-force cosine pass — every DROPPED vector must have a smaller-id
+    near-duplicate (cosine >= threshold - tol) somewhere in the corpus.
+    SQL pins dedup_ok TRUE. Scope: this catches OVER-dropping (a drop
+    without a global witness — normalization bugs, wrong gram, corrupted
+    keep column); under-dropping (e.g. a co-location regression that
+    splits a cluster and misses pairs) keeps dedup_ok trivially true and
+    is covered by the planted-dup pytest instead."""
     from .simsearch import embedding_dup_pairs
 
     sd = collect_table(semdedup(sf_dir, k=k, threshold=threshold)) \
         .sort_by("vec_id")
     ids = sd["vec_id"].to_numpy(zero_copy_only=False)
     keep = sd["keep"].to_numpy(zero_copy_only=False)
-    pairs = collect_table(embedding_dup_pairs(sf_dir, threshold=threshold))
+    pairs = collect_table(embedding_dup_pairs(
+        sf_dir, threshold=threshold - SEMDEDUP_OK_TOL))
     has_smaller = np.zeros(len(ids), dtype=bool)
     if pairs.num_rows and "b" in pairs.column_names:
         b = np.unique(pairs["b"].to_numpy(zero_copy_only=False))

@@ -585,13 +585,17 @@ def assistant_latency(input_dir: str) -> rd.Dataset:
 
     One bounded-part keyed shuffle (complete conversations per part),
     segmented numpy LAG — exact integer microseconds end to end, so the
-    DuckDB LAG twin hashes identically."""
+    DuckDB LAG twin hashes identically. Null-ts turns are dropped up
+    front (policy: a turn without a timestamp participates in no latency
+    pair — a nullable int64 would otherwise round-trip through float64
+    NaN and poison the integer subtraction)."""
     from ..relational import keyed_part_kernel, sorted_segments
 
     ds = read_transcripts(input_dir,
                           columns=["conv_id", "turn_idx", "role", "ts"])
 
     def kern(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["ts"]))
         t, starts, _seg_len = sorted_segments(
             t, "conv_id", [("conv_id", "ascending"),
                            ("turn_idx", "ascending")])
@@ -852,13 +856,15 @@ def run_kg(input_dir: str, out_dir: str, *, shards_per_wave: int = 4,
                 "rows_out": n_out,
                 "wall_ms": wall_ms,
                 "stages": ["normalize", "triple_extract", "mention_detect"],
-                # per-stage throughput metrics (north-star lineage item):
-                # rows/s per pipeline stage of this partition's run
+                # per-stage throughput metrics (north-star lineage item).
+                # normalize is fused into the extraction pass (one read),
+                # so its wall is part of the first key; the key names say
+                # so rather than misattributing setup/write time.
                 "stage_ms": {
-                    "triple_extract": int((t_trip - tw) * 1000),
+                    "normalize+triple_extract": int((t_trip - tw) * 1000),
                     "mention_detect": int((t_ment - t_trip) * 1000),
                 },
-                "turns_per_sec": int(n_in / max(1e-9, time.time() - tw)),
+                "turns_per_sec": int(n_in * 1000 / max(1, wall_ms)),
             })
 
     # Phase B: global entity resolution over all shards' mentions + triples.

@@ -28,6 +28,31 @@ def _load_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
                            columns=columns)
 
 
+def _word_stream(t: pa.Table):
+    """Shared token-stream prelude: lowercase -> split on non-alnum ->
+    flatten with row parent indices, empty pieces removed. Returns
+    ``(toks, par)`` or ``(None, None)`` when the batch has no tokens.
+
+    Every token-granular textop tokenizes through here — the semantics
+    are pinned to the DuckDB twins'
+    ``regexp_extract_all(lower(text), '[a-z0-9]+')``, so a change in one
+    place cannot desynchronize the others."""
+    low = pc.utf8_lower(t["text"])
+    parts = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = pc.list_flatten(parts)
+    if len(flat) == 0:
+        return None, None
+    parents = pc.list_parent_indices(parts) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = np.nonzero(pc.not_equal(flat, "")
+                      .to_numpy(zero_copy_only=False))[0]
+    if len(keep) == 0:
+        return None, None
+    return flat.take(pa.array(keep, pa.int64())), parents[keep]
+
+
 def doc_stats(sf_dir: str) -> rd.Dataset:
     """Per-document integer stats: chars, tokens, digits, spaces, lines.
 
@@ -430,23 +455,11 @@ def ngram_counts(sf_dir: str, k: int = 20) -> pa.Table:
     def partial(t: pa.Table) -> pa.Table:
         empty = pa.table({"ngram": pa.array([], pa.string()),
                           "n": pa.array([], pa.int64())})
-        low = pc.utf8_lower(t["text"])
-        parts = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
-        if isinstance(parts, pa.ChunkedArray):
-            parts = parts.combine_chunks()
-        flat = pc.list_flatten(parts)
-        if len(flat) == 0:
+        # empty pieces sit at row edges only, so after _word_stream drops
+        # them, adjacency within a row is adjacency in the filtered arrays
+        toks, par = _word_stream(t)
+        if toks is None or len(par) < 2:
             return empty
-        parents = pc.list_parent_indices(parts) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        # splitting leaves empty pieces at row edges only — drop them, then
-        # adjacency within a row is adjacency in the filtered arrays
-        keep = np.nonzero(pc.not_equal(flat, "")
-                          .to_numpy(zero_copy_only=False))[0]
-        if len(keep) < 2:
-            return empty
-        toks = flat.take(pa.array(keep, pa.int64()))
-        par = parents[keep]
         left = np.nonzero(par[1:] == par[:-1])[0]
         if len(left) == 0:
             return empty
@@ -494,13 +507,10 @@ def word_counts(sf_dir: str, min_freq: int = 1,
     def partial(t: pa.Table) -> pa.Table:
         empty = pa.table({"word": pa.array([], pa.string()),
                           "n": pa.array([], pa.int64())})
-        low = pc.utf8_lower(t["text"])
-        parts = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
-        flat = pc.list_flatten(parts)
-        if len(flat) == 0:
+        toks, _par = _word_stream(t)
+        if toks is None:
             return empty
-        flat = flat.filter(pc.not_equal(flat, ""))
-        vc = flat.value_counts()
+        vc = toks.value_counts()
         if isinstance(vc, pa.ChunkedArray):
             vc = vc.combine_chunks()
         return pa.table({"word": vc.field("values"),
@@ -556,21 +566,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> rd.Dataset:
     from .util import collect_table
     ds = _load_docs(sf_dir, ["doc_id", "text"])
 
-    def _tok(t: pa.Table):
-        low = pc.utf8_lower(t["text"])
-        parts = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
-        if isinstance(parts, pa.ChunkedArray):
-            parts = parts.combine_chunks()
-        flat = pc.list_flatten(parts)
-        if len(flat) == 0:
-            return None, None
-        parents = pc.list_parent_indices(parts) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = np.nonzero(pc.not_equal(flat, "")
-                          .to_numpy(zero_copy_only=False))[0]
-        if len(keep) == 0:
-            return None, None
-        return flat.take(pa.array(keep, pa.int64())), parents[keep]
+    _tok = _word_stream
 
     def df_partial(t: pa.Table) -> pa.Table:
         empty = pa.table({"term": pa.array([], pa.string()),
@@ -790,27 +786,17 @@ def bpe_encode_counts(sf_dir: str, num_merges: int = 40,
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = pc.cast(t["doc_id"], pa.int64())
-            low = pc.utf8_lower(t["text"])
-            parts = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
-            if isinstance(parts, pa.ChunkedArray):
-                parts = parts.combine_chunks()
-            flat = pc.list_flatten(parts)
+            toks, par = _word_stream(t)
             n = np.zeros(t.num_rows, dtype=np.int64)
-            if len(flat):
-                parents = pc.list_parent_indices(parts) \
-                    .to_numpy(zero_copy_only=False).astype(np.int64)
-                keep = np.nonzero(pc.not_equal(flat, "")
-                                  .to_numpy(zero_copy_only=False))[0]
-                if len(keep):
-                    enc = flat.take(pa.array(keep, pa.int64())) \
-                        .dictionary_encode()
-                    per_word = np.fromiter(
-                        (self._n_subwords(w)
-                         for w in enc.dictionary.to_pylist()),
-                        dtype=np.int64, count=len(enc.dictionary))
-                    weights = per_word[
-                        enc.indices.to_numpy(zero_copy_only=False)]
-                    np.add.at(n, parents[keep], weights)
+            if toks is not None:
+                enc = toks.dictionary_encode()
+                per_word = np.fromiter(
+                    (self._n_subwords(w)
+                     for w in enc.dictionary.to_pylist()),
+                    dtype=np.int64, count=len(enc.dictionary))
+                weights = per_word[
+                    enc.indices.to_numpy(zero_copy_only=False)]
+                np.add.at(n, par, weights)
             return pa.table({"doc_id": ids,
                              "n_subwords": pa.array(n, pa.int64())})
 
@@ -833,22 +819,12 @@ def repetition_stats(sf_dir: str) -> rd.Dataset:
 
     def stats(t: pa.Table) -> pa.Table:
         rows = t.num_rows
-        low = pc.utf8_lower(t["text"])
-        parts = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
-        if isinstance(parts, pa.ChunkedArray):
-            parts = parts.combine_chunks()
-        flat = pc.list_flatten(parts)
-        parents = pc.list_parent_indices(parts) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = np.nonzero(pc.not_equal(flat, "")
-                          .to_numpy(zero_copy_only=False))[0]
+        toks, par = _word_stream(t)
         n_tok = np.zeros(rows, dtype=np.int64)
         n_dtok = np.zeros(rows, dtype=np.int64)
         n_big = np.zeros(rows, dtype=np.int64)
         n_dbig = np.zeros(rows, dtype=np.int64)
-        if len(keep):
-            toks = flat.take(pa.array(keep, pa.int64()))
-            par = parents[keep]
+        if toks is not None:
             enc = toks.dictionary_encode()
             codes = enc.indices.to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
