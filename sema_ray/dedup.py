@@ -262,10 +262,25 @@ def _text_bucket64(col) -> np.ndarray:
         import polars as pl
         return pl.from_arrow(col).hash(seed=0).to_numpy().astype(np.uint64)
     except ImportError:
+        # all-or-nothing fallback: polars ABSENT is consistent across every
+        # worker, so blocking keys stay comparable. (A per-call exception
+        # fallback would NOT be: mixed hash families across blocks would
+        # silently split duplicate families.)
         out = np.empty(len(col), dtype=np.uint64)
         for i, t in enumerate(col.to_pylist()):
             out[i] = np.uint64(int(content_hash(t or "")[:16], 16))
         return out
+    except AttributeError:
+        # transient half-initialized polars in a freshly forked worker
+        # (observed: polars._reexport missing Series during concurrent
+        # first-imports) — purge and re-import once; if it fails again the
+        # task error propagates rather than silently switching hashes
+        import sys as _sys
+        for m in [m for m in _sys.modules
+                  if m == "polars" or m.startswith("polars.")]:
+            del _sys.modules[m]
+        import polars as pl
+        return pl.from_arrow(col).hash(seed=0).to_numpy().astype(np.uint64)
 
 
 def exact_rep_map(sf_dir: str) -> dict[int, int]:
