@@ -729,6 +729,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": textops.bpe_token_counts,
         "cms_heavy_hitters": _cms_heavy_hitters,
         "quality_scores": textops.quality_scores,
+        # quantile-gated quality filter (exact discrete order statistic
+        # from bounded value_counts partials — no interpolation)
+        "quality_gate": textops.quality_gate,
         "pii_scrub": textops.pii_scrub,
         "benchmark_contamination": textops.benchmark_contamination,
         "sample_docs_by_lang": _sample_docs_by_lang,
@@ -1275,6 +1278,28 @@ def oracle_sql() -> dict[str, str]:
                     CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS np,
                     CAST(length(regexp_extract_all(text, '{TOKEN_RE}')) AS DOUBLE) AS nt
                   FROM documents) t
+        """,
+        # quantile gate: threshold = exact k-th smallest rounded
+        # alpha_ratio (k = floor((n-1)*0.5) + 1) — a discrete order
+        # statistic on identical rounded values, no interpolation
+        "quality_gate": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     FLOOR(CAST(length(regexp_extract_all(text, '[A-Za-z]'))
+                                AS DOUBLE)
+                           / GREATEST(CAST(length(text) AS DOUBLE), 1.0)
+                           * 10000 + 0.5) / 10000 AS alpha_ratio
+              FROM documents),
+            ordered AS (
+              SELECT alpha_ratio,
+                     ROW_NUMBER() OVER (ORDER BY alpha_ratio) AS r,
+                     COUNT(*) OVER () AS n
+              FROM s),
+            thr AS (
+              SELECT alpha_ratio AS v FROM ordered
+              WHERE r = CAST(FLOOR((n - 1) * 0.5) AS BIGINT) + 1)
+            SELECT doc_id, alpha_ratio FROM s
+            WHERE alpha_ratio >= (SELECT v FROM thr)
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

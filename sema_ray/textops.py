@@ -165,6 +165,52 @@ def quality_scores(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def quality_gate(sf_dir: str, q: float = 0.5) -> rd.Dataset:
+    """Quantile-gated quality filter — the Gopher-style "drop the worst
+    half" pass: (doc_id, alpha_ratio) for documents whose alpha_ratio is
+    at or above the corpus q-th ORDER STATISTIC (the k-th smallest value,
+    k = floor((n-1) * q) + 1).
+
+    Exact and scale-safe by construction: the 4-digit-rounded ratios live
+    on a <= 10001-value grid, so the threshold comes from per-block
+    ``value_counts`` partials folded on the driver (bounded by the grid,
+    never the corpus) — a discrete order statistic, identical on both
+    engines (no quantile interpolation, no float-boundary risk), followed
+    by one stateless filter pass."""
+    from .util import collect_table
+    scores = quality_scores(sf_dir) \
+        .select_columns(["doc_id", "alpha_ratio"]).materialize()
+
+    def vc_partial(t: pa.Table) -> pa.Table:
+        vc = t["alpha_ratio"].combine_chunks().value_counts() \
+            if isinstance(t["alpha_ratio"], pa.ChunkedArray) \
+            else t["alpha_ratio"].value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"v": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    tbl = collect_table(scores.map_batches(vc_partial,
+                                           batch_format="pyarrow",
+                                           batch_size=None))
+    if tbl.num_rows == 0 or "v" not in tbl.column_names:
+        return scores
+    raw_v = tbl["v"].to_numpy(zero_copy_only=False)
+    vals = np.unique(raw_v)
+    counts = np.zeros(len(vals), dtype=np.int64)
+    np.add.at(counts, np.searchsorted(vals, raw_v),
+              tbl["n"].to_numpy(zero_copy_only=False))
+    n = int(counts.sum())
+    k = int(np.floor((n - 1) * q)) + 1  # 1-based k-th smallest
+    thr = float(vals[np.searchsorted(np.cumsum(counts), k)])
+
+    def gate(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["alpha_ratio"], thr))
+
+    return scores.map_batches(gate, batch_format="pyarrow",
+                              batch_size=None)
+
+
 # Language profiles: tiny per-language marker sets (public linguistic facts).
 # A real deployment would load fastText lid vectors in ``__init__``; the
 # heuristic keeps the stage dependency-free while exercising the identical
