@@ -763,6 +763,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # permutation seeds; validity is oracle-checked in-window above)
         "dedup_minhash_clusters": dedup.minhash_near_dup,
         "dedup_simhash_clusters": dedup.simhash_near_dup,
+        # storable minhash signature table (the persisted artifact later
+        # incremental passes band against; deterministic)
+        "minhash_signatures": dedup.minhash_signatures,
         "quantize_embeddings": simsearch.quantize_embeddings,
         # IVF-PQ (Jégou et al. 2011): coarse-list pruning + ADC lookup-table
         # candidate selection + exact rescore; same recall-check oracle

@@ -720,6 +720,32 @@ def assign_reps(ds: rd.Dataset, rep_of: dict[int, int],
                           batch_size=None, concurrency=(1, 8))
 
 
+def minhash_signatures(sf_dir: str) -> rd.Dataset:
+    """(doc_id, sig int64[NUM_PERMS]) — the STORABLE near-dup signature
+    table: the artifact a 100-TB pipeline persists once so later
+    incremental passes band/bucket against it without re-reading text
+    (the dedup-family counterpart of ``quantize_embeddings`` /
+    ``pq_encode_embeddings``). Deterministic given the corpus; uint64
+    lanes stored as int64 bit patterns."""
+    ds = _load_docs(sf_dir, ["doc_id", "text"])
+
+    def sigs(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64())
+        texts = t["text"].to_pylist()
+        if not texts:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "sig": pa.array([], pa.list_(pa.int64(), NUM_PERMS))})
+        m = np.stack([minhash_sig(word_shingles(x or "")) for x in texts])
+        return pa.table({
+            "doc_id": ids,
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.view(np.int64).reshape(-1), pa.int64()),
+                NUM_PERMS)})
+
+    return ds.map_batches(sigs, batch_format="pyarrow")
+
+
 def minhash_near_dup(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
     """MinHash/LSH near-duplicate clusters: doc_id -> cluster representative.
 

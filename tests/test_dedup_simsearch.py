@@ -478,3 +478,21 @@ def test_knn_sq8_recall_vs_bruteforce(ray_session, vec_dir):
     recalls = [len(e_of[q] & a_of.get(q, set())) / len(e_of[q])
                for q in e_of]
     assert min(recalls) >= 0.8, recalls
+
+
+def test_minhash_signatures_storable(ray_session, dup_dir):
+    """Signature table: deterministic, NUM_PERMS lanes, exact copies share
+    the signature, near copies agree on most lanes."""
+    s1 = dedup.minhash_signatures(dup_dir).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    s2 = dedup.minhash_signatures(dup_dir).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert s1["doc_id"].equals(s2["doc_id"])
+    assert all((a == b).all() for a, b in zip(s1["sig"], s2["sig"]))
+    sig = {i: np.asarray(s) for i, s in zip(s1["doc_id"], s1["sig"])}
+    assert all(len(s) == dedup.NUM_PERMS for s in sig.values())
+    for j in range(10):  # 100+j is an exact copy of j
+        assert (sig[j] == sig[100 + j]).all()
+    for j in range(10):  # 200+j is a near copy: most lanes agree
+        agree = (sig[j] == sig[200 + j]).mean()
+        assert agree >= 0.5, (j, agree)
