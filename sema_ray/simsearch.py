@@ -972,7 +972,10 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
                 idf_c = 0.0
                 for w in clause.terms:  # left-assoc sum, as in the SQL twin
                     idf_c += self.idf[w]
-                scores += idf_c * (tf * (k1 + 1)) / (tf + k1 * denom_len)
+                # clause boost (Tantivy/Lucene ^boost); 1.0 * x is an exact
+                # IEEE identity, so unboosted oracle queries are bit-stable
+                scores += clause.boost * idf_c * (tf * (k1 + 1)) \
+                    / (tf + k1 * denom_len)
             # round BEFORE any selection so local top-k, the global merge
             # and the SQL twin (which orders by the rounded alias) rank by
             # the same doubles — a <1e-6 raw-score gap straddling the k-th

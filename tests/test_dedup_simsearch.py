@@ -314,6 +314,39 @@ def test_query_parser():
     assert qp.parse('"" ... +').should == ()
 
 
+def test_query_parser_field_and_boost():
+    from sema_ray import queryparse as qp
+    # content: addresses the single indexed field — identical to bare form
+    p = qp.parse('content:alpha +content:"beta gamma" -content:eta')
+    assert [c.terms for c in p.should] == [("alpha",)]
+    assert [c.terms for c in p.must] == [("beta", "gamma")]
+    assert [c.terms for c in p.must_not] == [("eta",)]
+    # unknown field -> Tantivy FieldDoesNotExist analogue
+    with pytest.raises(ValueError, match="field does not exist"):
+        qp.parse("title:alpha")
+    # ^boost on words and phrases
+    p2 = qp.parse('alpha^2 "beta gamma"^1.5 delta')
+    boosts = {c.terms: c.boost for c in p2.should}
+    assert boosts[("alpha",)] == 2.0
+    assert boosts[("beta", "gamma")] == 1.5
+    assert boosts[("delta",)] == 1.0
+
+
+def test_bm25_boost_reorders(ray_session, dup_dir):
+    """A large boost on a rarer term must outrank the unboosted ordering
+    where both terms match distinct docs."""
+    base = simsearch.bm25_search(dup_dir, query="zzz0 zzz1",
+                                 k=5).to_pandas()
+    assert {200, 201} <= set(base["doc_id"])
+    boosted = simsearch.bm25_search(dup_dir, query="zzz0 zzz1^8",
+                                    k=5).to_pandas()
+    assert boosted.iloc[0]["doc_id"] == 201  # zzz1's doc wins under ^8
+    # boost of 1.0 is a bit-exact no-op
+    one = simsearch.bm25_search(dup_dir, query="zzz0^1 zzz1",
+                                k=5).to_pandas()
+    assert one.equals(base)
+
+
 def test_bm25_query_language(ray_session, dup_dir):
     # doc 200 is the only one containing zzz0 -> MUST excludes all others
     r = simsearch.bm25_search(dup_dir, query="+zzz0 alpha", k=10).to_pandas()
