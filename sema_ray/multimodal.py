@@ -9,19 +9,23 @@ Two decode paths:
 - ``fake=True`` (default): deterministic content-hash-seeded stand-in, so
   the Ray-side plumbing — schema, batch sizing, actor signature, output
   layout — is exercised for ANY mime type without codec libraries.
-- ``fake=False``: REAL pure-stdlib/NumPy kernels for uncompressed formats —
-  PPM (P6) images (:func:`decode_ppm`) and PCM WAV audio
-  (:func:`decode_wav`, stdlib ``wave``) — with real resize and real
-  feature extraction. Compressed formats (PNG/JPEG/MP4) still raise
-  ``NotImplementedError`` here because no codec library exists in this
-  container; the dispatch point is where PIL/ffmpeg would plug in.
+- ``fake=False``: REAL pure-stdlib/NumPy kernels — PPM (P6) images
+  (:func:`decode_ppm`), PNG images (:func:`decode_png` — stdlib ``zlib``
+  inflate + full filter reconstruction per the PNG spec §9, color types
+  0/2/3/4/6 at bit depth 8), and PCM WAV audio (:func:`decode_wav`,
+  stdlib ``wave``) — with real resize and real feature extraction.
+  JPEG/MP4 still raise ``NotImplementedError`` here because entropy-coded
+  DCT / container-demux codecs genuinely need PIL/ffmpeg; the dispatch
+  point is where those would plug in.
 """
 
 from __future__ import annotations
 
 import hashlib
 import io
+import struct
 import wave
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -86,6 +90,131 @@ def encode_ppm(img: np.ndarray) -> bytes:
         np.ascontiguousarray(img, dtype=np.uint8).tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (type 3 is palette indices, 1 sample)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (chunk_type, data) pairs; validates each CRC (PNG spec §5.3)."""
+    i = len(_PNG_SIG)
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[i:i + 4])
+        ctype = payload[i + 4:i + 8]
+        data = payload[i + 8:i + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", payload[i + 8 + length:i + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        i += 12 + length
+    raise ValueError("PNG missing IEND")
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters (spec §9) -> uint8 [h, stride]."""
+    lines = np.frombuffer(raw, dtype=np.uint8)
+    if len(lines) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    lines = lines.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        f, line = int(lines[r, 0]), lines[r, 1:]
+        if f == 0:                          # None
+            rec = line.copy()
+        elif f == 1:                        # Sub: per-lane prefix sum mod 256
+            rec = line.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(
+                    rec[lane::bpp], dtype=np.uint64) & 0xFF
+        elif f == 2:                        # Up
+            rec = line + prev               # uint8 wraps mod 256
+        elif f in (3, 4):                   # Average / Paeth: left-dependent
+            rec = np.empty(stride, dtype=np.uint8)
+            li, pr = line.astype(np.int32), prev.astype(np.int32)
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(pr[i])
+                if f == 3:
+                    rec[i] = (li[i] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(pr[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc_) else \
+                        (b if pb <= pc_ else c)
+                    rec[i] = (li[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[r] = rec
+        prev = rec
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> uint8 array [h, w, channels] (pure stdlib zlib + NumPy).
+
+    Supports bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette ->
+    expanded to RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced. Adam7
+    interlacing and 1/2/4/16-bit depths raise ``ValueError`` (the
+    reference's indexable image set is 8-bit; see PNG spec §8.2).
+    """
+    if payload[:len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {color}")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    ch = _PNG_CHANNELS[color]
+    img = _png_unfilter(zlib.decompress(bytes(idat)), h, w * ch, ch)
+    img = img.reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        img = plte[img[:, :, 0]]            # -> [h, w, 3]
+    return img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 [h, w] or [h, w, {1,2,3,4}] -> PNG bytes (filter 0, one IDAT)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raster = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, w * ch)
+    scan = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), raster], axis=1).tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", len(data)) + ctype + data + \
+            struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + \
+        chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV -> (float32 [n, channels] in [-1, 1], sample_rate)."""
     with wave.open(io.BytesIO(payload)) as f:
@@ -143,15 +272,29 @@ def audio_features(x: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
     return out
 
 
+def _to_rgb(img: np.ndarray) -> np.ndarray:
+    """Any decoded image layout -> uint8 [h, w, 3] (alpha dropped)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    ch = img.shape[2]
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    if ch == 2:                       # gray + alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]              # RGB / RGBA
+
+
 def real_decode(payload: bytes, mime: str, dim: int = FEATURE_DIM) -> np.ndarray:
     """Real decode+featurize for the formats a bare container can handle."""
     if mime in ("image/x-portable-pixmap", "image/ppm"):
         return image_features(decode_ppm(payload), dim)
+    if mime == "image/png":
+        return image_features(_to_rgb(decode_png(payload)), dim)
     if mime in ("audio/wav", "audio/x-wav"):
         return audio_features(decode_wav(payload)[0], dim)
     raise NotImplementedError(
-        f"no codec for {mime!r} in this container — compressed formats "
-        "(PNG/JPEG/MP4) need PIL/ffmpeg; PPM and WAV decode natively")
+        f"no codec for {mime!r} in this container — JPEG/MP4 need "
+        "PIL/ffmpeg; PPM, PNG and WAV decode natively")
 
 
 class DecodeStage:
@@ -190,9 +333,9 @@ class DecodeStage:
 class ResizeStage:
     """Actor-pool image-resize stage (payload -> payload).
 
-    ``fake=False`` does a REAL nearest-neighbor resize for PPM payloads
-    (:func:`decode_ppm` -> index-grid resample -> :func:`encode_ppm`);
-    compressed formats would need PIL. The fake path emits a deterministic
+    ``fake=False`` does a REAL nearest-neighbor resize for PPM and PNG
+    payloads (decode -> index-grid resample -> re-encode in the same
+    format); JPEG would need PIL. The fake path emits a deterministic
     content-hash-seeded byte string, keeping the binary-in/binary-out
     contract testable for any mime.
     """
@@ -202,10 +345,12 @@ class ResizeStage:
         self.fake = fake
 
     def _resize_real(self, p: bytes) -> bytes:
-        img = decode_ppm(p)
+        is_png = p[:len(_PNG_SIG)] == _PNG_SIG
+        img = decode_png(p) if is_png else decode_ppm(p)
         ri = _grid_indices(img.shape[0], self.out_h)
         ci = _grid_indices(img.shape[1], self.out_w)
-        return encode_ppm(img[np.ix_(ri, ci)])
+        out = img[np.ix_(ri, ci)]
+        return encode_png(out) if is_png else encode_ppm(out)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         out_payloads = []
@@ -241,8 +386,8 @@ class FrameSampleStage:
         if not fake:
             raise NotImplementedError(
                 "real frame sampling requires av/ffmpeg (no video codec is "
-                "possible in this container — unlike PPM/WAV, MP4 has no "
-                "uncompressed stdlib-decodable form)")
+                "possible in this container — unlike PPM/PNG/WAV, MP4 has "
+                "no stdlib-decodable form)")
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, frames, feats = [], [], []
@@ -265,8 +410,8 @@ class FrameSampleStage:
 
 
 def synthesize_real_items(n: int = 12, seed: int = 7) -> pa.Table:
-    """Deterministic REAL-codec multimodal table: PPM images + PCM WAVs
-    (decodable by :func:`real_decode` with no external libraries)."""
+    """Deterministic REAL-codec multimodal table: PPM + PNG images and PCM
+    WAVs (decodable by :func:`real_decode` with no external libraries)."""
     rng = np.random.default_rng(seed)
     rows = {k: [] for k in ("item_id", "modality", "payload", "mime",
                             "meta_json")}
@@ -275,8 +420,12 @@ def synthesize_real_items(n: int = 12, seed: int = 7) -> pa.Table:
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             rows["modality"].append("image")
-            rows["payload"].append(encode_ppm(img))
-            rows["mime"].append("image/x-portable-pixmap")
+            if i % 4 == 0:
+                rows["payload"].append(encode_ppm(img))
+                rows["mime"].append("image/x-portable-pixmap")
+            else:
+                rows["payload"].append(encode_png(img))
+                rows["mime"].append("image/png")
             rows["meta_json"].append(f'{{"w": {w}, "h": {h}}}')
         else:
             sr = 8000

@@ -156,24 +156,23 @@ def test_ppm_wav_codec_roundtrip():
 
 
 def test_decode_stage_real_codec_gated(ray_session):
-    """fake=False runs REAL PPM/WAV kernels end to end through the actor
-    pool; unreachable codecs (video / compressed formats) raise."""
+    """fake=False runs REAL PPM/PNG/WAV kernels end to end through the
+    actor pool; unreachable codecs (video / JPEG) raise."""
     items = multimodal.synthesize_real_items(n=10)
+    mimes = items["mime"].to_pylist()
+    assert "image/png" in mimes and "image/x-portable-pixmap" in mimes
     out = rd.from_arrow(items).map_batches(
         multimodal.DecodeStage, batch_format="pyarrow", batch_size=4,
         concurrency=(1, 2),
         fn_constructor_kwargs={"fake": False}).to_pandas()
     assert len(out) == 10
     feats = {i: np.asarray(f) for i, f in zip(out["item_id"], out["feature"])}
-    for i, mod, payload in zip(items["item_id"].to_pylist(),
-                               items["modality"].to_pylist(),
-                               items["payload"].to_pylist()):
-        if mod == "image":  # feature = 8x8 intensity grid of the real pixels
-            want = multimodal.image_features(multimodal.decode_ppm(payload))
-        else:               # feature = segment RMS of the real samples
-            want = multimodal.audio_features(multimodal.decode_wav(payload)[0])
+    for i, mime, payload in zip(items["item_id"].to_pylist(), mimes,
+                                items["payload"].to_pylist()):
+        # feature = 8x8 intensity grid / segment RMS of the real content
+        want = multimodal.real_decode(payload, mime)
         assert np.allclose(feats[i], want)
-    # real resize: PPM out, exact target dims, pixel content resampled
+    # real resize: same container out, exact target dims, content resampled
     resized = rd.from_arrow(items).filter(
         lambda r: r["modality"] == "image").map_batches(
         multimodal.ResizeStage, batch_format="pyarrow", batch_size=4,
@@ -181,11 +180,100 @@ def test_decode_stage_real_codec_gated(ray_session):
         fn_constructor_kwargs={"out_w": 16, "out_h": 12, "fake": False}
     ).to_pandas()
     for p in resized["payload"]:
-        assert multimodal.decode_ppm(p).shape == (12, 16, 3)
+        if bytes(p).startswith(b"\x89PNG"):
+            assert multimodal.decode_png(p).shape == (12, 16, 3)
+        else:
+            assert multimodal.decode_ppm(p).shape == (12, 16, 3)
     with pytest.raises(NotImplementedError):
         multimodal.FrameSampleStage(fake=False)
     with pytest.raises(NotImplementedError):
-        multimodal.real_decode(b"\x89PNG...", "image/png")
+        multimodal.real_decode(b"\xff\xd8\xff...", "image/jpeg")
+
+
+def _png_filter_forward(img: np.ndarray, filters: list[int]) -> bytes:
+    """Independent spec-reference FORWARD filter pass (PNG spec §9): build
+    the filtered scanline stream the decoder must invert."""
+    h, w, ch = img.shape
+    raster = img.reshape(h, w * ch).astype(np.int32)
+    prev = np.zeros(w * ch, dtype=np.int32)
+    out = bytearray()
+    for r in range(h):
+        line, f = raster[r], filters[r]
+        out.append(f)
+        for i in range(w * ch):
+            a = int(line[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                    (b if pb_ <= pc_ else c)
+            out.append((int(line[i]) - pred) & 0xFF)
+        prev = line
+    return bytes(out)
+
+
+def test_png_codec_roundtrip_and_filters():
+    import struct
+    import zlib
+    rng = np.random.default_rng(5)
+    # encode->decode roundtrip across every supported channel layout
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(9, 7, ch), dtype=np.uint8)
+        assert (multimodal.decode_png(multimodal.encode_png(img)) == img).all()
+    gray2d = rng.integers(0, 256, size=(5, 6), dtype=np.uint8)
+    assert (multimodal.decode_png(multimodal.encode_png(gray2d))
+            == gray2d[:, :, None]).all()
+
+    # decoder inverts ALL five filter types (stream built by an
+    # independent forward-filter reference, not by encode_png)
+    img = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
+    filters = [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]
+    scan = _png_filter_forward(img, filters)
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + \
+            struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 10, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(scan))
+               + chunk(b"IEND", b""))
+    assert (multimodal.decode_png(payload) == img).all()
+
+    # palette (color type 3) expands through PLTE to RGB
+    plte = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(6, 5, 1), dtype=np.uint8)
+    pscan = _png_filter_forward(idx, [0] * 6)
+    ppayload = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 6, 8, 3, 0, 0, 0))
+                + chunk(b"PLTE", plte.tobytes())
+                + chunk(b"IDAT", zlib.compress(pscan))
+                + chunk(b"IEND", b""))
+    assert (multimodal.decode_png(ppayload) == plte[idx[:, :, 0]]).all()
+
+    # corrupted chunk data (CRC mismatch) and unsupported variants must
+    # raise, not mis-decode; byte 50 sits inside the IDAT payload
+    corrupt = bytearray(payload)
+    corrupt[50] ^= 0x01
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bytes(corrupt))
+    interlaced = (b"\x89PNG\r\n\x1a\n"
+                  + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 10, 8, 2, 0, 0, 1))
+                  + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="interlace"):
+        multimodal.decode_png(interlaced)
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.decode_png(b"nope")
 
 
 def test_resize_and_frame_sample_plumbing(ray_session):
