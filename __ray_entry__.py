@@ -732,6 +732,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quantile-gated quality filter (exact discrete order statistic
         # from bounded value_counts partials — no interpolation)
         "quality_gate": textops.quality_gate,
+        # CCNet-style unigram-LM perplexity signal, quantized to whole
+        # bits so the twin is exact integer arithmetic
+        "unigram_surprisal": textops.unigram_surprisal,
         "pii_scrub": textops.pii_scrub,
         "benchmark_contamination": textops.benchmark_contamination,
         "sample_docs_by_lang": _sample_docs_by_lang,
@@ -1303,6 +1306,29 @@ def oracle_sql() -> dict[str, str]:
               WHERE r = CAST(FLOOR((n - 1) * 0.5) AS BIGINT) + 1)
             SELECT doc_id, alpha_ratio FROM s
             WHERE alpha_ratio >= (SELECT v FROM thr)
+        """,
+        # unigram surprisal: token self-information in whole bits is
+        # floor(log2(N // c)) = length(bin(N // c)) - 1 — all-integer until
+        # the one rounded mean division (identical IEEE ops both engines)
+        "unigram_surprisal": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS w
+              FROM documents),
+            cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+            tot AS (SELECT COUNT(*) AS n FROM tok),
+            per AS (
+              SELECT t.doc_id,
+                     CAST(SUM(length(bin((SELECT n FROM tot) // c.c)) - 1)
+                          AS BIGINT) AS bits,
+                     CAST(COUNT(*) AS BIGINT) AS n_tok
+              FROM tok t JOIN cnt c ON t.w = c.w
+              GROUP BY t.doc_id)
+            SELECT doc_id, n_tok, bits,
+                   FLOOR(CAST(bits AS DOUBLE) / n_tok * 10000 + 0.5)
+                       / 10000 AS mean_bits
+            FROM per
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

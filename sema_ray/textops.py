@@ -702,6 +702,78 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> rd.Dataset:
                           batch_format="pyarrow", batch_size=None)
 
 
+def unigram_surprisal(sf_dir: str,
+                      max_words: int = 1 << 22) -> rd.Dataset:
+    """Per-document unigram-LM surprisal in whole bits — the CCNet-style
+    perplexity quality signal (Wenzek et al. 2020) with the LM quantized
+    so both engines do exact integer arithmetic: each token contributes
+    its self-information ``floor(log2(N / c_w))`` bits (``c_w`` = the
+    token's corpus count, ``N`` = corpus token total; for real x >= 1,
+    ``floor(log2(x)) == floor(log2(floor(x)))``, so ``N // c_w`` keeps it
+    integral — ``length(bin(N // c)) - 1`` in the DuckDB twin). Returns
+    ``(doc_id, n_tok, bits, mean_bits)`` for documents with >= 1 token;
+    low mean bits = predictable/repetitive text, high = rare-token text.
+
+    Two passes: the bounded :func:`word_counts` shuffle builds the LM
+    (a vocabulary-sized artifact, like CCNet's KenLM model — tokens past
+    the ``max_words`` cap fall back to count 1, the OOV convention); then
+    one stateless scoring pass with the model riding in the task closure.
+    Per-block work is one ``index_in`` over the block vocabulary + two
+    segmented bincounts — no per-token Python. Bit values are exact while
+    ``N // c < 2**53`` (float64-exact integers, ~9e15 tokens)."""
+    wc = word_counts(sf_dir, min_freq=1, max_words=max_words)
+    empty_out = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tok": pa.array([], pa.int64()),
+                          "bits": pa.array([], pa.int64()),
+                          "mean_bits": pa.array([], pa.float64())})
+    n_total = int(pc.sum(wc["n"]).as_py() or 0)
+    if n_total == 0:
+        return rd.from_arrow(empty_out)
+    words = pc.cast(wc["word"], pa.string()).combine_chunks()
+    counts = wc["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # self-information per vocabulary entry, once on the driver:
+    # floor(log2(v)) == frexp exponent - 1 for float64-exact integers
+    bits_vocab = (np.frexp((n_total // counts).astype(np.float64))[1] - 1) \
+        .astype(np.int64)
+    oov_bits = np.int64(np.frexp(float(n_total))[1] - 1)  # count-1 fallback
+    ds = _load_docs(sf_dir, ["doc_id", "text"])
+
+    class Score:
+        def __init__(self, words_: pa.Array, bits_: np.ndarray):
+            self.words, self.bits = words_, bits_
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks, par = _word_stream(t)
+            if toks is None:
+                return empty_out
+            ids = pc.cast(t["doc_id"], pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            enc = toks.dictionary_encode()
+            pos = pc.fill_null(
+                pc.index_in(enc.dictionary, value_set=self.words), -1) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            vb = np.where(pos >= 0, self.bits[pos], oov_bits)
+            tok_bits = vb[enc.indices.to_numpy(zero_copy_only=False)]
+            n_docs = t.num_rows
+            bits_doc = np.bincount(
+                par, weights=tok_bits.astype(np.float64),
+                minlength=n_docs).astype(np.int64)
+            ntok_doc = np.bincount(par, minlength=n_docs).astype(np.int64)
+            keep = ntok_doc > 0
+            # numpy form of util.round_half_up — same IEEE op order as the
+            # twin's FLOOR(CAST(bits AS DOUBLE) / n_tok * 1e4 + 0.5) / 1e4
+            mean = np.floor(bits_doc[keep].astype(np.float64)
+                            / ntok_doc[keep] * 1e4 + 0.5) / 1e4
+            return pa.table({
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_tok": pa.array(ntok_doc[keep], pa.int64()),
+                "bits": pa.array(bits_doc[keep], pa.int64()),
+                "mean_bits": pa.array(mean, pa.float64())})
+
+    return ds.map_batches(Score(words, bits_vocab),
+                          batch_format="pyarrow", batch_size=None)
+
+
 END_OF_WORD = "</w>"
 
 

@@ -127,6 +127,39 @@ def test_tfidf_top_terms_rare_term_wins(ray_session, tmp_path):
     assert got.groupby("doc_id").size().max() <= 3
 
 
+def test_unigram_surprisal_semantics(ray_session, tmp_path):
+    # doc 0: only the corpus's most common word -> lowest mean bits;
+    # doc 1: all singleton words -> highest; doc 2 sits between
+    texts = ["common " * 40,
+             "zephyr quixotic brouhaha ephemeral",
+             "common common rare1 rare2"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), os.path.join(str(tmp_path), "documents.parquet"))
+    df = textops.unigram_surprisal(str(tmp_path)).to_pandas() \
+        .set_index("doc_id")
+    assert df.loc[0, "mean_bits"] < df.loc[2, "mean_bits"] \
+        < df.loc[1, "mean_bits"]
+    # exact recompute for doc 0: N=48, c(common)=42 -> floor(log2(1))=0
+    assert df.loc[0, "bits"] == 0 and df.loc[0, "n_tok"] == 40
+    n_total = 48
+    for d, want_toks in ((1, ["zephyr", "quixotic", "brouhaha",
+                              "ephemeral"]),
+                         (2, ["common", "common", "rare1", "rare2"])):
+        counts = {"common": 42, "zephyr": 1, "quixotic": 1, "brouhaha": 1,
+                  "ephemeral": 1, "rare1": 1, "rare2": 1}
+        want = sum((n_total // counts[w]).bit_length() - 1
+                   for w in want_toks)
+        assert df.loc[d, "bits"] == want
+    # the max_words vocabulary cap: truncated-away words score as count-1
+    # OOV — same bits as true singletons, so doc 1 is unchanged
+    capped = textops.unigram_surprisal(str(tmp_path), max_words=1) \
+        .to_pandas().set_index("doc_id")
+    assert capped.loc[0, "bits"] == 0
+    assert capped.loc[1, "bits"] >= df.loc[1, "bits"]
+
+
 def test_decode_stage_plumbing(ray_session):
     items = multimodal.synthesize_binary_items(n=48)
     ds = rd.from_arrow(items)
