@@ -814,6 +814,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # k-core decomposition of the purchase co-occurrence graph
         # (iterative peel — pure-Python Seidman oracle in pytest)
         "user_cooccurrence_cores": graph.user_cooccurrence_cores,
+        # Tantivy term-range query: [sa TO sz] is constant-scored
+        # (Lucene range rewrite — every matching doc scores 1.0)
+        "bm25_range_search": lambda sf: simsearch.bm25_search(
+            sf, query="[sa TO sz]"),
     }
 
 
@@ -1576,6 +1580,18 @@ def oracle_sql() -> dict[str, str]:
         # positionally (tf = adjacent-bigram count, idf = sum of the two
         # terms' idfs), exercising the Tantivy phrase-scoring semantics
         "bm25_phrase_search": _bm25_sql([("scan",), ("table", "hash")]),
+        # term-range query '[sa TO sz]': any token BETWEEN the bounds
+        # matches; constant score 1.0 (ties break on doc_id in the merge)
+        "bm25_range_search": """
+            SELECT doc_id, 1.0 AS score
+            FROM documents
+            WHERE EXISTS (
+              SELECT 1 FROM unnest(
+                  regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(w)
+              WHERE w BETWEEN 'sa' AND 'sz')
+            ORDER BY doc_id
+            LIMIT 20
+        """,
         "binary_meta": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

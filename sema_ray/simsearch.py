@@ -885,8 +885,11 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
     The query goes through :mod:`sema_ray.queryparse` (the Tantivy
     QueryParser subset the reference exposes, ``text_indexer.rs:78-82``):
     ``"quoted phrases"`` must-match as adjacent token sequences, ``+``/``-``
-    prefixes are MUST/MUST_NOT filters, bare terms are SHOULD clauses; only
-    matching documents are returned. Scoring is clause-wise BM25 over the
+    prefixes are MUST/MUST_NOT filters, bare terms are SHOULD clauses,
+    ``[a TO b]``/``{a TO b}`` term ranges match any in-bounds token and are
+    constant-scored (``boost * 1.0`` — the Lucene/Tantivy range rewrite),
+    ``^boost`` multiplies a clause's contribution; only matching documents
+    are returned. Scoring is clause-wise BM25 over the
     SHOULD+MUST clauses (Tantivy/Lucene semantics, ``text_indexer.rs:
     75-157``): a single-term clause scores tf(term); a phrase clause scores
     positionally — tf = exact adjacent-sequence frequency (the double-space
@@ -906,12 +909,21 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
     terms = list(pq_parsed.scoring_terms)
     # scoring clauses in sorted-pattern order: the SQL twin emits its
     # summands in the same order, so the IEEE754 additions associate
-    # identically on both engines
-    scoring_clauses = sorted(pq_parsed.should + pq_parsed.must,
-                             key=clause_pattern)
-    must_pats = [clause_pattern(c) for c in pq_parsed.must]
-    must_not_pats = [clause_pattern(c) for c in pq_parsed.must_not]
-    should_pats = [clause_pattern(c) for c in pq_parsed.should]
+    # identically on both engines; range clauses (constant-scored, Lucene
+    # semantics) sort after the term clauses by their bounds
+    scoring_clauses = sorted(
+        (c for c in pq_parsed.should + pq_parsed.must if c.terms),
+        key=clause_pattern)
+    scoring_ranges = sorted(
+        (c for c in pq_parsed.should + pq_parsed.must if c.is_range),
+        key=lambda c: (c.lo or "", c.hi or ""))
+    must_pats = [clause_pattern(c) for c in pq_parsed.must if c.terms]
+    must_not_pats = [clause_pattern(c) for c in pq_parsed.must_not
+                     if c.terms]
+    should_pats = [clause_pattern(c) for c in pq_parsed.should if c.terms]
+    must_ranges = [c for c in pq_parsed.must if c.is_range]
+    must_not_ranges = [c for c in pq_parsed.must_not if c.is_range]
+    should_ranges = [c for c in pq_parsed.should if c.is_range]
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
 
@@ -952,6 +964,46 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
     avg_len = max(1.0, stat.pop("__total_len__", 1) / n_docs)
     idf = {w: math.log(1.0 + (n_docs - stat.get(w, 0) + 0.5)
                        / (stat.get(w, 0) + 0.5)) for w in terms}
+    any_ranges = bool(scoring_ranges or must_ranges or must_not_ranges)
+
+    def _range_matches(t: pa.Table, clauses) -> list[np.ndarray]:
+        """Per-doc any-token-in-range vectors, one per clause: dictionary-
+        encode the block's token stream once, compare the (small) block
+        vocabulary lexicographically with Arrow kernels, fold token hits
+        to docs with one bincount per clause."""
+        n = t.num_rows
+        if not clauses:
+            return []
+        low = pc.utf8_lower(t["text"])
+        parts = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = pc.list_flatten(parts)
+        if len(flat) == 0:
+            return [np.zeros(n, dtype=bool) for _ in clauses]
+        parents = pc.list_parent_indices(parts) \
+            .to_numpy(zero_copy_only=False)
+        enc = flat.dictionary_encode()
+        d = enc.dictionary
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(d, "").to_numpy(zero_copy_only=False)
+        out = []
+        for c in clauses:
+            ok = nonempty.copy()
+            if c.lo is not None:
+                cmp = pc.greater_equal(d, c.lo) if c.lo_incl \
+                    else pc.greater(d, c.lo)
+                ok &= pc.fill_null(cmp, False) \
+                    .to_numpy(zero_copy_only=False)
+            if c.hi is not None:
+                cmp = pc.less_equal(d, c.hi) if c.hi_incl \
+                    else pc.less(d, c.hi)
+                ok &= pc.fill_null(cmp, False) \
+                    .to_numpy(zero_copy_only=False)
+            hit = ok[idx]
+            out.append(np.bincount(parents[hit], minlength=n) > 0)
+        return out
+
     class Scorer:
         def __init__(self):
             self.idf, self.avg_len = idf, avg_len
@@ -976,6 +1028,15 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
                 # IEEE identity, so unboosted oracle queries are bit-stable
                 scores += clause.boost * idf_c * (tf * (k1 + 1)) \
                     / (tf + k1 * denom_len)
+            # range clauses are constant-scored (Lucene/Tantivy rewrite):
+            # boost * 1.0 per matching doc, after the term summands
+            if any_ranges:
+                range_hits = dict(zip(
+                    map(id, scoring_ranges + must_ranges + must_not_ranges),
+                    _range_matches(
+                        t, scoring_ranges + must_ranges + must_not_ranges)))
+                for c in scoring_ranges:
+                    scores += c.boost * range_hits[id(c)].astype(np.float64)
             # round BEFORE any selection so local top-k, the global merge
             # and the SQL twin (which orders by the rounded alias) rank by
             # the same doubles — a <1e-6 raw-score gap straddling the k-th
@@ -993,10 +1054,18 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
                 matched &= _has(pat)
             for pat in must_not_pats:
                 matched &= ~_has(pat)
-            if not must_pats and should_pats:
+            if any_ranges:
+                for c in must_ranges:
+                    matched &= range_hits[id(c)]
+                for c in must_not_ranges:
+                    matched &= ~range_hits[id(c)]
+            have_must = bool(must_pats or must_ranges)
+            if not have_must and (should_pats or should_ranges):
                 any_should = np.zeros(len(ids), dtype=bool)
                 for pat in should_pats:
                     any_should |= _has(pat)
+                for c in should_ranges:
+                    any_should |= range_hits[id(c)]
                 matched &= any_should
             # Tantivy returns matching docs only; both engines express that
             # as rounded score > 0 (the SQL twin's WHERE uses the same

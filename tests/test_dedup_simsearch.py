@@ -347,6 +347,46 @@ def test_bm25_boost_reorders(ray_session, dup_dir):
     assert one.equals(base)
 
 
+def test_query_parser_ranges():
+    from sema_ray import queryparse as qp
+    p = qp.parse('content:[a TO b]^2 -{c TO *} alpha')
+    (r,) = [c for c in p.should if c.is_range]
+    assert (r.lo, r.hi, r.lo_incl, r.hi_incl, r.boost) == \
+        ("a", "b", True, True, 2.0)
+    (rn,) = p.must_not
+    assert (rn.lo, rn.hi, rn.lo_incl) == ("c", None, False)
+    assert [c.terms for c in p.should if c.terms] == [("alpha",)]
+    # [* TO *] matches everything -> parsed away as a no-op clause
+    assert qp.parse("[* TO *]").should == ()
+    with pytest.raises(ValueError):
+        qp.clause_pattern(r)
+
+
+def test_bm25_range_queries(ray_session, dup_dir):
+    """Term ranges are constant-scored (Lucene/Tantivy rewrite) and
+    participate in MUST/MUST_NOT/SHOULD like any clause."""
+    r = simsearch.bm25_search(dup_dir, query="[zzz0 TO zzz4]",
+                              k=50).to_pandas()
+    assert set(r["doc_id"]) == {200, 201, 202, 203, 204}
+    assert (r["score"] == 1.0).all()
+    # exclusive bounds
+    r2 = simsearch.bm25_search(dup_dir, query="{zzz0 TO zzz4}",
+                               k=50).to_pandas()
+    assert set(r2["doc_id"]) == {201, 202, 203}
+    # open upper end
+    r3 = simsearch.bm25_search(dup_dir, query="[zzz5 TO *]",
+                               k=50).to_pandas()
+    assert set(r3["doc_id"]) == {205, 206, 207, 208, 209}
+    # MUST range anchors the match; ^boost scales the constant score
+    r4 = simsearch.bm25_search(dup_dir, query="+[zzz0 TO zzz0]^3",
+                               k=50).to_pandas()
+    assert list(r4["doc_id"]) == [200] and r4.iloc[0]["score"] == 3.0
+    # MUST_NOT range excludes its matches from a scored query
+    r5 = simsearch.bm25_search(dup_dir, query="zzz0 zzz1 -[zzz1 TO zzz9]",
+                               k=50).to_pandas()
+    assert set(r5["doc_id"]) == {200}
+
+
 def test_bm25_query_language(ray_session, dup_dir):
     # doc 200 is the only one containing zzz0 -> MUST excludes all others
     r = simsearch.bm25_search(dup_dir, query="+zzz0 alpha", k=10).to_pandas()
