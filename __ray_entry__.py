@@ -36,8 +36,10 @@ def _bm25_sql(clauses: list[tuple[str, ...]], k: int = 20,
     clause summands appear in the same sorted-pattern order the Ray scorer
     uses, phrase idfs sum left-associatively over component terms, and every
     constant here equals its Python counterpart bit-for-bit). A clause is a
-    tuple of tokens; len > 1 means a phrase scored positionally — tf counts
-    the double-space-normalized adjacent literal, idf sums the terms'."""
+    tuple of tokens; len > 1 means a phrase scored positionally — tf is the
+    Tantivy/Lucene position-intersection count (every token position
+    starting an adjacent occurrence, so self-overlapping occurrences all
+    count), idf sums the terms'."""
     def lit(c: tuple[str, ...]) -> str:
         return " " + "  ".join(c) + " "
 
@@ -48,9 +50,13 @@ def _bm25_sql(clauses: list[tuple[str, ...]], k: int = 20,
         f" AS df_{w}" for w in terms)
 
     def tf(c: tuple[str, ...]) -> str:
-        s = lit(c)
-        return (f"((length(norm) - length(replace(norm, '{s}', '')))"
-                f" / {len(s)})")
+        if len(c) == 1:
+            s = lit(c)
+            return (f"((length(norm) - length(replace(norm, '{s}', '')))"
+                    f" / {len(s)})")
+        cond = " AND ".join(f"l[i+{j}] = '{w}'" for j, w in enumerate(c))
+        return (f"CAST(len([i for i in range(1, len(l) - {len(c) - 2})"
+                f" if {cond}]) AS DOUBLE)")
 
     def idf(c: tuple[str, ...]) -> str:
         return " + ".join(
@@ -66,6 +72,7 @@ def _bm25_sql(clauses: list[tuple[str, ...]], k: int = 20,
           SELECT doc_id,
                  ' ' || regexp_replace(lower(text), '[^a-z0-9]+', '  ', 'g')
                      || ' ' AS norm,
+                 regexp_extract_all(lower(text), '[a-z0-9]+') AS l,
                  CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+'))
                       AS DOUBLE) AS dl
           FROM documents

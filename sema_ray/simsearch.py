@@ -892,12 +892,10 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
     are returned. Scoring is clause-wise BM25 over the
     SHOULD+MUST clauses (Tantivy/Lucene semantics, ``text_indexer.rs:
     75-157``): a single-term clause scores tf(term); a phrase clause scores
-    positionally — tf = exact adjacent-sequence frequency (the double-space
-    normalized literal counts it directly) and idf = the SUM of the
-    component terms' idfs (Lucene ``PhraseQuery`` weighting). One remaining
-    deviation: self-overlapping phrases ("a a" in "a a a") count
-    non-overlapping occurrences, where Tantivy's position intersection
-    counts both.
+    positionally — tf = the exact Tantivy/Lucene position-intersection
+    frequency (every stream position starting an adjacent occurrence, so
+    self-overlapping phrases like "a a" in "a a a" count 2) and idf = the
+    SUM of the component terms' idfs (Lucene ``PhraseQuery`` weighting).
 
     Pass 1 (distributed, partial-aggregated): per-term document frequencies
     and corpus size/avg length for the query terms only. Pass 2: broadcast
@@ -966,43 +964,79 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
                        / (stat.get(w, 0) + 0.5)) for w in terms}
     any_ranges = bool(scoring_ranges or must_ranges or must_not_ranges)
 
-    def _range_matches(t: pa.Table, clauses) -> list[np.ndarray]:
-        """Per-doc any-token-in-range vectors, one per clause: dictionary-
-        encode the block's token stream once, compare the (small) block
-        vocabulary lexicographically with Arrow kernels, fold token hits
-        to docs with one bincount per clause."""
-        n = t.num_rows
-        if not clauses:
-            return []
+    any_phrases = any(len(c.terms) > 1 for c in scoring_clauses)
+
+    def _token_stream(t: pa.Table):
+        """Block token stream (lower -> split -> flatten, empty edge pieces
+        dropped), dictionary-encoded once per batch and shared by range
+        matching and positional phrase counting:
+        ``(codes, vocab, parents)`` or ``None`` when the batch is tokenless."""
         low = pc.utf8_lower(t["text"])
         parts = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
         if isinstance(parts, pa.ChunkedArray):
             parts = parts.combine_chunks()
         flat = pc.list_flatten(parts)
         if len(flat) == 0:
-            return [np.zeros(n, dtype=bool) for _ in clauses]
+            return None
         parents = pc.list_parent_indices(parts) \
             .to_numpy(zero_copy_only=False)
-        enc = flat.dictionary_encode()
-        d = enc.dictionary
-        idx = enc.indices.to_numpy(zero_copy_only=False)
-        nonempty = pc.not_equal(d, "").to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return None
+        enc = flat.filter(pa.array(keep)).dictionary_encode()
+        return (enc.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+                enc.dictionary, parents[keep])
+
+    def _range_matches(stream, clauses, n: int) -> list[np.ndarray]:
+        """Per-doc any-token-in-range vectors, one per clause: compare the
+        (small) block vocabulary lexicographically with Arrow kernels, fold
+        token hits to docs with one bincount per clause."""
+        if not clauses:
+            return []
+        if stream is None:
+            return [np.zeros(n, dtype=bool) for _ in clauses]
+        codes, vocab, parents = stream
         out = []
         for c in clauses:
-            ok = nonempty.copy()
+            ok = np.ones(len(vocab), dtype=bool)
             if c.lo is not None:
-                cmp = pc.greater_equal(d, c.lo) if c.lo_incl \
-                    else pc.greater(d, c.lo)
+                cmp = pc.greater_equal(vocab, c.lo) if c.lo_incl \
+                    else pc.greater(vocab, c.lo)
                 ok &= pc.fill_null(cmp, False) \
                     .to_numpy(zero_copy_only=False)
             if c.hi is not None:
-                cmp = pc.less_equal(d, c.hi) if c.hi_incl \
-                    else pc.less(d, c.hi)
+                cmp = pc.less_equal(vocab, c.hi) if c.hi_incl \
+                    else pc.less(vocab, c.hi)
                 ok &= pc.fill_null(cmp, False) \
                     .to_numpy(zero_copy_only=False)
-            hit = ok[idx]
+            hit = ok[codes]
             out.append(np.bincount(parents[hit], minlength=n) > 0)
         return out
+
+    def _phrase_tf(stream, phrase_terms, n: int) -> np.ndarray:
+        """Positional phrase frequency (Tantivy/Lucene position
+        intersection): every stream position i with tokens i..i+m-1 equal
+        to the phrase, inside one document — self-overlapping occurrences
+        count ("a a" in "a a a" has tf 2). Vectorized as m shifted
+        code-equality ANDs over the block token stream."""
+        if stream is None:
+            return np.zeros(n, dtype=np.float64)
+        codes, vocab, parents = stream
+        m = len(phrase_terms)
+        if len(codes) < m:
+            return np.zeros(n, dtype=np.float64)
+        tcodes = pc.fill_null(
+            pc.index_in(pa.array(list(phrase_terms)), value_set=vocab), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        if (tcodes < 0).any():  # some term absent from the whole block
+            return np.zeros(n, dtype=np.float64)
+        L = len(codes) - m + 1
+        mask = codes[:L] == tcodes[0]
+        for j in range(1, m):
+            mask &= codes[j:L + j] == tcodes[j]
+        mask &= parents[:L] == parents[m - 1:]  # no cross-doc windows
+        return np.bincount(parents[:L][mask],
+                           minlength=n).astype(np.float64)
 
     class Scorer:
         def __init__(self):
@@ -1017,10 +1051,18 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
             norm, dl = _norm_dl(t)
             denom_len = 1 - b + b * dl / self.avg_len
             scores = np.zeros(len(ids))
+            # one dictionary-encode of the block token stream, shared by
+            # positional phrase tf and term-range matching
+            stream = _token_stream(t) if (any_ranges or any_phrases) \
+                else None
             # fixed (sorted-pattern) clause order — matches the SQL oracle
             for clause in scoring_clauses:
-                tf = pc.count_substring(norm, pattern=clause_pattern(clause)) \
-                    .to_numpy(zero_copy_only=False).astype(np.float64)
+                if len(clause.terms) > 1:
+                    tf = _phrase_tf(stream, clause.terms, len(ids))
+                else:
+                    tf = pc.count_substring(
+                        norm, pattern=clause_pattern(clause)) \
+                        .to_numpy(zero_copy_only=False).astype(np.float64)
                 idf_c = 0.0
                 for w in clause.terms:  # left-assoc sum, as in the SQL twin
                     idf_c += self.idf[w]
@@ -1034,7 +1076,9 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
                 range_hits = dict(zip(
                     map(id, scoring_ranges + must_ranges + must_not_ranges),
                     _range_matches(
-                        t, scoring_ranges + must_ranges + must_not_ranges)))
+                        stream,
+                        scoring_ranges + must_ranges + must_not_ranges,
+                        len(ids))))
                 for c in scoring_ranges:
                     scores += c.boost * range_hits[id(c)].astype(np.float64)
             # round BEFORE any selection so local top-k, the global merge
