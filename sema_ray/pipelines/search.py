@@ -474,14 +474,24 @@ def _top1_partial(t: pa.Table) -> pa.Table:
 
 
 def _top1_combine(g: pa.Table) -> pa.Table:
-    """Merge one file's partials: best row wins, counts sum."""
-    total = int(pc.sum(g["total_matches_in_file"]).as_py())
-    g = g.sort_by([("score", "descending"), ("start_line", "ascending"),
-                   ("id", "ascending")])
-    top = g.slice(0, 1)
+    """Merge partials for MANY files at once (whole key groups): per file,
+    best row wins and counts sum — one segmented numpy pass, no per-key
+    Python (the r3 form ran ``map_groups`` once per file)."""
+    g = g.sort_by([("file_path", "ascending"), ("score", "descending"),
+                   ("start_line", "ascending"), ("id", "ascending")])
+    fps = np.asarray(g["file_path"].to_pylist(), dtype=object)
+    n = len(fps)
+    if n == 0:
+        return g
+    first = np.ones(n, dtype=bool)
+    first[1:] = fps[1:] != fps[:-1]
+    starts = np.nonzero(first)[0]
+    totals = np.add.reduceat(
+        g["total_matches_in_file"].to_numpy(zero_copy_only=False), starts)
+    top = g.filter(pa.array(first))
     return top.set_column(
         top.schema.get_field_index("total_matches_in_file"),
-        "total_matches_in_file", pa.array([total], pa.int64()))
+        "total_matches_in_file", pa.array(totals, pa.int64()))
 
 
 def _local_rank_limit(k: int):
@@ -493,14 +503,16 @@ def _local_rank_limit(k: int):
 
 def _group_rank_limit(hits: rd.Dataset, k: int) -> pa.Table:
     """A1+A2+K1, distributed (engine.rs:156-182 semantics): per-batch
-    top-1-per-file partials -> ``groupby(file_path)`` merge -> per-batch
+    top-1-per-file partials -> bounded-part segmented merge
+    (``keyed_part_kernel``, never one Python call per file) -> per-batch
     local rank partials -> scatter-gather final rank. Only ≤ k x blocks
     rows ever reach the driver (round-1 collected every hit and ran a
     pandas group loop — VERDICT r1 "What's wrong" #1); the global rank is
     a gather, not a full range-shuffle sort (a top-k never needs one)."""
-    ranked = (hits.map_batches(_top1_partial, batch_format="pyarrow")
-              .groupby("file_path")
-              .map_groups(_top1_combine, batch_format="pyarrow")
+    from ..relational import keyed_part_kernel
+    ranked = (keyed_part_kernel(
+                  hits.map_batches(_top1_partial, batch_format="pyarrow"),
+                  "file_path", _top1_combine)
               .map_batches(_local_rank_limit(k), batch_format="pyarrow",
                            batch_size=None))
     tbl = collect_table(ranked)

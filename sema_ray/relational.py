@@ -704,16 +704,21 @@ def exact_text_search(sf_dir: str, pattern: str = "data") -> rd.Dataset:
 
 
 def asof_join(left: rd.Dataset, right: rd.Dataset, *, key: str,
-              left_ts: str, right_ts: str, value_cols: list[str]) -> rd.Dataset:
+              left_ts: str, right_ts: str, value_cols: list[str],
+              n_parts: int = ORDERED_PARTS) -> rd.Dataset:
     """Generic partitioned as-of join: for every left row, the latest right
     row with the same ``key`` and ``right_ts`` <= ``left_ts``.
 
     Ray Data has no native as-of join, so it is composed (SURVEY §2 "Custom
-    operators" path (a)): tag both sides, union, hash-partition on the key
-    via ``groupby``, and merge within each group with one sort + vectorized
-    ``np.searchsorted``. Partitioning assumption: one key's rows fit in one
-    group task (keys are entities/users — bounded fan-in; salt first if a
-    key is pathological).
+    operators" path (a)): tag both sides, union, hash-partition on a
+    BOUNDED part key (``keyed_part_kernel`` — one Python call per part,
+    never per key), and merge each part's many keys in one vectorized pass:
+    lexsort every row by (key, ts, right-before-left), then a single
+    ``np.maximum.accumulate`` hands each left row the latest preceding
+    right row (a same-key check drops cross-key carryover). Null
+    timestamps never match (ANSI ASOF semantics). Partitioning assumption:
+    one part (≈ rows/``n_parts``) fits in one task — raise ``n_parts`` for
+    bigger inputs.
     Output: left rows (inner join) + ``value_cols`` from the matched right
     row.
     """
@@ -743,29 +748,51 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *, key: str,
         return tag
 
     def merge(g: pa.Table) -> pa.Table:
-        lhs = g.filter(pc.equal(g["_side"], "L"))
-        rhs = g.filter(pc.equal(g["_side"], "R")).sort_by(
-            [(right_ts, "ascending")])
-        if lhs.num_rows == 0 or rhs.num_rows == 0:
+        """Vectorized multi-key as-of merge over whole key groups."""
+        is_l = pc.equal(g["_side"], "L").to_numpy(zero_copy_only=False)
+        # null timestamps on a row's own side never match — drop up front
+        lt_ok = pc.is_valid(g[left_ts]).to_numpy(zero_copy_only=False)
+        rt_ok = pc.is_valid(g[right_ts]).to_numpy(zero_copy_only=False)
+        keep = np.where(is_l, lt_ok, rt_ok)
+        if not keep.all():
+            g = g.filter(pa.array(keep))
+            is_l = is_l[keep]
+        n = g.num_rows
+        if n == 0:
             return out_schema.empty_table()
-        pos = np.searchsorted(
-            rhs[right_ts].to_numpy(zero_copy_only=False),
-            lhs[left_ts].to_numpy(zero_copy_only=False),
-            side="right") - 1
-        hit = pos >= 0
-        lhs = lhs.filter(pa.array(hit))
-        pos = pos[hit]
-        if lhs.num_rows == 0:
+        kcol = g[key]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        enc = pc.dictionary_encode(kcol)
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lt = pc.fill_null(pc.cast(g[left_ts], pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        rt = pc.fill_null(pc.cast(g[right_ts], pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        ts = np.where(is_l, lt, rt)
+        # key-major order; equal (key, ts) puts R before L (<= is inclusive)
+        order = np.lexsort((is_l, ts, code))
+        code_s, is_l_s = code[order], is_l[order]
+        marker = np.where(is_l_s, -1, np.arange(n))
+        latest_r = np.maximum.accumulate(marker)
+        lpos = np.nonzero(is_l_s)[0]
+        m = latest_r[lpos]
+        ok = m >= 0
+        ok &= code_s[np.maximum(m, 0)] == code_s[lpos]  # same key only
+        lpos, m = lpos[ok], m[ok]
+        if len(lpos) == 0:
             return out_schema.empty_table()
-        cols = {n: lhs[n] for n in l_names}
+        l_rows = pa.array(order[lpos], pa.int64())
+        r_rows = pa.array(order[m], pa.int64())
+        cols = {nm: g[nm].take(l_rows) for nm in l_names}
         for c in value_cols:
-            cols[c] = rhs[c].take(pa.array(pos, pa.int64()))
+            cols[c] = g[c].take(r_rows)
         return pa.table(cols, schema=out_schema)
 
     tag_l = left.map_batches(_tag("L"), batch_format="pyarrow")
     tag_r = right.map_batches(_tag("R"), batch_format="pyarrow")
-    return tag_l.union(tag_r).groupby(key).map_groups(
-        merge, batch_format="pyarrow")
+    return keyed_part_kernel(tag_l.union(tag_r), key, merge,
+                             n_parts=n_parts)
 
 
 def latest_order_before_event(sf_dir: str) -> rd.Dataset:

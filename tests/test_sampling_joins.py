@@ -157,3 +157,34 @@ def test_assign_splits_partition_and_leakage_properties(ray_session):
     assert frac["train"] > 0.8
     assert frac.get("val", 0) < 0.15 and frac.get("test", 0) < 0.15
     assert set(a["split"]) <= {"train", "val", "test"}
+
+
+def test_asof_join_segmented_semantics(ray_session):
+    """Direct contract check of the generic as-of join (now a bounded-part
+    segmented kernel, not per-key map_groups): latest right row with
+    right_ts <= left_ts per key, inclusive ties, null timestamps never
+    match, keys with no right rows drop (inner join)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sema_ray.relational import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, 3, 4], pa.int64()),
+        "lts": pa.array([5, 10, 2, 7, None, 6, 1], pa.int64()),
+        "lid": pa.array(list(range(7)), pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "rts": pa.array([3, 10, 8, None, 9], pa.int64()),
+        "val": pa.array([30, 100, 80, 999, 90], pa.int64()),
+    }))
+    out = asof_join(left, right, key="k", left_ts="lts", right_ts="rts",
+                    value_cols=["val"], n_parts=4).to_pandas() \
+        .sort_values("lid", ignore_index=True)
+    got = {(r.k, r.lid): r.val for r in out.itertuples()}
+    # k=1: lts=5 -> rts=3; lts=10 -> rts=10 (inclusive); lts=2 -> no match
+    # k=2: lts=7 -> none (rts=8 too late, null never matches); null lts drops
+    # k=3: lts=6 < 9 -> none; k=4: no right rows -> drops
+    assert got == {(1, 0): 30, (1, 1): 100}
+    assert list(out.columns) == ["k", "lts", "lid", "val"]
