@@ -1,0 +1,593 @@
+"""Baseline JPEG codec (ITU-T T.81 / JFIF), pure stdlib + NumPy.
+
+Replaces the round-3 ``NotImplementedError`` gate for ``image/jpeg`` in
+:mod:`sema_ray.multimodal` (the reference treats media as opaque bytes; a
+100-TB curation pipeline needs at least decode-for-features, reference
+``processor.rs`` reads bytes only). Scope:
+
+- :func:`decode_jpeg`: baseline sequential DCT (SOF0; SOF1 accepted —
+  same entropy coding at 8-bit precision), interleaved single scan,
+  restart markers, any sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0),
+  grayscale or YCbCr. Progressive (SOF2) and arithmetic coding raise
+  ``ValueError`` — honestly out of scope, not silently wrong.
+- :func:`encode_jpeg`: baseline JFIF writer — Annex K quantization tables
+  with IJG quality scaling, Annex K Huffman tables, optional 4:2:0
+  subsampling. The tables ship inside DQT/DHT segments, so the output is
+  self-describing valid JPEG for any decoder.
+
+Entropy (de)coding is a per-block Python loop (inherently sequential bit
+I/O); DCT/IDCT, color transforms, (de)quantization and upsampling are
+vectorized over all blocks at once. Codec work runs inside multimodal
+actor-pool stages — per-item cost parallelizes across the pool.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Constant tables
+# ---------------------------------------------------------------------------
+
+
+def _zigzag() -> np.ndarray:
+    """zigzag index k -> natural (row-major) index, per T.81 Figure A.6."""
+    out = np.empty(64, dtype=np.int64)
+    k = 0
+    for s in range(15):
+        rows = range(max(0, s - 7), min(s, 7) + 1) if s % 2 else \
+            range(min(s, 7), max(0, s - 7) - 1, -1)
+        for r in rows:
+            out[k] = r * 8 + (s - r)
+            k += 1
+    return out
+
+
+_ZZ = _zigzag()
+
+# Annex K.1/K.2 quantization tables (natural order)
+_Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+_Q_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# Annex K.3 Huffman specs: (bits[1..16], huffval)
+_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+           list(range(12)))
+_DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+             list(range(12)))
+_AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA])
+_AC_CHROM = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA])
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix (T.81 A.3.3 up to scale)."""
+    n = np.arange(8)
+    c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    c *= np.sqrt(2.0 / 8)
+    c[0] = np.sqrt(1.0 / 8)
+    return c
+
+
+_C = _dct_matrix()
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple]:
+    """T.81 C.2: symbol -> (code, length)."""
+    out, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            i += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _decode_map(bits: list[int], vals: list[int]) -> dict[tuple, int]:
+    """(length, code) -> symbol, for incremental Huffman decoding."""
+    return {(ln, code): sym
+            for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+
+
+# ---------------------------------------------------------------------------
+# Bit I/O
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        pad = (-self.n) % 8
+        if pad:
+            self.write((1 << pad) - 1, pad)  # pad with 1 bits (F.1.2.3)
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first reader over a destuffed entropy segment."""
+
+    __slots__ = ("data", "i", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.i = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self, need: int) -> None:
+        while self.n < need:
+            if self.i >= len(self.data):
+                raise ValueError("truncated JPEG entropy segment")
+            self.acc = (self.acc << 8) | self.data[self.i]
+            self.i += 1
+            self.n += 8
+
+    def receive(self, length: int) -> int:
+        if length == 0:
+            return 0
+        self._fill(length)
+        self.n -= length
+        v = (self.acc >> self.n) & ((1 << length) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def huff(self, table: dict[tuple, int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.receive(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: magnitude bits -> signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def _split_scan(buf: bytes, start: int) -> tuple[list[bytes], int]:
+    """Destuff the entropy-coded data from ``start``: returns the restart
+    segments (0xFF00 unstuffed, split at RSTn) and the next-marker offset."""
+    segs, cur = [], bytearray()
+    i = start
+    n = len(buf)
+    while i < n:
+        b = buf[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = buf[i + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:
+            break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG -> uint8 [h, w, 3] (YCbCr) or [h, w, 1] (grayscale)."""
+    buf = payload
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple, dict] = {}   # (class, id) -> decode map
+    comps = None                    # [(cid, h, v, tq)]
+    size = None                     # (h, w)
+    restart = 0
+    frame_marker = None
+    while i + 4 <= len(buf):
+        if buf[i] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        m = buf[i + 1]
+        if m == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            i += 1
+            continue
+        if m == 0xD9:  # EOI before any scan
+            raise ValueError("JPEG has no scan data")
+        seglen = struct.unpack(">H", buf[i + 2:i + 4])[0]
+        seg = buf[i + 4:i + 2 + seglen]
+        i += 2 + seglen
+        if m == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq:
+                    vals = np.frombuffer(seg[j:j + 128],
+                                         dtype=">u2").astype(np.int64)
+                    j += 128
+                else:
+                    vals = np.frombuffer(seg[j:j + 64],
+                                         dtype=np.uint8).astype(np.int64)
+                    j += 64
+                qtabs[tq] = vals          # zigzag order, as stored
+        elif m == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                bits = list(seg[j + 1:j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17:j + 17 + nv])
+                htabs[(tc, th)] = _decode_map(bits, vals)
+                j += 17 + nv
+        elif m in (0xC0, 0xC1):  # SOF0/SOF1 baseline-compatible
+            frame_marker = m
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            size = (h, w)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline sequential JPEG is supported "
+                f"(SOF marker 0xFF{m:02X})")
+        elif m == 0xDD:  # DRI
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:  # SOS
+            if comps is None or frame_marker is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            if ns != len(comps):
+                raise ValueError("multi-scan baseline JPEG not supported")
+            scan = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                (cid, ch, cv, tq) = next(x for x in comps if x[0] == cs)
+                scan.append((cid, ch, cv, tq, tt >> 4, tt & 15))
+            segs, i = _split_scan(buf, i)
+            return _decode_scan(size, scan, qtabs, htabs, segs, restart)
+        # else: APPn/COM/etc — skipped
+    raise ValueError("truncated JPEG (no SOS)")
+
+
+def _decode_scan(size, scan, qtabs, htabs, segs, restart) -> np.ndarray:
+    h, w = size
+    hmax = max(c[1] for c in scan)
+    vmax = max(c[2] for c in scan)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+    per_comp = []
+    for (cid, ch, cv, tq, td, ta) in scan:
+        per_comp.append({
+            "h": ch, "v": cv, "q": qtabs[tq],
+            "dc": htabs[(0, td)], "ac": htabs[(1, ta)],
+            "blocks": np.zeros((mcus_y * cv, mcus_x * ch, 64),
+                               dtype=np.int32),
+        })
+    if len(scan) == 1:
+        # non-interleaved single-component scan: MCU = one block over the
+        # component's own 8x8 grid (T.81 A.2.2)
+        c = per_comp[0]
+        c["h"] = c["v"] = 1
+        c["blocks"] = np.zeros((-(-h // 8), -(-w // 8), 64), dtype=np.int32)
+        mcus_y, mcus_x = c["blocks"].shape[:2]
+        n_mcus = mcus_y * mcus_x
+        hmax = vmax = 1
+
+    mcu = 0
+    for seg in segs:
+        rd = _BitReader(seg)
+        pred = [0] * len(per_comp)
+        end = min(n_mcus, mcu + restart) if restart else n_mcus
+        while mcu < end:
+            my, mx = divmod(mcu, mcus_x)
+            for ci, c in enumerate(per_comp):
+                for bv in range(c["v"]):
+                    for bh in range(c["h"]):
+                        vec = np.zeros(64, dtype=np.int32)
+                        s = rd.huff(c["dc"])
+                        pred[ci] += _extend(rd.receive(s), s)
+                        vec[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = rd.huff(c["ac"])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if rs != 0xF0:
+                                    break      # EOB
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            vec[k] = _extend(rd.receive(s), s)
+                            k += 1
+                        c["blocks"][my * c["v"] + bv,
+                                    mx * c["h"] + bh] = vec
+            mcu += 1
+        if mcu >= n_mcus:
+            break
+    if mcu < n_mcus:
+        raise ValueError("truncated JPEG scan")
+
+    planes = []
+    for c in per_comp:
+        by, bx, _ = c["blocks"].shape
+        coef = c["blocks"].reshape(-1, 64).astype(np.float64)
+        deq = np.empty_like(coef)
+        deq[:, _ZZ] = coef * c["q"][None, :].astype(np.float64)
+        blocks = deq.reshape(-1, 8, 8)
+        pix = np.einsum("ij,njk,kl->nil", _C.T, blocks, _C) + 128.0
+        plane = pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(by * 8, bx * 8)
+        ry, rx = vmax // max(c["v"], 1), hmax // max(c["h"], 1)
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    def sc(base):
+        return np.clip((base * scale + 50) // 100, 1, 255)
+    return sc(_Q_LUM), sc(_Q_CHROM)
+
+
+def _pad_to(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (-h) % mult_y
+    pw = (-w) % mult_x
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _block_quant(plane: np.ndarray, qtab_zz: np.ndarray) -> np.ndarray:
+    """float plane (multiple-of-8 dims) -> int32 [by, bx, 64] zigzag coefs."""
+    h, w = plane.shape
+    by, bx = h // 8, w // 8
+    blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) \
+        .reshape(-1, 8, 8) - 128.0
+    coef = np.einsum("ij,njk,kl->nil", _C, blocks, _C.T).reshape(-1, 64)
+    zz = coef[:, _ZZ]
+    q = np.floor(zz / qtab_zz[None, :].astype(np.float64) + 0.5) \
+        .astype(np.int32)
+    return q.reshape(by, bx, 64)
+
+
+def _encode_block(bw: _BitWriter, vec: np.ndarray, pred: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    diff = int(vec[0]) - pred
+    s = int(abs(diff)).bit_length()
+    code, ln = dc_codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    nz = np.nonzero(vec[1:])[0]
+    k = 0
+    for idx in nz:
+        pos = int(idx) + 1
+        run = pos - 1 - k
+        while run >= 16:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        v = int(vec[pos])
+        s = abs(v).bit_length()
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        k = pos
+    if k < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return int(vec[0])
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """uint8 [h, w], [h, w, 1] or [h, w, 3] -> baseline JFIF bytes.
+
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many MCUs
+    (T.81 F.1.2.3) — resynchronization points a parallel decoder can split
+    on."""
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[:, :, 0]
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qlum, qchrom = _quality_tables(quality)
+    qlum_zz, qchrom_zz = qlum[_ZZ], qchrom[_ZZ]
+
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+        qzz = [qlum_zz]
+    else:
+        f = img.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            y = _pad_to(y, 16, 16)
+            cbp = _pad_to(cb, 16, 16)
+            crp = _pad_to(cr, 16, 16)
+            cb = cbp.reshape(cbp.shape[0] // 2, 2,
+                             cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(crp.shape[0] // 2, 2,
+                             crp.shape[1] // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            y, cb, cr = (_pad_to(p, 8, 8) for p in (y, cb, cr))
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qzz = [qlum_zz, qchrom_zz, qchrom_zz]
+
+    blocks = [_block_quant(_pad_to(p, 8, 8), q)
+              for p, q in zip(planes, qzz)]
+
+    dc_lum = _canonical_codes(*_DC_LUM)
+    ac_lum = _canonical_codes(*_AC_LUM)
+    dc_chrom = _canonical_codes(*_DC_CHROM)
+    ac_chrom = _canonical_codes(*_AC_CHROM)
+    codes = [(dc_lum, ac_lum)] + [(dc_chrom, ac_chrom)] * (len(planes) - 1)
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    entropy = bytearray()
+    rst = 0
+    for mcu in range(mcus_y * mcus_x):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            entropy += bw.flush()
+            entropy += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            bw = _BitWriter()
+            pred = [0] * len(planes)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (sh, sv) in enumerate(samp):
+            for bv in range(sv):
+                for bh in range(sh):
+                    vec = blocks[ci][my * sv + bv, mx * sh + bh]
+                    pred[ci] = _encode_block(
+                        bw, vec, pred[ci], *codes[ci])
+    entropy += bw.flush()
+    entropy = bytes(entropy)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(qlum_zz.astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(qchrom_zz.astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    for (tc, th, spec) in ((0, 0, _DC_LUM), (1, 0, _AC_LUM)):
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(spec[0])
+                   + bytes(spec[1]))
+    if not gray:
+        for (tc, th, spec) in ((0, 1, _DC_CHROM), (1, 1, _AC_CHROM)):
+            out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(spec[0])
+                       + bytes(spec[1]))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -12,11 +12,12 @@ Two decode paths:
 - ``fake=False``: REAL pure-stdlib/NumPy kernels — PPM (P6) images
   (:func:`decode_ppm`), PNG images (:func:`decode_png` — stdlib ``zlib``
   inflate + full filter reconstruction per the PNG spec §9, color types
-  0/2/3/4/6 at bit depth 8), and PCM WAV audio (:func:`decode_wav`,
-  stdlib ``wave``) — with real resize and real feature extraction.
-  JPEG/MP4 still raise ``NotImplementedError`` here because entropy-coded
-  DCT / container-demux codecs genuinely need PIL/ffmpeg; the dispatch
-  point is where those would plug in.
+  0/2/3/4/6 at bit depth 8), baseline JPEG (:mod:`sema_ray.jpeg` —
+  full T.81 baseline Huffman/DCT codec, 4:4:4 / 4:2:0, restart markers),
+  and PCM WAV audio (:func:`decode_wav`, stdlib ``wave``) — with real
+  resize and real feature extraction. MP4 video still raises
+  ``NotImplementedError`` here (no stdlib-decodable form for the coded
+  frames); the dispatch point is where an ffmpeg codec would plug in.
 """
 
 from __future__ import annotations
@@ -290,11 +291,14 @@ def real_decode(payload: bytes, mime: str, dim: int = FEATURE_DIM) -> np.ndarray
         return image_features(decode_ppm(payload), dim)
     if mime == "image/png":
         return image_features(_to_rgb(decode_png(payload)), dim)
+    if mime == "image/jpeg":
+        from .jpeg import decode_jpeg
+        return image_features(_to_rgb(decode_jpeg(payload)), dim)
     if mime in ("audio/wav", "audio/x-wav"):
         return audio_features(decode_wav(payload)[0], dim)
     raise NotImplementedError(
-        f"no codec for {mime!r} in this container — JPEG/MP4 need "
-        "PIL/ffmpeg; PPM, PNG and WAV decode natively")
+        f"no codec for {mime!r} in this container — MP4 frames need "
+        "ffmpeg; PPM, PNG, JPEG and WAV decode natively")
 
 
 class DecodeStage:
@@ -345,12 +349,17 @@ class ResizeStage:
         self.fake = fake
 
     def _resize_real(self, p: bytes) -> bytes:
-        is_png = p[:len(_PNG_SIG)] == _PNG_SIG
-        img = decode_png(p) if is_png else decode_ppm(p)
+        if p[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg, encode_jpeg
+            img = decode_jpeg(p)
+            codec = lambda o: encode_jpeg(o, quality=90)  # noqa: E731
+        elif p[:len(_PNG_SIG)] == _PNG_SIG:
+            img, codec = decode_png(p), encode_png
+        else:
+            img, codec = decode_ppm(p), encode_ppm
         ri = _grid_indices(img.shape[0], self.out_h)
         ci = _grid_indices(img.shape[1], self.out_w)
-        out = img[np.ix_(ri, ci)]
-        return encode_png(out) if is_png else encode_ppm(out)
+        return codec(img[np.ix_(ri, ci)])
 
     def __call__(self, t: pa.Table) -> pa.Table:
         out_payloads = []
@@ -415,17 +424,22 @@ def synthesize_real_items(n: int = 12, seed: int = 7) -> pa.Table:
     rng = np.random.default_rng(seed)
     rows = {k: [] for k in ("item_id", "modality", "payload", "mime",
                             "meta_json")}
+    from .jpeg import encode_jpeg
     for i in range(n):
         if i % 2 == 0:
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             rows["modality"].append("image")
-            if i % 4 == 0:
+            kind = (i // 2) % 3
+            if kind == 0:
                 rows["payload"].append(encode_ppm(img))
                 rows["mime"].append("image/x-portable-pixmap")
-            else:
+            elif kind == 1:
                 rows["payload"].append(encode_png(img))
                 rows["mime"].append("image/png")
+            else:
+                rows["payload"].append(encode_jpeg(img, quality=90))
+                rows["mime"].append("image/jpeg")
             rows["meta_json"].append(f'{{"w": {w}, "h": {h}}}')
         else:
             sr = 8000

@@ -1,0 +1,103 @@
+"""Baseline JPEG codec tests (sema_ray.jpeg).
+
+The hand-built fixtures below are derived byte-by-byte from ITU-T T.81
+(markers, canonical Huffman, EXTEND, IDCT scaling) — an INDEPENDENT spec
+oracle, not produced by the encoder under test, so an encoder/decoder bug
+pair cannot cancel out.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from sema_ray.jpeg import _C, _ZZ, decode_jpeg, encode_jpeg
+
+
+def test_dct_matrix_orthonormal_and_zigzag_spec_prefix():
+    assert np.allclose(_C @ _C.T, np.eye(8), atol=1e-12)
+    # T.81 Figure A.6 natural-index order, first 10 entries
+    assert list(_ZZ[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert sorted(_ZZ) == list(range(64))
+
+
+def _dc_only_gray_jpeg(dc_code_bits: str) -> bytes:
+    """Hand-assembled 8x8 grayscale JPEG: quant table all ones, one-code
+    Huffman tables (DC: category 7 -> code '0'; AC: EOB -> code '0'),
+    entropy segment = '0' + 7 magnitude bits + '0' EOB, padded with 1s."""
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([0x07]))
+    out += seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bits = "0" + dc_code_bits + "0"
+    bits += "1" * (-len(bits) % 8)
+    out += int(bits, 2).to_bytes(len(bits) // 8, "big")
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_hand_built_spec_fixture():
+    # DC diff +80 (category 7, magnitude bits 1010000):
+    # pixel = IDCT(dc-only 80) + 128 = 80/8 + 128 = 138 everywhere
+    img = decode_jpeg(_dc_only_gray_jpeg(format(80, "07b")))
+    assert img.shape == (8, 8, 1)
+    assert (img == 138).all()
+    # DC diff -80: EXTEND(47, 7) = -80 -> 118 everywhere
+    img2 = decode_jpeg(_dc_only_gray_jpeg(format(-80 + 127, "07b")))
+    assert (img2 == 118).all()
+
+
+def test_roundtrip_color_and_gray():
+    rng = np.random.default_rng(3)
+    y, x = np.mgrid[0:45, 0:61]
+    img = np.stack([np.minimum(x * 4, 255), np.minimum(y * 5, 255),
+                    (x + y)], axis=2)
+    img = np.clip(img + rng.integers(-3, 4, img.shape), 0,
+                  255).astype(np.uint8)
+    for q, sub in ((95, False), (90, True), (70, False)):
+        dec = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.mean() < 6.0, (q, sub, err.mean())
+    gray = np.minimum(x * 4, 255).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert dg.shape == (45, 61, 1)
+    assert np.abs(dg[:, :, 0].astype(int) - gray.astype(int)).mean() < 2.0
+
+
+def test_solid_color_exact_and_single_pixel():
+    solid = np.full((24, 40, 3), 77, np.uint8)
+    assert (decode_jpeg(encode_jpeg(solid, quality=95)) == 77).all()
+    one = np.full((1, 1, 3), 200, np.uint8)
+    dec = decode_jpeg(encode_jpeg(one, quality=95))
+    assert dec.shape == (1, 1, 3)
+    assert np.abs(dec.astype(int) - 200).max() <= 1
+
+
+def test_restart_markers_roundtrip():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(33, 50, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    for ri in (1, 2, 5):
+        enc = encode_jpeg(img, quality=85, restart_interval=ri)
+        assert b"\xff\xdd" in enc and b"\xff\xd0" in enc
+        # restart segmentation must not change the decoded pixels at all
+        assert (decode_jpeg(enc) == base).all()
+
+
+def test_rejects_progressive_truncated_and_garbage():
+    img = np.full((8, 8), 100, np.uint8)
+    enc = bytearray(encode_jpeg(img))
+    i = enc.index(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError):
+        decode_jpeg(encode_jpeg(img)[:20])
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")

@@ -189,16 +189,17 @@ def test_ppm_wav_codec_roundtrip():
 
 
 def test_decode_stage_real_codec_gated(ray_session):
-    """fake=False runs REAL PPM/PNG/WAV kernels end to end through the
-    actor pool; unreachable codecs (video / JPEG) raise."""
-    items = multimodal.synthesize_real_items(n=10)
+    """fake=False runs REAL PPM/PNG/JPEG/WAV kernels end to end through
+    the actor pool; the one unreachable codec (video frames) raises."""
+    items = multimodal.synthesize_real_items(n=14)
     mimes = items["mime"].to_pylist()
-    assert "image/png" in mimes and "image/x-portable-pixmap" in mimes
+    assert {"image/png", "image/x-portable-pixmap",
+            "image/jpeg"} <= set(mimes)
     out = rd.from_arrow(items).map_batches(
         multimodal.DecodeStage, batch_format="pyarrow", batch_size=4,
         concurrency=(1, 2),
         fn_constructor_kwargs={"fake": False}).to_pandas()
-    assert len(out) == 10
+    assert len(out) == 14
     feats = {i: np.asarray(f) for i, f in zip(out["item_id"], out["feature"])}
     for i, mime, payload in zip(items["item_id"].to_pylist(), mimes,
                                 items["payload"].to_pylist()):
@@ -212,15 +213,19 @@ def test_decode_stage_real_codec_gated(ray_session):
         concurrency=(1, 2),
         fn_constructor_kwargs={"out_w": 16, "out_h": 12, "fake": False}
     ).to_pandas()
+    from sema_ray.jpeg import decode_jpeg
     for p in resized["payload"]:
-        if bytes(p).startswith(b"\x89PNG"):
+        p = bytes(p)
+        if p.startswith(b"\x89PNG"):
             assert multimodal.decode_png(p).shape == (12, 16, 3)
+        elif p.startswith(b"\xff\xd8"):
+            assert decode_jpeg(p).shape == (12, 16, 3)
         else:
             assert multimodal.decode_ppm(p).shape == (12, 16, 3)
     with pytest.raises(NotImplementedError):
         multimodal.FrameSampleStage(fake=False)
     with pytest.raises(NotImplementedError):
-        multimodal.real_decode(b"\xff\xd8\xff...", "image/jpeg")
+        multimodal.real_decode(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
 
 
 def _png_filter_forward(img: np.ndarray, filters: list[int]) -> bytes:
