@@ -15,9 +15,11 @@ Two decode paths:
   0/2/3/4/6 at bit depth 8), baseline JPEG (:mod:`sema_ray.jpeg` —
   full T.81 baseline Huffman/DCT codec, 4:4:4 / 4:2:0, restart markers),
   and PCM WAV audio (:func:`decode_wav`, stdlib ``wave``) — with real
-  resize and real feature extraction. MP4 video still raises
-  ``NotImplementedError`` here (no stdlib-decodable form for the coded
-  frames); the dispatch point is where an ffmpeg codec would plug in.
+  resize and real feature extraction. MP4 frame SAMPLING is real too
+  (:mod:`sema_ray.mp4` demuxes the ISO BMFF sample tables in
+  :class:`FrameSampleStage`); only frame-PIXEL decode still raises
+  ``NotImplementedError`` in :func:`real_decode` — the one seam an
+  ffmpeg codec would plug into.
 """
 
 from __future__ import annotations
@@ -383,30 +385,41 @@ class ResizeStage:
 class FrameSampleStage:
     """Actor-pool video frame sampler (1 -> N flat map).
 
-    Emits ``n_frames`` rows per video item, each with a frame feature vector
-    (stub-decoded deterministically from (payload, frame_idx)) — the
-    schema/flat-map plumbing for a real ffmpeg-backed sampler.
+    ``fake=False`` does REAL frame sampling: :mod:`sema_ray.mp4` demuxes
+    the container's sample tables and extracts ``n_frames`` evenly-spaced
+    frames — real byte ranges, real timestamps, optional sync-only picks.
+    Frame-PIXEL decode would need an external codec (ffmpeg), so the
+    per-frame feature is a content-addressed stand-in over the REAL frame
+    bytes — that is the one seam a codec plugs into. The fake path
+    stub-samples deterministically from (payload, frame_idx) for any mime.
     """
 
     def __init__(self, n_frames: int = 4, dim: int = FEATURE_DIM,
-                 fake: bool = True):
+                 fake: bool = True, sync_only: bool = False):
         self.n_frames = n_frames
         self.dim = dim
-        if not fake:
-            raise NotImplementedError(
-                "real frame sampling requires av/ffmpeg (no video codec is "
-                "possible in this container — unlike PPM/PNG/WAV, MP4 has "
-                "no stdlib-decodable form)")
+        self.fake = fake
+        self.sync_only = sync_only
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, frames, feats = [], [], []
+        ids, frames, pts, feats = [], [], [], []
         for item_id, payload in zip(t["item_id"].to_pylist(),
                                     t["payload"].to_pylist()):
-            for f in range(self.n_frames):
-                ids.append(item_id)
-                frames.append(f)
-                feats.append(_fake_decode(payload + f.to_bytes(4, "big"),
-                                          self.dim))
+            if self.fake:
+                for f in range(self.n_frames):
+                    ids.append(item_id)
+                    frames.append(f)
+                    pts.append(f * 40)  # 25 fps stand-in
+                    feats.append(_fake_decode(payload + f.to_bytes(4, "big"),
+                                              self.dim))
+            else:
+                from .mp4 import sample_frames
+                for idx, pts_s, frame in sample_frames(
+                        payload, self.n_frames, sync_only=self.sync_only):
+                    ids.append(item_id)
+                    frames.append(idx)
+                    pts.append(int(round(pts_s * 1000)))
+                    feats.append(_fake_decode(frame, self.dim))
         flat = (np.concatenate(feats) if feats
                 else np.empty(0, dtype=np.float32))
         fa = pa.FixedSizeListArray.from_arrays(
@@ -414,6 +427,7 @@ class FrameSampleStage:
         return pa.table({
             "item_id": pa.array(ids, pa.int64()),
             "frame_idx": pa.array(frames, pa.int32()),
+            "pts_ms": pa.array(pts, pa.int64()),
             "feature": fa,
         })
 

@@ -222,10 +222,57 @@ def test_decode_stage_real_codec_gated(ray_session):
             assert decode_jpeg(p).shape == (12, 16, 3)
         else:
             assert multimodal.decode_ppm(p).shape == (12, 16, 3)
-    with pytest.raises(NotImplementedError):
-        multimodal.FrameSampleStage(fake=False)
+    # frame-PIXEL decode is the one remaining external-codec seam
     with pytest.raises(NotImplementedError):
         multimodal.real_decode(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+
+
+def test_frame_sample_real_mp4(ray_session):
+    """fake=False frame sampling demuxes REAL MP4 sample tables through
+    the actor pool: exact frame bytes, real timestamps, sync-only picks."""
+    from sema_ray.mp4 import mux_mp4
+
+    rng = np.random.default_rng(6)
+    rows = {"item_id": [], "modality": [], "payload": [], "mime": [],
+            "meta_json": []}
+    all_samples = {}
+    for i in range(3):
+        samples = [rng.integers(0, 256, int(rng.integers(60, 300)),
+                                dtype=np.uint8).tobytes()
+                   for _ in range(9 + i)]
+        all_samples[i] = samples
+        rows["item_id"].append(i)
+        rows["modality"].append("video")
+        rows["payload"].append(mux_mp4(samples, sample_duration=40,
+                                       samples_per_chunk=4, sync_every=3))
+        rows["mime"].append("video/mp4")
+        rows["meta_json"].append('{"fps": 25}')
+    items = pa.table({k: pa.array(v, multimodal.BINARY_SCHEMA.field(k).type)
+                      for k, v in rows.items()},
+                     schema=multimodal.BINARY_SCHEMA)
+    out = rd.from_arrow(items).map_batches(
+        multimodal.FrameSampleStage, batch_format="pyarrow", batch_size=2,
+        concurrency=(1, 2),
+        fn_constructor_kwargs={"n_frames": 4, "fake": False}).to_pandas()
+    assert len(out) == 12
+    for i in range(3):
+        sub = out[out["item_id"] == i]
+        idxs = sorted(sub["frame_idx"])
+        assert idxs[0] == 0 and idxs[-1] == len(all_samples[i]) - 1
+        # real timestamps: dts = 40 ms per frame at timescale 1000
+        assert all(p == f * 40 for f, p in zip(sub["frame_idx"],
+                                               sub["pts_ms"]))
+        # features are content-addressed over the REAL frame bytes
+        for f, feat in zip(sub["frame_idx"], sub["feature"]):
+            want = multimodal._fake_decode(all_samples[i][f])
+            assert np.allclose(np.asarray(feat), want)
+    # sync-only picks land on the stss keyframe grid (every 3rd sample)
+    sync = rd.from_arrow(items).map_batches(
+        multimodal.FrameSampleStage, batch_format="pyarrow",
+        concurrency=(1, 2),
+        fn_constructor_kwargs={"n_frames": 2, "fake": False,
+                               "sync_only": True}).to_pandas()
+    assert set(sync["frame_idx"]) <= {0, 3, 6, 9, 12}
 
 
 def _png_filter_forward(img: np.ndarray, filters: list[int]) -> bytes:
