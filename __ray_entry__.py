@@ -692,6 +692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _curate_corpus,
         # --- multimodal / graph -------------------------------------------
         "binary_meta": multimodal.binary_meta,
+        "frame_sample_meta": multimodal.frame_sample_meta,
         "user_cooccurrence_triangles":
             graph.purchase_cooccurrence_triangles,
         # --- relational layer (SURVEY §2 M1/A1/A2/K1 + joins) -------------
@@ -1603,6 +1604,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        # MP4 demux roundtrip: the Ray side muxes real ISO BMFF containers
+        # and REAL-demuxes frames back through the sample tables; the twin
+        # recomputes the expected (frame_idx, pts, size) table from the
+        # closed-form synthesis rule alone (sizes 64 + (i*37+j*11) % 100,
+        # 40 ms/frame, 4 evenly spaced picks over 9 + i%5 samples) — a
+        # box-parsing bug on either side breaks the value hash
+        "frame_sample_meta": """
+            WITH items AS (
+              SELECT CAST(i AS BIGINT) AS item_id, 9 + (i % 5) AS n
+              FROM range(0, 32) t(i)
+            ), picks AS (
+              SELECT item_id,
+                     unnest([CAST(round(j * (n - 1) / 3.0) AS INTEGER)
+                             for j in range(0, 4)]) AS frame_idx
+              FROM items
+            )
+            SELECT item_id,
+                   frame_idx,
+                   CAST(frame_idx * 40 AS BIGINT) AS pts_ms,
+                   CAST(64 + ((item_id * 37 + frame_idx * 11) % 100)
+                        AS BIGINT) AS n_bytes
+            FROM picks
         """,
         # KG extraction stages: the golden rules are RE2 + literals, so
         # normalize/mentions/triples have exact DuckDB twins over the derived

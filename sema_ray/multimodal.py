@@ -402,7 +402,7 @@ class FrameSampleStage:
         self.sync_only = sync_only
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, frames, pts, feats = [], [], [], []
+        ids, frames, pts, nbytes, feats = [], [], [], [], []
         for item_id, payload in zip(t["item_id"].to_pylist(),
                                     t["payload"].to_pylist()):
             if self.fake:
@@ -410,6 +410,7 @@ class FrameSampleStage:
                     ids.append(item_id)
                     frames.append(f)
                     pts.append(f * 40)  # 25 fps stand-in
+                    nbytes.append(len(payload))
                     feats.append(_fake_decode(payload + f.to_bytes(4, "big"),
                                               self.dim))
             else:
@@ -419,6 +420,7 @@ class FrameSampleStage:
                     ids.append(item_id)
                     frames.append(idx)
                     pts.append(int(round(pts_s * 1000)))
+                    nbytes.append(len(frame))
                     feats.append(_fake_decode(frame, self.dim))
         flat = (np.concatenate(feats) if feats
                 else np.empty(0, dtype=np.float32))
@@ -428,6 +430,7 @@ class FrameSampleStage:
             "item_id": pa.array(ids, pa.int64()),
             "frame_idx": pa.array(frames, pa.int32()),
             "pts_ms": pa.array(pts, pa.int64()),
+            "n_bytes": pa.array(nbytes, pa.int64()),
             "feature": fa,
         })
 
@@ -497,6 +500,53 @@ def decode_features(items: rd.Dataset, batch_size: int = 16,
         DecodeStage, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def synthesize_mp4_items(n_items: int = 32, n_samples_mod: int = 5,
+                         base_samples: int = 9) -> pa.Table:
+    """Deterministic MP4 table for the oracle-checked demux roundtrip:
+    item ``i`` has ``base_samples + (i % n_samples_mod)`` video samples and
+    sample ``j``'s size is the CLOSED FORM ``64 + ((i*37 + j*11) % 100)`` —
+    a SQL oracle can recompute every byte count without running a demuxer.
+    40 ms per frame at timescale 1000; multi-chunk layout + stss exercise
+    the full sample-table paths."""
+    from .mp4 import mux_mp4
+    rows = {k: [] for k in ("item_id", "modality", "payload", "mime",
+                            "meta_json")}
+    for i in range(n_items):
+        n = base_samples + (i % n_samples_mod)
+        samples = [bytes([(i + j) % 256]) * (64 + ((i * 37 + j * 11) % 100))
+                   for j in range(n)]
+        rows["item_id"].append(i)
+        rows["modality"].append("video")
+        rows["payload"].append(mux_mp4(samples, sample_duration=40,
+                                       samples_per_chunk=4, sync_every=3))
+        rows["mime"].append("video/mp4")
+        rows["meta_json"].append('{"fps": 25}')
+    return pa.table(
+        {k: pa.array(v, BINARY_SCHEMA.field(k).type) for k, v in rows.items()},
+        schema=BINARY_SCHEMA)
+
+
+def frame_sample_meta(sf_dir: str, n_items: int = 32,
+                      n_frames: int = 4) -> rd.Dataset:
+    """Oracle-checked MP4 roundtrip: synthesize deterministic single-track
+    MP4s (:func:`synthesize_mp4_items`), REAL-demux ``n_frames`` evenly
+    spaced frames per item through the actor-pool
+    :class:`FrameSampleStage`, and emit (item_id, frame_idx, pts_ms,
+    n_bytes). The SQL twin recomputes the identical table from the size
+    formula and the even-spacing pick rule alone — any mux/demux
+    sample-table bug breaks the value hash. ``sf_dir`` is unused (the
+    fixture is self-synthesized; no external data)."""
+    del sf_dir
+    items = synthesize_mp4_items(n_items=n_items)
+    out = rd.from_arrow(items).map_batches(
+        FrameSampleStage, batch_format="pyarrow", batch_size=8,
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"n_frames": n_frames, "fake": False})
+    return out.map_batches(
+        lambda t: t.select(["item_id", "frame_idx", "pts_ms", "n_bytes"]),
+        batch_format="pyarrow")
 
 
 def binary_meta(sf_dir: str) -> rd.Dataset:
