@@ -394,6 +394,66 @@ def _file_tree(sf_dir: str) -> tuple[str, str]:
     return root, idx
 
 
+def _jsonl_lang_stats(sf_dir: str):
+    """JSONL source end-to-end: stream the sharded fixture through
+    ray.data.read_json (column-pruned immediately), per-block partial
+    (lang, n, chars), driver fold over the bounded language set. The twin
+    reads the SAME files with DuckDB read_json_auto."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from sema_ray.sources.files import ensure_jsonl, read_jsonl
+    from sema_ray.util import collect_table
+
+    root = ensure_jsonl(sf_dir)
+    ds = read_jsonl(os.path.join(root), columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "lang": t["lang"],
+            "n_docs": pa.array([1] * t.num_rows, pa.int64()),
+            "total_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        }).group_by("lang").aggregate([("n_docs", "sum"),
+                                       ("total_chars", "sum")])
+        return g.rename_columns(["lang", "n_docs", "total_chars"])
+
+    parts = collect_table(ds.map_batches(partial, batch_format="pyarrow",
+                                         batch_size=None))
+    out = parts.group_by("lang").aggregate([("n_docs", "sum"),
+                                            ("total_chars", "sum")])
+    return out.rename_columns(["lang", "n_docs", "total_chars"])
+
+
+def _csv_event_type_hours(sf_dir: str):
+    """CSV source end-to-end: Arrow CSV reader with TRUE column projection
+    (event_type, ts_us only), vectorized hour bucketing, bounded-key fold.
+    The twin reads the SAME files with DuckDB read_csv."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from sema_ray.sources.files import ensure_csv, read_csv_dir
+    from sema_ray.util import collect_table
+
+    root = ensure_csv(sf_dir)
+    ds = read_csv_dir(root, columns=["event_type", "ts_us"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # (ts_us // 1h) % 24 — integer kernels only, ts_us is nonnegative
+        h = pc.divide(t["ts_us"], pa.scalar(3_600_000_000, pa.int64()))
+        hour = pc.subtract(h, pc.multiply(
+            pc.divide(h, pa.scalar(24, pa.int64())),
+            pa.scalar(24, pa.int64())))
+        g = pa.table({
+            "event_type": t["event_type"],
+            "hour": hour,
+            "n": pa.array([1] * t.num_rows, pa.int64()),
+        }).group_by(["event_type", "hour"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "hour", "n"])
+
+    parts = collect_table(ds.map_batches(partial, batch_format="pyarrow",
+                                         batch_size=None))
+    out = parts.group_by(["event_type", "hour"]).aggregate([("n", "sum")])
+    return out.rename_columns(["event_type", "hour", "n"])
+
+
 def _file_search_semantic(sf_dir: str):
     from sema_ray.pipelines.search import search
     _root, idx = _file_tree(sf_dir)
@@ -652,6 +712,32 @@ def _contamination_sql() -> str:
     """
 
 
+def _source_oracle_sqls() -> dict[str, str]:
+    """Twins for the JSONL/CSV source queries: DuckDB reads the SAME
+    fixture files the Ray pipelines stream (generated on demand, cached
+    under /tmp keyed by source parquet size+mtime — the _kg_oracle_sqls
+    pattern), so the comparison covers the full parse path, not just the
+    aggregate."""
+    from sema_ray.sources.files import ensure_csv, ensure_jsonl
+    sf = os.environ.get("SEMA_RAY_ORACLE_SF", "/root/testdata/sf0.01")
+    jr, cr = ensure_jsonl(sf), ensure_csv(sf)
+    return {
+        "jsonl_lang_stats": f"""
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars
+            FROM read_json_auto('{jr}/*.jsonl', format='newline_delimited')
+            GROUP BY lang
+        """,
+        "csv_event_type_hours": f"""
+            SELECT event_type,
+                   (ts_us // 3600000000) % 24 AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM read_csv('{cr}/*.csv')
+            GROUP BY 1, 2
+        """,
+    }
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from sema_ray import (dedup, graph, multimodal, relational, sampling,
                           simsearch, textops)
@@ -695,10 +781,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample_meta": multimodal.frame_sample_meta,
         "user_cooccurrence_triangles":
             graph.purchase_cooccurrence_triangles,
+        # --- file-format sources (JSONL / CSV shards, sources/files.py) ---
+        "jsonl_lang_stats": _jsonl_lang_stats,
+        "csv_event_type_hours": _csv_event_type_hours,
         # --- relational layer (SURVEY §2 M1/A1/A2/K1 + joins) -------------
         "filter_high_quantity": relational.filter_high_quantity,
         "topk_orders": relational.topk_orders,
-        "distinct_segments": relational.distinct_segments,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "brand_price_stats": relational.brand_price_stats,
         "hourly_event_stats": relational.hourly_event_stats,
@@ -706,7 +794,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_users": relational.sessionize_users,
         "orders_per_segment": relational.orders_per_segment,
         "orders_segment_left_outer": relational.orders_segment_left_outer,
-        "active_customer_keys": relational.active_customer_keys,
         "event_type_hour_pivot": relational.event_type_hour_pivot,
         "segment_priority_rollup": relational.segment_priority_rollup,
         "revenue_by_priority": relational.revenue_by_priority,
@@ -724,10 +811,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_orders_per_customer": relational.top3_orders_per_customer,
         # --- text analysis / training-data hygiene ------------------------
         "lang_id": textops.lang_id,
-        "doc_fingerprints": textops.doc_fingerprints,
         # ================= driver window boundary (50) =====================
         # Everything below is either green in CORRECTNESS_r03, redundant
         # with an in-window row, or rows-only/pytest-oracled by design.
+        "doc_fingerprints": textops.doc_fingerprints,
+        "distinct_segments": relational.distinct_segments,
+        "active_customer_keys": relational.active_customer_keys,
         "zscore_by_type": relational.zscore_by_type,
         "sliding_window_counts": relational.sliding_window_counts,
         "inactive_customer_keys": relational.inactive_customer_keys,
@@ -1632,6 +1721,8 @@ def oracle_sql() -> dict[str, str]:
         # normalize/mentions/triples have exact DuckDB twins over the derived
         # corpus parquet (built from golden.py's own constants).
         **_kg_oracle_sqls(),
+        # JSONL/CSV source paths — both engines parse the same shard files
+        **_source_oracle_sqls(),
         # doc_fingerprints, dedup_minhash/simhash, semantic_search and the
         # remaining kg_* pipelines (chunker byte arithmetic, LSH/embedding
         # canonicalization, linked/adjacency/degrees downstream of it) are
