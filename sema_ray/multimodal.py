@@ -262,17 +262,50 @@ def image_features(img: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
     return (gray[np.ix_(ri, ci)] / 255.0).reshape(-1).astype(np.float32)
 
 
-def audio_features(x: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Per-segment RMS energy over ``dim`` equal time segments (mono mix)."""
+_N_FFT = 512
+_HOP = 256
+_MEL_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _mel_filterbank(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
+    """Triangular mel filterbank over rFFT bins (HTK scale:
+    mel = 2595 log10(1 + f/700)); cached per (sr, n_fft, n_mels)."""
+    key = (sr, n_fft, n_mels)
+    fb = _MEL_CACHE.get(key)
+    if fb is not None:
+        return fb
+    def mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+    def imel(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    pts = imel(np.linspace(0.0, mel(sr / 2.0), n_mels + 2))
+    bins = np.floor((n_fft + 1) * pts / sr).astype(np.int64)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(1, n_mels + 1):
+        lo, c, hi = bins[m - 1], bins[m], bins[m + 1]
+        for k in range(lo, c):
+            fb[m - 1, k] = (k - lo) / max(c - lo, 1)
+        for k in range(c, hi):
+            fb[m - 1, k] = (hi - k) / max(hi - c, 1)
+    _MEL_CACHE[key] = fb
+    return fb
+
+
+def audio_features(x: np.ndarray, sr: int = 8000,
+                   dim: int = FEATURE_DIM) -> np.ndarray:
+    """Mean log-mel spectrogram (the MFCC front end, pure NumPy): mono
+    mix, Hann-windowed 512-point frames at hop 256, power rFFT, ``dim``
+    triangular HTK mel bands, log10, mean over time -> [dim] float32.
+    All-vectorized; replaces the round-3 segment-RMS stand-in."""
     mono = x.mean(axis=1) if x.ndim == 2 else x
-    if len(mono) == 0:
-        return np.zeros(dim, dtype=np.float32)
-    bounds = (np.arange(dim + 1) * len(mono)) // dim
-    out = np.empty(dim, dtype=np.float32)
-    for i in range(dim):
-        seg = mono[bounds[i]:max(bounds[i + 1], bounds[i] + 1)]
-        out[i] = np.sqrt(np.mean(seg.astype(np.float64) ** 2))
-    return out
+    mono = np.asarray(mono, dtype=np.float64)
+    if len(mono) < _N_FFT:
+        mono = np.pad(mono, (0, _N_FFT - len(mono)))
+    frames = np.lib.stride_tricks.sliding_window_view(
+        mono, _N_FFT)[::_HOP] * np.hanning(_N_FFT)
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    mel_energy = power @ _mel_filterbank(sr, _N_FFT, dim).T
+    return np.log10(mel_energy + 1e-10).mean(axis=0).astype(np.float32)
 
 
 def _to_rgb(img: np.ndarray) -> np.ndarray:
@@ -297,7 +330,8 @@ def real_decode(payload: bytes, mime: str, dim: int = FEATURE_DIM) -> np.ndarray
         from .jpeg import decode_jpeg
         return image_features(_to_rgb(decode_jpeg(payload)), dim)
     if mime in ("audio/wav", "audio/x-wav"):
-        return audio_features(decode_wav(payload)[0], dim)
+        samples, sr = decode_wav(payload)
+        return audio_features(samples, sr, dim)
     raise NotImplementedError(
         f"no codec for {mime!r} in this container — MP4 frames need "
         "ffmpeg; PPM, PNG, JPEG and WAV decode natively")

@@ -203,7 +203,7 @@ def test_decode_stage_real_codec_gated(ray_session):
     feats = {i: np.asarray(f) for i, f in zip(out["item_id"], out["feature"])}
     for i, mime, payload in zip(items["item_id"].to_pylist(), mimes,
                                 items["payload"].to_pylist()):
-        # feature = 8x8 intensity grid / segment RMS of the real content
+        # feature = 8x8 intensity grid / log-mel bands of the real content
         want = multimodal.real_decode(payload, mime)
         assert np.allclose(feats[i], want)
     # real resize: same container out, exact target dims, content resampled
@@ -359,6 +359,40 @@ def test_png_codec_roundtrip_and_filters():
         multimodal.decode_png(interlaced)
     with pytest.raises(ValueError, match="signature"):
         multimodal.decode_png(b"nope")
+
+
+def test_log_mel_audio_features_spectral_properties():
+    """Independent spec properties of the log-mel front end: a pure tone's
+    energy peaks in the mel band whose center (by the HTK formula computed
+    INLINE here, not via the filterbank under test) matches the tone;
+    band order follows frequency; silence is the log floor."""
+    sr, dim = 8000, multimodal.FEATURE_DIM
+    t = np.arange(2 * sr) / sr
+
+    def peak_band(freq):
+        return int(np.argmax(multimodal.audio_features(
+            0.5 * np.sin(2 * np.pi * freq * t), sr, dim)))
+
+    def expected_band(freq):
+        # inverse of the band-center grid: mel space is linear in band idx
+        m = 2595.0 * np.log10(1.0 + freq / 700.0)
+        m_max = 2595.0 * np.log10(1.0 + (sr / 2.0) / 700.0)
+        return m / m_max * (dim + 1) - 1  # centers at 1..dim of n_mels+2
+
+    for freq in (300.0, 1000.0, 2500.0):
+        assert abs(peak_band(freq) - expected_band(freq)) <= 1.0, freq
+    assert peak_band(500.0) < peak_band(1500.0) < peak_band(3000.0)
+    # silence hits the exact log floor everywhere
+    silent = multimodal.audio_features(np.zeros(sr), sr, dim)
+    assert np.allclose(silent, -10.0)
+    # louder tone -> strictly larger peak energy
+    quiet = multimodal.audio_features(0.1 * np.sin(2 * np.pi * 1000 * t),
+                                      sr, dim)
+    loud = multimodal.audio_features(0.9 * np.sin(2 * np.pi * 1000 * t),
+                                     sr, dim)
+    b = peak_band(1000.0)
+    assert loud[b] > quiet[b]
+    assert loud.dtype == np.float32 and loud.shape == (dim,)
 
 
 def test_resize_and_frame_sample_plumbing(ray_session):
