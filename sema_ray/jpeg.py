@@ -327,7 +327,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             scan = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                (cid, ch, cv, tq) = next(x for x in comps if x[0] == cs)
+                match = [x for x in comps if x[0] == cs]
+                if not match:
+                    raise ValueError(f"JPEG SOS references unknown "
+                                     f"component {cs}")
+                (cid, ch, cv, tq) = match[0]
                 scan.append((cid, ch, cv, tq, tt >> 4, tt & 15))
             segs, i = _split_scan(buf, i)
             return _decode_scan(size, scan, qtabs, htabs, segs, restart)
