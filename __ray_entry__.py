@@ -67,6 +67,8 @@ def _bm25_sql(clauses: list[tuple[str, ...]], k: int = 20,
         f" * ({tf(c)} * {k1 + 1!r})"
         f" / ({tf(c)} + {k1!r} * ({1 - b!r} + ({b!r} * dl) / avg_len)))"
         for c in clauses)
+    match_pred = " OR ".join(
+        f"contains(norm, '{lit(c)}')" for c in clauses)
     return f"""
         WITH d AS (
           SELECT doc_id,
@@ -83,14 +85,17 @@ def _bm25_sql(clauses: list[tuple[str, ...]], k: int = 20,
           FROM d
         ), scored AS (
           SELECT doc_id,
-            {summands} AS score
+            {summands} AS score,
+            ({match_pred}) AS matched
           FROM d, s
         )
         SELECT doc_id, FLOOR(score * 1000000 + 0.5) / 1000000 AS score
         FROM scored
-        -- Tantivy: only matching docs returned; both engines filter AND
-        -- rank on the ROUNDED score (the Ray side rounds before top-k)
-        WHERE FLOOR(score * 1000000 + 0.5) / 1000000 > 0
+        -- Tantivy boolean matching: ≥1 SHOULD clause present (the Ray
+        -- scorer tests the same contains() predicates, independent of the
+        -- score — a ^0-boosted match is returned with score 0); both
+        -- engines rank on the ROUNDED score (Ray rounds before top-k)
+        WHERE matched
         ORDER BY score DESC, doc_id LIMIT {k}
     """
 

@@ -309,7 +309,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 15, tq))
+                ch, cv = hv >> 4, hv & 15
+                if not (1 <= ch <= 2 and 1 <= cv <= 2):
+                    raise ValueError(
+                        f"unsupported JPEG sampling factors {ch}x{cv} "
+                        f"for component {cid} (this decoder handles 1-2)")
+                comps.append((cid, ch, cv, tq))
             size = (h, w)
         elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -348,6 +353,12 @@ def _decode_scan(size, scan, qtabs, htabs, segs, restart) -> np.ndarray:
     n_mcus = mcus_x * mcus_y
     per_comp = []
     for (cid, ch, cv, tq, td, ta) in scan:
+        if tq not in qtabs:
+            raise ValueError(f"JPEG component {cid} references "
+                             f"undeclared quantization table {tq}")
+        if (0, td) not in htabs or (1, ta) not in htabs:
+            raise ValueError(f"JPEG component {cid} references "
+                             f"undeclared Huffman table (dc={td}, ac={ta})")
         per_comp.append({
             "h": ch, "v": cv, "q": qtabs[tq],
             "dc": htabs[(0, td)], "ac": htabs[(1, ta)],

@@ -17,6 +17,7 @@ fixtures — no external data.
 
 from __future__ import annotations
 
+import math
 import struct
 from dataclasses import dataclass
 
@@ -32,6 +33,8 @@ def _boxes(buf: bytes, start: int, end: int):
         typ = buf[i + 4:i + 8]
         body = i + 8
         if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                raise ValueError("malformed MP4 box")
             size = struct.unpack(">Q", buf[i + 8:i + 16])[0]
             body = i + 16
         elif size == 0:  # to end of enclosing box
@@ -198,8 +201,13 @@ def sample_frames(payload: bytes, n_frames: int,
     if not pool:
         raise ValueError("MP4 has no samples")
     k = min(n_frames, len(pool))
-    # evenly spaced, first and last included, no duplicates
-    picks = sorted({round(i * (len(pool) - 1) / max(k - 1, 1))
+    # evenly spaced, first and last included, no duplicates. Half-UP
+    # rounding (floor(x + 0.5)), NOT Python's half-even round(): the
+    # frame_sample_meta DuckDB twin recomputes the pick index with
+    # DuckDB round() (half-away-from-zero), and a .5 midpoint — e.g.
+    # n_frames=5 over 11 samples, i=1 -> 10/4 = 2.5 — must pick the
+    # same frame on both engines (CLAUDE.md oracle-rounding rule).
+    picks = sorted({math.floor(i * (len(pool) - 1) / max(k - 1, 1) + 0.5)
                     for i in range(k)})
     out = []
     for p in picks:

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import math
 import struct
 import wave
 import zlib
@@ -105,7 +106,7 @@ def _png_chunks(payload: bytes):
         (length,) = struct.unpack(">I", payload[i:i + 4])
         ctype = payload[i + 4:i + 8]
         data = payload[i + 8:i + 8 + length]
-        if len(data) < length:
+        if len(data) < length or i + 12 + length > len(payload):
             raise ValueError("truncated PNG chunk")
         (crc,) = struct.unpack(">I", payload[i + 8 + length:i + 12 + length])
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
@@ -453,7 +454,9 @@ class FrameSampleStage:
                         payload, self.n_frames, sync_only=self.sync_only):
                     ids.append(item_id)
                     frames.append(idx)
-                    pts.append(int(round(pts_s * 1000)))
+                    # half-up, not Python half-even round(): keeps pts_ms
+                    # reproducible against DuckDB-round() oracle arithmetic
+                    pts.append(math.floor(pts_s * 1000 + 0.5))
                     nbytes.append(len(frame))
                     feats.append(_fake_decode(frame, self.dim))
         flat = (np.concatenate(feats) if feats

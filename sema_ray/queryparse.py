@@ -23,9 +23,10 @@ Supported grammar (Tantivy's default-field semantics):
   gains ``boost * 1.0``, term statistics don't apply.
 
 Like Tantivy, a query with only MUST/MUST_NOT clauses matches on the
-filters alone. One documented deviation: a term appearing in several
-scoring clauses is scored once with the MAX clause boost (this engine
-scores per distinct term; Tantivy would sum the duplicate clauses).
+filters alone, and a term appearing in several scoring clauses
+contributes one summand per clause — duplicate clauses SUM (Lucene
+``BooleanQuery`` semantics; ``alpha alpha^2`` scores with effective
+boost 3.0).
 """
 
 from __future__ import annotations

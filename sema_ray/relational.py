@@ -733,6 +733,13 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *, key: str,
     union_schema = pa.schema(all_fields)
     out_schema = pa.schema(
         [union_schema.field(n) for n in out_names])
+    # timestamps compare in one numpy dtype: float64 when either side is
+    # floating (fractional epoch seconds are a legal ts type for the
+    # generic operator — a safe int64 cast would raise on them), int64
+    # otherwise (covers ints and pa.timestamp units exactly)
+    _ts_float = (pa.types.is_floating(l_schema.field(left_ts).type)
+                 or pa.types.is_floating(r_schema.field(right_ts).type))
+    _ts_type = pa.float64() if _ts_float else pa.int64()
 
     def _tag(side: str):
         def tag(t: pa.Table) -> pa.Table:
@@ -765,9 +772,9 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *, key: str,
             kcol = kcol.combine_chunks()
         enc = pc.dictionary_encode(kcol)
         code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        lt = pc.fill_null(pc.cast(g[left_ts], pa.int64()), 0) \
+        lt = pc.fill_null(pc.cast(g[left_ts], _ts_type), 0) \
             .to_numpy(zero_copy_only=False)
-        rt = pc.fill_null(pc.cast(g[right_ts], pa.int64()), 0) \
+        rt = pc.fill_null(pc.cast(g[right_ts], _ts_type), 0) \
             .to_numpy(zero_copy_only=False)
         ts = np.where(is_l, lt, rt)
         # key-major order; equal (key, ts) puts R before L (<= is inclusive)

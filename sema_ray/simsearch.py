@@ -967,25 +967,19 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
     any_phrases = any(len(c.terms) > 1 for c in scoring_clauses)
 
     def _token_stream(t: pa.Table):
-        """Block token stream (lower -> split -> flatten, empty edge pieces
-        dropped), dictionary-encoded once per batch and shared by range
-        matching and positional phrase counting:
-        ``(codes, vocab, parents)`` or ``None`` when the batch is tokenless."""
-        low = pc.utf8_lower(t["text"])
-        parts = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
-        if isinstance(parts, pa.ChunkedArray):
-            parts = parts.combine_chunks()
-        flat = pc.list_flatten(parts)
-        if len(flat) == 0:
+        """Block token stream, dictionary-encoded once per batch and shared
+        by range matching and positional phrase counting:
+        ``(codes, vocab, parents)`` or ``None`` when the batch is tokenless.
+        Tokenization goes through ``textops._word_stream`` — the single
+        pinned prelude every token-granular op shares, so bm25 phrase/range
+        matching cannot desynchronize from the other token operators."""
+        from .textops import _word_stream
+        toks, par = _word_stream(t)
+        if toks is None:
             return None
-        parents = pc.list_parent_indices(parts) \
-            .to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        if not keep.any():
-            return None
-        enc = flat.filter(pa.array(keep)).dictionary_encode()
+        enc = toks.dictionary_encode()
         return (enc.indices.to_numpy(zero_copy_only=False).astype(np.int64),
-                enc.dictionary, parents[keep])
+                enc.dictionary, par)
 
     def _range_matches(stream, clauses, n: int) -> list[np.ndarray]:
         """Per-doc any-token-in-range vectors, one per clause: compare the
@@ -1073,12 +1067,13 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
             # range clauses are constant-scored (Lucene/Tantivy rewrite):
             # boost * 1.0 per matching doc, after the term summands
             if any_ranges:
+                # dedup by identity: a +range clause sits in BOTH
+                # scoring_ranges and must_ranges — compute its vector once
+                rng_all = list({id(c): c for c in scoring_ranges
+                                + must_ranges + must_not_ranges}.values())
                 range_hits = dict(zip(
-                    map(id, scoring_ranges + must_ranges + must_not_ranges),
-                    _range_matches(
-                        stream,
-                        scoring_ranges + must_ranges + must_not_ranges,
-                        len(ids))))
+                    map(id, rng_all),
+                    _range_matches(stream, rng_all, len(ids))))
                 for c in scoring_ranges:
                     scores += c.boost * range_hits[id(c)].astype(np.float64)
             # round BEFORE any selection so local top-k, the global merge
@@ -1111,10 +1106,15 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
                 for c in should_ranges:
                     any_should |= range_hits[id(c)]
                 matched &= any_should
-            # Tantivy returns matching docs only; both engines express that
-            # as rounded score > 0 (the SQL twin's WHERE uses the same
-            # rounded expression)
-            cand = np.nonzero(matched & (scores > 0))[0]
+            # Tantivy boolean matching is independent of the score: a doc
+            # matching only ^0-boosted clauses is still returned, with
+            # score 0 — the SQL twin's WHERE tests the same contains()
+            # predicates, not the score. A query with no positive clause
+            # (only MUST_NOT) matches nothing, as in Tantivy.
+            if not (must_pats or must_ranges or should_pats
+                    or should_ranges):
+                matched[:] = False
+            cand = np.nonzero(matched)[0]
             take2 = min(take, len(cand))
             if take2 == 0:
                 return pa.table({"doc_id": pa.array([], pa.int64()),

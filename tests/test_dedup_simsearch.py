@@ -592,3 +592,15 @@ def test_minhash_signatures_storable(ray_session, dup_dir):
     for j in range(10):  # 200+j is a near copy: most lanes agree
         agree = (sig[j] == sig[200 + j]).mean()
         assert agree >= 0.5, (j, agree)
+
+
+def test_bm25_zero_boost_and_pure_negative(ray_session, dup_dir):
+    """Tantivy boolean matching is score-independent: a ^0-boosted clause
+    still MATCHES (returned with score 0), and a query with only MUST_NOT
+    clauses matches nothing."""
+    r = simsearch.bm25_search(dup_dir, query="zzz0^0", k=5).to_pandas()
+    assert list(r["doc_id"]) == [200] and r.iloc[0]["score"] == 0.0
+    r2 = simsearch.bm25_search(dup_dir, query="+zzz0^0", k=5).to_pandas()
+    assert list(r2["doc_id"]) == [200] and r2.iloc[0]["score"] == 0.0
+    r3 = simsearch.bm25_search(dup_dir, query="-zzz0", k=5).to_pandas()
+    assert len(r3) == 0

@@ -101,3 +101,31 @@ def test_rejects_progressive_truncated_and_garbage():
         decode_jpeg(encode_jpeg(img)[:20])
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
+
+
+def test_rejects_undeclared_tables_and_bad_sampling():
+    """Scans naming tables or components never declared must raise the
+    module's ValueError contract (not KeyError/StopIteration), and
+    sampling factors outside the supported 1-2 range are rejected at SOF
+    parse instead of crashing in numpy."""
+    img = np.full((8, 8), 100, np.uint8)
+    base = encode_jpeg(img)
+
+    def mut(marker, off, value):
+        enc = bytearray(base)
+        i = enc.index(marker)
+        enc[i + off] = value
+        return bytes(enc)
+
+    # SOS component-spec byte: cs at marker+5 (after len(2), ns(1))
+    with pytest.raises(ValueError, match="unknown component"):
+        decode_jpeg(mut(b"\xff\xda", 5, 9))
+    # SOS table byte: dc/ac table 3 never sent in DHT
+    with pytest.raises(ValueError, match="Huffman table"):
+        decode_jpeg(mut(b"\xff\xda", 6, 0x33))
+    # SOF comp0 tq at marker+12 (len 2, prec 1, h 2, w 2, nc 1, cid 1, hv 1)
+    with pytest.raises(ValueError, match="quantization table"):
+        decode_jpeg(mut(b"\xff\xc0", 12, 3))
+    # SOF comp0 hv: h=3 is outside the documented 1-2 support
+    with pytest.raises(ValueError, match="sampling factors"):
+        decode_jpeg(mut(b"\xff\xc0", 11, 0x31))

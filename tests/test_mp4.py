@@ -108,3 +108,19 @@ def test_demux_rejects_malformed():
     bad = buf[:cut] + buf[trk.samples[-1].offset + trk.samples[-1].size:]
     with pytest.raises(ValueError):
         demux_mp4(bad)
+
+
+def test_sample_frames_rounds_half_up():
+    """Pick indices round half-UP (the DuckDB-oracle convention), not
+    Python's half-even round(): 5 picks over 11 samples hit the 2.5 and
+    7.5 midpoints, which must land on frames 3 and 8."""
+    samples = [bytes([i]) * 10 for i in range(11)]
+    buf = mux_mp4(samples, timescale=1000, sample_duration=40)
+    assert [i for i, _, _ in sample_frames(buf, 5)] == [0, 3, 5, 8, 10]
+
+
+def test_truncated_largesize_box_raises_valueerror():
+    # a size==1 (64-bit largesize) header cut off mid-field must raise the
+    # module's ValueError contract, not a bare struct.error
+    with pytest.raises(ValueError, match="malformed"):
+        demux_mp4(b"\x00\x00\x00\x01moov" + b"\x00" * 4)

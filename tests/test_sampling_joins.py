@@ -188,3 +188,29 @@ def test_asof_join_segmented_semantics(ray_session):
     # k=3: lts=6 < 9 -> none; k=4: no right rows -> drops
     assert got == {(1, 0): 30, (1, 1): 100}
     assert list(out.columns) == ["k", "lts", "lid", "val"]
+
+
+def test_asof_join_float_timestamps(ray_session):
+    """The generic operator accepts float timestamps (fractional epoch
+    seconds); the int64 fast path must not force an unsafe cast."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sema_ray.relational import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "lts": pa.array([5.5, 2.25, 7.0], pa.float64()),
+        "lid": pa.array([0, 1, 2], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "rts": pa.array([5.5, 3.0, 6.75], pa.float64()),
+        "val": pa.array([55, 30, 67], pa.int64()),
+    }))
+    out = asof_join(left, right, key="k", left_ts="lts", right_ts="rts",
+                    value_cols=["val"], n_parts=2).to_pandas() \
+        .sort_values("lid", ignore_index=True)
+    got = {(r.k, r.lid): r.val for r in out.itertuples()}
+    # k=1: 5.5 matches rts=5.5 inclusively; 2.25 precedes every right row
+    assert got == {(1, 0): 55, (2, 2): 67}

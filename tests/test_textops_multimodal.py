@@ -359,6 +359,10 @@ def test_png_codec_roundtrip_and_filters():
         multimodal.decode_png(interlaced)
     with pytest.raises(ValueError, match="signature"):
         multimodal.decode_png(b"nope")
+    # truncation INSIDE a chunk's 4-byte CRC must raise the same ValueError
+    # contract (was a bare struct.error from the unguarded CRC unpack)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_png(payload[:len(payload) - 14])
 
 
 def test_log_mel_audio_features_spectral_properties():
