@@ -920,6 +920,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (Lucene range rewrite — every matching doc scores 1.0)
         "bm25_range_search": lambda sf: simsearch.bm25_search(
             sf, query="[sa TO sz]"),
+        # temperature-weighted language resampling (XLM-R alpha=0.5 via
+        # exact integer sqrt weights; rates computed FROM the data in one
+        # bounded count pass, then a stateless hash-mod filter)
+        "temperature_sample_by_lang": sampling.temperature_sample_by_lang,
+        # GPT-3-style n-gram-overlap decontamination vs a held-out
+        # benchmark slice (bench gram set = broadcast small side)
+        "ngram_decontaminate": textops.ngram_decontaminate,
+        # Gopher A1.1 document-quality rules, every ratio recast as exact
+        # integer arithmetic (no float thresholds on either engine)
+        "gopher_quality_filter": textops.gopher_quality_filter,
     }
 
 
@@ -1722,6 +1732,97 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_bytes
             FROM picks
         """,
+        # temperature resampling: integer sqrt weights (float sqrt corrected
+        # by one ULP step), integer quota m = min(c, target*w // W), keep
+        # iff knuth_bucket(doc_id) % c < m — all-integer on both engines
+        "temperature_sample_by_lang": """
+            WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+                       GROUP BY lang),
+            w0 AS (SELECT lang, n,
+                          CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS r
+                   FROM c),
+            w AS (SELECT lang, n,
+                         CASE WHEN (r + 1) * (r + 1) <= n THEN r + 1
+                              WHEN r * r > n THEN r - 1
+                              ELSE r END AS w
+                  FROM w0),
+            s AS (SELECT SUM(w) AS tw, SUM(n) // 2 AS target FROM w),
+            m AS (SELECT lang, n,
+                         LEAST(n, (s.target * w.w) // s.tw) AS m
+                  FROM w, s)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN m USING (lang)
+            WHERE (((CAST(d.doc_id AS HUGEINT) % 4294967296) + 4294967296)
+                  % 4294967296 * 2654435761) % 4294967296 % m.n < m.m
+        """,
+        # n-gram decontamination: benchmark slice = doc_id % 97 == 0; a
+        # training doc's n_hits counts every (overlapping) 5-gram position
+        # matching any distinct benchmark 5-gram
+        "ngram_decontaminate": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9]+')
+                                  AS l
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         unnest([{gram5}
+                                 for i in range(1, len(l) - 3)]) AS gram
+                  FROM t),
+            b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            h AS (SELECT g.doc_id, COUNT(*) AS n
+                  FROM g JOIN b USING (gram)
+                  WHERE g.doc_id % 97 <> 0
+                  GROUP BY g.doc_id)
+            SELECT t.doc_id,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+                   CAST(COALESCE(h.n, 0) > 0 AS BIGINT) AS contaminated
+            FROM t LEFT JOIN h USING (doc_id)
+            WHERE t.doc_id % 97 <> 0
+        """.format(gram5=" || ' ' || ".join(f"l[i+{j}]" for j in range(5))),
+        # Gopher A1.1 rules — every ratio as exact integer arithmetic
+        "gopher_quality_filter": """
+            WITH d AS (
+              SELECT doc_id, text, lower(text) AS low,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS l,
+                     ' ' || regexp_replace(lower(text), '[^a-z0-9]+', '  ',
+                                           'g') || ' ' AS norm
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                CAST(len(l) AS BIGINT) AS n_words,
+                CAST(length(regexp_replace(low, '[^a-z0-9]', '', 'g'))
+                     AS BIGINT) AS n_tokchars,
+                CAST(length(text) - length(replace(text, '#', ''))
+                     AS BIGINT) AS n_hash,
+                CAST((length(text) - length(replace(text, '...', ''))) // 3
+                     AS BIGINT) AS n_ell,
+                CAST(len([x for x in l
+                          if regexp_full_match(x, '[0-9]+')]) AS BIGINT)
+                    AS n_digit_tok,
+                CAST({stop_sum} AS BIGINT) AS n_stop
+              FROM d
+            )
+            SELECT doc_id, n_words,
+              CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT)
+                  AS ok_word_count,
+              CAST(3 * n_words <= n_tokchars
+                   AND n_tokchars <= 10 * n_words AS BIGINT)
+                  AS ok_mean_word_len,
+              CAST(10 * (n_hash + n_ell) <= n_words AS BIGINT)
+                  AS ok_symbol_ratio,
+              CAST(5 * (n_words - n_digit_tok) >= 4 * n_words AS BIGINT)
+                  AS ok_alpha_words,
+              CAST(n_stop >= 2 AS BIGINT) AS ok_stopwords,
+              CAST(n_words >= 50 AND n_words <= 100000
+                   AND 3 * n_words <= n_tokchars
+                   AND n_tokchars <= 10 * n_words
+                   AND 10 * (n_hash + n_ell) <= n_words
+                   AND 5 * (n_words - n_digit_tok) >= 4 * n_words
+                   AND n_stop >= 2 AS BIGINT) AS pass
+            FROM f
+        """.format(stop_sum=" + ".join(
+            f"CASE WHEN contains(norm, ' {w} ') THEN 1 ELSE 0 END"
+            for w in ("the", "be", "to", "of", "and", "that", "have",
+                      "with"))),
         # KG extraction stages: the golden rules are RE2 + literals, so
         # normalize/mentions/triples have exact DuckDB twins over the derived
         # corpus parquet (built from golden.py's own constants).

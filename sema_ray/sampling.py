@@ -16,6 +16,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 _KNUTH = np.uint64(2654435761)
@@ -137,3 +138,65 @@ def assign_splits(sf_dir: str,
                          "split": pa.array(split, pa.string())})
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def temperature_sample_by_lang(sf_dir: str, t_num: int = 1,
+                               t_den: int = 2) -> rd.Dataset:
+    """Temperature-weighted language resampling (the multilingual rebalance
+    of XLM-R / mC4, Conneau et al. 2020 §3.1, at alpha = 0.5): language l
+    with count c_l is sampled in proportion to c_l^alpha, so low-resource
+    languages are upsampled relative to their corpus share, rescaled to a
+    ``t_num/t_den`` fraction of the corpus overall.
+
+    Unlike :func:`sample_docs_by_lang` the per-language rates are computed
+    FROM the data: pass 1 folds per-block language ``value_counts`` partials
+    on the driver (bounded by language cardinality — dozens, never corpus
+    rows); pass 2 is a stateless per-batch filter, partition-invariant.
+
+    All arithmetic is EXACT integers so the DuckDB twin is bit-identical:
+    weights are integer square roots (``math.isqrt``; the twin corrects
+    float ``sqrt`` by one ULP step), the per-language quota is
+    ``m_l = min(c_l, target * w_l // W)``, and a document is kept iff its
+    Knuth bucket mod c_l lands below m_l. Output: doc_id, lang (kept rows).
+    """
+    import math
+
+    from .util import collect_table
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.fill_null(t["lang"], "").value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"lang": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    partials = collect_table(ds.map_batches(partial, batch_format="pyarrow",
+                                            batch_size=None))
+    agg = partials.group_by("lang").aggregate([("n", "sum")])
+    counts = dict(zip(agg["lang"].to_pylist(), agg["n_sum"].to_pylist()))
+    total = sum(counts.values())
+    weights = {lang: math.isqrt(n) for lang, n in counts.items()}
+    wsum = max(1, sum(weights.values()))
+    target = (total * t_num) // t_den
+    quota = {lang: min(counts[lang], (target * w) // wsum)
+             for lang, w in weights.items()}
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        buckets = ((ids % _MOD32) * _KNUTH) % _MOD32
+        enc = pc.dictionary_encode(pc.fill_null(
+            t["lang"].combine_chunks() if isinstance(t["lang"],
+                                                     pa.ChunkedArray)
+            else t["lang"], ""))
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        langs = enc.dictionary.to_pylist()
+        c_arr = np.fromiter((counts.get(g, 1) for g in langs),
+                            dtype=np.uint64, count=len(langs))
+        m_arr = np.fromiter((quota.get(g, 0) for g in langs),
+                            dtype=np.uint64, count=len(langs))
+        mask = (buckets % c_arr[codes]) < m_arr[codes]
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

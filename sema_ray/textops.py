@@ -972,3 +972,143 @@ def repetition_stats(sf_dir: str) -> rd.Dataset:
         })
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def _gram_strings(t: pa.Table, n: int):
+    """Vectorized word n-grams over a batch: ``(grams, gram_parents)`` —
+    one space-joined string per token position that starts an n-run inside
+    a single document — or ``(None, None)`` when the batch has none. Built
+    from :func:`_word_stream` (the pinned tokenization) with n shifted
+    takes + one ``binary_join_element_wise``; zero per-row Python."""
+    toks, par = _word_stream(t)
+    if toks is None or len(par) < n:
+        return None, None
+    starts = np.nonzero(par[:len(par) - n + 1] == par[n - 1:])[0]
+    if len(starts) == 0:
+        return None, None
+    parts = [toks.take(pa.array(starts + j, pa.int64())) for j in range(n)]
+    return pc.binary_join_element_wise(*parts, " "), par[starts]
+
+
+def ngram_decontaminate(sf_dir: str, n: int = 5,
+                        bench_mod: int = 97) -> rd.Dataset:
+    """Benchmark decontamination by n-gram overlap (the GPT-3 rule, Brown
+    et al. 2020 appendix C — 13-grams there, ``n`` here): flag every
+    training document sharing any word n-gram with the held-out benchmark
+    slice (``doc_id % bench_mod == 0`` stands in for the eval corpus).
+
+    Pass 1 extracts the benchmark's DISTINCT n-grams — the small side by
+    definition (eval sets are fixed-size; the gram set is bounded by
+    benchmark tokens, never corpus tokens) — via per-block vectorized gram
+    partials folded on the driver. The set ships in the task closure
+    (cached per worker process); pass 2 is one stateless vectorized
+    ``is_in`` + bincount per batch over the training side. Output
+    (non-benchmark docs only): doc_id, n_hits (overlapping gram positions
+    matching the benchmark set), contaminated (0/1).
+    """
+    from .util import collect_table
+    ds = _load_docs(sf_dir, ["doc_id", "text"])
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.string())})
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sel = np.nonzero(ids % bench_mod == 0)[0]
+        if len(sel) == 0:
+            return empty
+        grams, _ = _gram_strings(t.take(pa.array(sel, pa.int64())), n)
+        if grams is None:
+            return empty
+        return pa.table({"gram": pc.unique(grams)})
+
+    bench_tbl = collect_table(ds.map_batches(
+        bench_partial, batch_format="pyarrow", batch_size=None))
+    bench = (pc.unique(bench_tbl["gram"]) if bench_tbl.num_rows
+             else pa.array([], pa.string()))
+
+    def flag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t2 = t.take(pa.array(np.nonzero(ids % bench_mod != 0)[0], pa.int64()))
+        nh = np.zeros(t2.num_rows, dtype=np.int64)
+        if t2.num_rows and len(bench):
+            grams, gpar = _gram_strings(t2, n)
+            if grams is not None:
+                hit = pc.is_in(grams, value_set=bench) \
+                    .to_numpy(zero_copy_only=False)
+                nh = np.bincount(gpar[hit],
+                                 minlength=t2.num_rows).astype(np.int64)
+        return pa.table({
+            "doc_id": t2["doc_id"],
+            "n_hits": pa.array(nh, pa.int64()),
+            "contaminated": pa.array((nh > 0).astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(sf_dir: str, min_words: int = 50,
+                          max_words: int = 100_000) -> rd.Dataset:
+    """The Gopher document-quality rules (Rae et al. 2021, appendix A1.1)
+    as one stateless vectorized pass, each rule recast as EXACT integer
+    arithmetic so the DuckDB twin is bit-identical (no float ratios):
+
+    - word count in [min_words, max_words];
+    - mean word length in [3, 10]   -> 3*n_words <= n_token_chars <= 10*n_words;
+    - symbol-to-word ratio <= 0.1   -> 10*(n_hash + n_ellipsis) <= n_words;
+    - >= 80% words contain a letter -> 5*n_letter_words >= 4*n_words
+      (letter words = tokens that are not all-digit);
+    - >= 2 distinct Gopher stopwords present.
+
+    Output: doc_id, n_words, one 0/1 column per rule, pass (AND of all).
+    """
+    ds = _load_docs(sf_dir, ["doc_id", "text"])
+
+    def rules(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        low = pc.utf8_lower(text)
+        n_words = pc.count_substring_regex(low, pattern="[a-z0-9]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tokchars = pc.count_substring_regex(low, pattern="[a-z0-9]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_hash = pc.count_substring(text, pattern="#") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_ell = pc.count_substring(text, pattern="...") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_digit_tok = np.zeros(t.num_rows, dtype=np.int64)
+        toks, par = _word_stream(t)
+        if toks is not None:
+            dig = pc.match_substring_regex(toks, pattern="^[0-9]+$") \
+                .to_numpy(zero_copy_only=False)
+            n_digit_tok = np.bincount(par[dig], minlength=t.num_rows) \
+                .astype(np.int64)
+        norm = pc.binary_join_element_wise(
+            " ", pc.replace_substring_regex(low, pattern="[^a-z0-9]+",
+                                            replacement="  "), " ", "")
+        n_stop = np.zeros(t.num_rows, dtype=np.int64)
+        for w in GOPHER_STOPWORDS:
+            n_stop += pc.match_substring(norm, pattern=f" {w} ") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        ok_wc = (n_words >= min_words) & (n_words <= max_words)
+        ok_mean = (3 * n_words <= n_tokchars) & (n_tokchars <= 10 * n_words)
+        ok_sym = 10 * (n_hash + n_ell) <= n_words
+        ok_alpha = 5 * (n_words - n_digit_tok) >= 4 * n_words
+        ok_stop = n_stop >= 2
+        ok = ok_wc & ok_mean & ok_sym & ok_alpha & ok_stop
+
+        def i64(a):
+            return pa.array(a.astype(np.int64), pa.int64())
+
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "ok_word_count": i64(ok_wc),
+            "ok_mean_word_len": i64(ok_mean),
+            "ok_symbol_ratio": i64(ok_sym),
+            "ok_alpha_words": i64(ok_alpha),
+            "ok_stopwords": i64(ok_stop),
+            "pass": i64(ok),
+        })
+
+    return ds.map_batches(rules, batch_format="pyarrow")

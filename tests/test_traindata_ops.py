@@ -129,3 +129,77 @@ def test_curate_corpus_composition(ray_session):
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["lang"].tolist() == want["lang"].tolist()
     assert len(got) > 0  # the gate keeps a non-trivial subset
+
+
+def test_ngram_decontaminate_planted(ray_session, tmp_path):
+    """doc_id 0 (0 % 97 == 0) is the benchmark slice; exactly its 5-grams
+    flag training docs, 4-gram overlap does not, and overlapping positions
+    all count."""
+    from sema_ray.textops import ngram_decontaminate
+    d = _docs_dir(tmp_path, [
+        "alpha beta gamma delta epsilon",                  # bench: one 5-gram
+        "prefix words alpha beta gamma delta epsilon end",  # hit x1
+        "totally unrelated text about cooking pasta now",   # clean
+        "alpha beta gamma delta STOP epsilon",              # only a 4-gram
+        "alpha beta gamma delta epsilon alpha beta gamma delta epsilon",
+    ])
+    out = ngram_decontaminate(d).to_pandas().set_index("doc_id")
+    assert 0 not in out.index  # benchmark docs are excluded from output
+    assert out.loc[1, "n_hits"] == 1 and out.loc[1, "contaminated"] == 1
+    assert out.loc[2, "n_hits"] == 0 and out.loc[2, "contaminated"] == 0
+    assert out.loc[3, "n_hits"] == 0
+    # doc 4 repeats the gram twice plus the wrap "epsilon alpha beta gamma
+    # delta" is NOT a bench gram -> exactly 2 hits
+    assert out.loc[4, "n_hits"] == 2
+
+
+def test_temperature_sample_by_lang_exact_rule(ray_session, tmp_path):
+    """Exact pure-Python recomputation of the integer rule, plus the
+    temperature property: rarer languages keep a HIGHER fraction."""
+    import math
+
+    from sema_ray.sampling import temperature_sample_by_lang
+    langs = ["en"] * 64 + ["de"] * 16 + ["fr"] * 4
+    d = _docs_dir(tmp_path, [f"doc number {i}" for i in range(len(langs))],
+                  langs=langs)
+    out = temperature_sample_by_lang(d).to_pandas()
+    out2 = temperature_sample_by_lang(d).to_pandas()
+    assert out.sort_values("doc_id").reset_index(drop=True).equals(
+        out2.sort_values("doc_id").reset_index(drop=True))  # deterministic
+    c = {"en": 64, "de": 16, "fr": 4}
+    w = {g: math.isqrt(n) for g, n in c.items()}
+    target, wsum = sum(c.values()) // 2, sum(w.values())
+    m = {g: min(c[g], target * w[g] // wsum) for g in c}
+    keep = {i for i, g in enumerate(langs)
+            if ((i % (1 << 32)) * 2654435761) % (1 << 32) % c[g] < m[g]}
+    assert set(out["doc_id"]) == keep
+    frac = {g: sum(1 for i in out.itertuples() if i.lang == g) / c[g]
+            for g in c}
+    assert frac["fr"] >= frac["de"] >= frac["en"]  # upsampled tail
+    assert frac["fr"] > frac["en"]
+
+
+def test_gopher_quality_filter_rules(ray_session, tmp_path):
+    from sema_ray.textops import gopher_quality_filter
+    good = "the quick brown fox jumps over the lazy dog of note " * 6
+    d = _docs_dir(tmp_path, [
+        good,                                     # 0: passes everything
+        "the cat sat of mat",                     # 1: too few words
+        good + " # # # # # # # #",                # 2: symbol-heavy
+        "the of cat dog bird " * 6 + "12 34 56 78 90 " * 4,  # 3: digit-heavy
+        "cat dog bird fish lion " * 12,           # 4: no stopwords
+        "extraordinarily sophisticated " * 30,    # 5: words too long
+        "one two three ... ... ...",              # 6: ellipsis symbols
+    ])
+    out = gopher_quality_filter(d).to_pandas().set_index("doc_id")
+    assert out.loc[0, "pass"] == 1
+    assert (out.loc[0, ["ok_word_count", "ok_mean_word_len",
+                        "ok_symbol_ratio", "ok_alpha_words",
+                        "ok_stopwords"]] == 1).all()
+    assert out.loc[1, "ok_word_count"] == 0 and out.loc[1, "pass"] == 0
+    assert out.loc[2, "ok_symbol_ratio"] == 0
+    assert out.loc[3, "ok_alpha_words"] == 0
+    assert out.loc[4, "ok_stopwords"] == 0
+    assert out.loc[5, "ok_mean_word_len"] == 0
+    assert out.loc[6, "ok_symbol_ratio"] == 0
+    assert out.loc[0, "n_words"] == 66
