@@ -930,6 +930,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher A1.1 document-quality rules, every ratio recast as exact
         # integer arithmetic (no float thresholds on either engine)
         "gopher_quality_filter": textops.gopher_quality_filter,
+        # reciprocal-rank fusion of the reference's two retrieval modes
+        # (BM25 text ranks + exact-cosine vector ranks, Cormack 2009)
+        "hybrid_search_rrf": simsearch.hybrid_search_rrf,
     }
 
 
@@ -1732,6 +1735,40 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_bytes
             FROM picks
         """,
+        # RRF hybrid: both half-twins already exist (the bm25 SQL and the
+        # knn list_cosine_similarity ranking); fusion adds COALESCEd
+        # reciprocal terms in the same IEEE order the Ray side sums
+        "hybrid_search_rrf": """
+            WITH bm AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+              FROM ({bm_inner})
+            ), vs AS (
+              SELECT doc_id, r FROM (
+                SELECT b.vec_id AS doc_id,
+                       ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) DESC,
+                           b.vec_id) AS r
+                FROM embeddings b,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                WHERE b.vec_id <> 0) t
+              WHERE r <= 50
+            ), f AS (
+              SELECT COALESCE(bm.doc_id, vs.doc_id) AS doc_id,
+                     COALESCE(1.0 / (60 + bm.r), 0.0)
+                     + COALESCE(1.0 / (60 + vs.r), 0.0) AS s,
+                     COALESCE(bm.r, 0) AS r_text,
+                     COALESCE(vs.r, 0) AS r_vec
+              FROM bm FULL OUTER JOIN vs ON bm.doc_id = vs.doc_id
+            )
+            SELECT doc_id,
+                   FLOOR(s * 1000000000 + 0.5) / 1000000000 AS rrf_score,
+                   CAST(r_text AS BIGINT) AS r_text,
+                   CAST(r_vec AS BIGINT) AS r_vec
+            FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """.format(bm_inner=_bm25_sql(
+            [("scan",), ("table",), ("vector",)], k=50)),
         # temperature resampling: integer sqrt weights (float sqrt corrected
         # by one ULP step), integer quota m = min(c, target*w // W), keep
         # iff knuth_bucket(doc_id) % c < m — all-integer on both engines

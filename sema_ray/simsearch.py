@@ -1137,3 +1137,56 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
         merged.schema.get_field_index("score"), "score",
         round_half_up(merged["score"], 6))
     return rd.from_arrow(merged)
+
+
+def hybrid_search_rrf(sf_dir: str, query: str = "scan table vector",
+                      qvec_id: int = 0, k: int = 20, pool: int = 50,
+                      c: int = 60) -> rd.Dataset:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    fuse the two ranked lists the reference exposes as separate modes —
+    BM25 text ranks over ``documents`` and exact-cosine vector ranks over
+    ``embeddings`` (query = the ``qvec_id`` row, self excluded) — as
+    ``rrf = 1/(c + r_text) + 1/(c + r_vec)`` (missing side contributes 0,
+    text term added first so the IEEE sum order matches the SQL twin).
+
+    Both halves run distributed (the bm25 two-pass scorer; a broadcast
+    query vector + per-batch local top-``pool`` scan); only the two
+    ``pool``-sized ranked lists reach the driver, where the fusion is a
+    bounded vectorized merge. Ranks come from the deterministic
+    (score desc, id asc) order both engines share. Output: doc_id,
+    rrf_score (rounded 9), r_text, r_vec (0 = absent from that list).
+    """
+    from .util import collect_table
+    bm = collect_table(bm25_search(sf_dir, query=query, k=pool)) \
+        .sort_by([("score", "descending"), ("doc_id", "ascending")])
+    r_text = dict(zip(bm["doc_id"].to_pylist(),
+                      range(1, bm.num_rows + 1)))
+
+    ds = _load_embeddings(sf_dir)
+    qt = collect_table(ds.filter(expr=f"vec_id == {qvec_id}"))
+    local = ds.map_batches(
+        TopKScoreStage(qt["vec_id"].to_numpy(zero_copy_only=False),
+                       _batch_matrix(qt), pool, True),
+        batch_format="pyarrow")
+    vec = collect_table(local) \
+        .sort_by([("score", "descending"), ("neighbor_id", "ascending")]) \
+        .slice(0, pool)
+    r_vec = dict(zip(vec["neighbor_id"].to_pylist(),
+                     range(1, vec.num_rows + 1)))
+
+    docs = sorted(set(r_text) | set(r_vec))
+    rt = np.fromiter((r_text.get(d, 0) for d in docs), dtype=np.int64,
+                     count=len(docs))
+    rv = np.fromiter((r_vec.get(d, 0) for d in docs), dtype=np.int64,
+                     count=len(docs))
+    s = np.where(rt > 0, 1.0 / (c + rt), 0.0) \
+        + np.where(rv > 0, 1.0 / (c + rv), 0.0)
+    s = np.floor(s * 1e9 + 0.5) / 1e9
+    order = np.lexsort((np.asarray(docs, dtype=np.int64), -s))[:k]
+    ids = np.asarray(docs, dtype=np.int64)[order]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "rrf_score": pa.array(s[order], pa.float64()),
+        "r_text": pa.array(rt[order], pa.int64()),
+        "r_vec": pa.array(rv[order], pa.int64()),
+    }))

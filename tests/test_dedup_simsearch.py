@@ -604,3 +604,44 @@ def test_bm25_zero_boost_and_pure_negative(ray_session, dup_dir):
     assert list(r2["doc_id"]) == [200] and r2.iloc[0]["score"] == 0.0
     r3 = simsearch.bm25_search(dup_dir, query="-zzz0", k=5).to_pandas()
     assert len(r3) == 0
+
+
+def test_hybrid_search_rrf(ray_session, tmp_path):
+    """RRF fusion: planted doc 7 tops BOTH ranked lists -> fused rank 1;
+    every emitted rrf_score equals its reciprocal-rank recomputation; the
+    vector ranks match a whole-matrix numpy brute force."""
+    rng = np.random.default_rng(21)
+    texts = [f"filler words about nothing {i} " * 8 for i in range(12)]
+    texts[7] = "scan table vector " * 10
+    texts[3] = "one scan appears here " + "pad words " * 20
+    vecs = rng.standard_normal((12, 16)).astype(np.float32)
+    vecs[7] = vecs[0] + 0.001 * rng.standard_normal(16).astype(np.float32)
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(12)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    pq.write_table(pa.table({
+        "vec_id": pa.array(list(range(12)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    }), os.path.join(d, "embeddings.parquet"))
+
+    out = simsearch.hybrid_search_rrf(
+        d, query="scan table vector", qvec_id=0, k=5, pool=10).to_pandas()
+    assert out.iloc[0]["doc_id"] == 7  # top of both lists
+    assert list(out["rrf_score"]) == sorted(out["rrf_score"], reverse=True)
+    for r in out.itertuples():  # reciprocal-rank recomputation, exact
+        exp = (1.0 / (60 + r.r_text) if r.r_text else 0.0) \
+            + (1.0 / (60 + r.r_vec) if r.r_vec else 0.0)
+        assert r.rrf_score == np.floor(exp * 1e9 + 0.5) / 1e9
+    # vector ranks vs whole-matrix brute force (query vec 0, self excluded)
+    m = vecs.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = m @ m[0]
+    order = sorted((i for i in range(12) if i != 0),
+                   key=lambda i: (-cos[i], i))
+    expect_rank = {i: r + 1 for r, i in enumerate(order[:10])}
+    for r in out.itertuples():
+        if r.r_vec:
+            assert expect_rank[r.doc_id] == r.r_vec
