@@ -1844,7 +1844,8 @@ def oracle_sql() -> dict[str, str]:
               CAST(3 * n_words <= n_tokchars
                    AND n_tokchars <= 10 * n_words AS BIGINT)
                   AS ok_mean_word_len,
-              CAST(10 * (n_hash + n_ell) <= n_words AS BIGINT)
+              CAST(10 * n_hash <= n_words
+                   AND 10 * n_ell <= n_words AS BIGINT)
                   AS ok_symbol_ratio,
               CAST(5 * (n_words - n_digit_tok) >= 4 * n_words AS BIGINT)
                   AS ok_alpha_words,
@@ -1852,7 +1853,8 @@ def oracle_sql() -> dict[str, str]:
               CAST(n_words >= 50 AND n_words <= 100000
                    AND 3 * n_words <= n_tokchars
                    AND n_tokchars <= 10 * n_words
-                   AND 10 * (n_hash + n_ell) <= n_words
+                   AND 10 * n_hash <= n_words
+                   AND 10 * n_ell <= n_words
                    AND 5 * (n_words - n_digit_tok) >= 4 * n_words
                    AND n_stop >= 2 AS BIGINT) AS pass
             FROM f

@@ -166,7 +166,9 @@ def temperature_sample_by_lang(sf_dir: str, t_num: int = 1,
                          columns=["doc_id", "lang"])
 
     def partial(t: pa.Table) -> pa.Table:
-        vc = pc.fill_null(t["lang"], "").value_counts()
+        # NULL lang = no language -> excluded from the rebalance entirely,
+        # matching the twin's inner JOIN ... USING (lang) null semantics
+        vc = t["lang"].drop_null().value_counts()
         if isinstance(vc, pa.ChunkedArray):
             vc = vc.combine_chunks()
         return pa.table({"lang": vc.field("values"),
@@ -186,13 +188,15 @@ def temperature_sample_by_lang(sf_dir: str, t_num: int = 1,
     def keep(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         buckets = ((ids % _MOD32) * _KNUTH) % _MOD32
-        enc = pc.dictionary_encode(pc.fill_null(
-            t["lang"].combine_chunks() if isinstance(t["lang"],
-                                                     pa.ChunkedArray)
-            else t["lang"], ""))
-        codes = enc.indices.to_numpy(zero_copy_only=False)
-        langs = enc.dictionary.to_pylist()
-        c_arr = np.fromiter((counts.get(g, 1) for g in langs),
+        col = t["lang"].combine_chunks() \
+            if isinstance(t["lang"], pa.ChunkedArray) else t["lang"]
+        enc = pc.dictionary_encode(col)
+        # null codes dictionary-encode to null indices -> fill with -1 and
+        # route to a zero quota (null lang is never kept, like the twin)
+        codes = pc.fill_null(enc.indices, -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = enc.dictionary.to_pylist() + [None]
+        c_arr = np.fromiter((counts.get(g, 1) or 1 for g in langs),
                             dtype=np.uint64, count=len(langs))
         m_arr = np.fromiter((quota.get(g, 0) for g in langs),
                             dtype=np.uint64, count=len(langs))

@@ -1056,7 +1056,9 @@ def gopher_quality_filter(sf_dir: str, min_words: int = 50,
 
     - word count in [min_words, max_words];
     - mean word length in [3, 10]   -> 3*n_words <= n_token_chars <= 10*n_words;
-    - symbol-to-word ratio <= 0.1   -> 10*(n_hash + n_ellipsis) <= n_words;
+    - hash-to-word ratio <= 0.1 AND ellipsis-to-word ratio <= 0.1 (each
+      symbol tested separately, as in the paper) -> 10*n_hash <= n_words
+      AND 10*n_ellipsis <= n_words;
     - >= 80% words contain a letter -> 5*n_letter_words >= 4*n_words
       (letter words = tokens that are not all-digit);
     - >= 2 distinct Gopher stopwords present.
@@ -1068,17 +1070,22 @@ def gopher_quality_filter(sf_dir: str, min_words: int = 50,
     def rules(t: pa.Table) -> pa.Table:
         text = t["text"]
         low = pc.utf8_lower(text)
-        n_words = pc.count_substring_regex(low, pattern="[a-z0-9]+") \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        n_tokchars = pc.count_substring_regex(low, pattern="[a-z0-9]") \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
         n_hash = pc.count_substring(text, pattern="#") \
             .to_numpy(zero_copy_only=False).astype(np.int64)
         n_ell = pc.count_substring(text, pattern="...") \
             .to_numpy(zero_copy_only=False).astype(np.int64)
+        # one tokenization pass feeds word count, token-char total and the
+        # digit-token count (no second full-text RE2 scan for any of them)
+        n_words = np.zeros(t.num_rows, dtype=np.int64)
+        n_tokchars = np.zeros(t.num_rows, dtype=np.int64)
         n_digit_tok = np.zeros(t.num_rows, dtype=np.int64)
         toks, par = _word_stream(t)
         if toks is not None:
+            n_words = np.bincount(par, minlength=t.num_rows) \
+                .astype(np.int64)
+            tok_len = pc.utf8_length(toks).to_numpy(zero_copy_only=False)
+            n_tokchars = np.bincount(par, weights=tok_len,
+                                     minlength=t.num_rows).astype(np.int64)
             dig = pc.match_substring_regex(toks, pattern="^[0-9]+$") \
                 .to_numpy(zero_copy_only=False)
             n_digit_tok = np.bincount(par[dig], minlength=t.num_rows) \
@@ -1092,7 +1099,7 @@ def gopher_quality_filter(sf_dir: str, min_words: int = 50,
                 .to_numpy(zero_copy_only=False).astype(np.int64)
         ok_wc = (n_words >= min_words) & (n_words <= max_words)
         ok_mean = (3 * n_words <= n_tokchars) & (n_tokchars <= 10 * n_words)
-        ok_sym = 10 * (n_hash + n_ell) <= n_words
+        ok_sym = (10 * n_hash <= n_words) & (10 * n_ell <= n_words)
         ok_alpha = 5 * (n_words - n_digit_tok) >= 4 * n_words
         ok_stop = n_stop >= 2
         ok = ok_wc & ok_mean & ok_sym & ok_alpha & ok_stop

@@ -203,3 +203,40 @@ def test_gopher_quality_filter_rules(ray_session, tmp_path):
     assert out.loc[5, "ok_mean_word_len"] == 0
     assert out.loc[6, "ok_symbol_ratio"] == 0
     assert out.loc[0, "n_words"] == 66
+
+
+def test_temperature_sample_null_lang_excluded(ray_session, tmp_path):
+    """NULL lang = no language: excluded from the rebalance entirely
+    (matching the SQL twin's inner-join null semantics), while real
+    languages sample exactly as if the null rows were absent."""
+    import math
+
+    from sema_ray.sampling import temperature_sample_by_lang
+    langs = ["en"] * 16 + [None] * 8 + ["de"] * 4
+    d = _docs_dir(tmp_path, [f"text {i}" for i in range(len(langs))],
+                  langs=langs)
+    out = temperature_sample_by_lang(d).to_pandas()
+    assert out["lang"].notna().all()
+    c = {"en": 16, "de": 4}
+    w = {g: math.isqrt(n) for g, n in c.items()}
+    target, wsum = sum(c.values()) // 2, sum(w.values())
+    m = {g: min(c[g], target * w[g] // wsum) for g in c}
+    keep = {i for i, g in enumerate(langs) if g is not None
+            and ((i % (1 << 32)) * 2654435761) % (1 << 32) % c[g] < m[g]}
+    assert set(out["doc_id"]) == keep
+
+
+def test_gopher_symbol_budgets_are_separate(ray_session, tmp_path):
+    """Each symbol's ratio is tested against 0.1 on its own (Gopher A1.1):
+    6% hashes AND 6% ellipses passes; 12% of either alone fails."""
+    from sema_ray.textops import gopher_quality_filter
+    body = "the quick brown fox jumps of note " * 14  # 98 words
+    d = _docs_dir(tmp_path, [
+        body + " ".join(["#"] * 6) + " " + " ".join(["..."] * 6),
+        body + " ".join(["#"] * 12),
+        body + " ".join(["..."] * 12),
+    ])
+    out = gopher_quality_filter(d).to_pandas().set_index("doc_id")
+    assert out.loc[0, "ok_symbol_ratio"] == 1
+    assert out.loc[1, "ok_symbol_ratio"] == 0
+    assert out.loc[2, "ok_symbol_ratio"] == 0
