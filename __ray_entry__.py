@@ -916,6 +916,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # k-core decomposition of the purchase co-occurrence graph
         # (iterative peel — pure-Python Seidman oracle in pytest)
         "user_cooccurrence_cores": graph.user_cooccurrence_cores,
+        # label-propagation communities over the same graph (iterative —
+        # pure-Python synchronous-LPA oracle in pytest)
+        "user_cooccurrence_communities":
+            graph.purchase_cooccurrence_communities,
         # Tantivy term-range query: [sa TO sz] is constant-scored
         # (Lucene range rewrite — every matching doc scores 1.0)
         "bm25_range_search": lambda sf: simsearch.bm25_search(

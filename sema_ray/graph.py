@@ -900,3 +900,131 @@ def user_cooccurrence_cores(sf_dir: str) -> rd.Dataset:
     cores = core_numbers(edges)
     from ray.data.aggregate import Count
     return cores.groupby("core").aggregate(Count(alias_name="n_users"))
+
+
+# ---------------------------------------------------------------------------
+# Community detection (Raghavan, Albert & Kumara 2007 — label propagation)
+# ---------------------------------------------------------------------------
+
+def label_propagation(edges: rd.Dataset, a_col: str = "a",
+                      b_col: str = "b", n_iter: int = 20,
+                      n_parts: int = 64) -> rd.Dataset:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007), made deterministic: every node starts as its
+    own label, each round every node adopts the most frequent label among
+    its neighbors with smallest-label tie-break, and the loop stops when
+    the assignment is stable, when it lands on the two-round oscillation
+    synchronous updates admit (detected against the round-before-last),
+    or after ``n_iter`` rounds.
+
+    Shape mirrors :func:`pagerank`: the edge list is canonicalized and
+    globally deduped in one keyed shuffle (duplicate edges must not
+    double-count votes), the node vocabulary and label vector live on the
+    driver (the documented node-sized boundary; past driver memory the
+    identical round runs as a ``groupby(node, label)`` count with labels
+    broadcast), and each round is ONE ``map_batches`` pass over the
+    distributed edge list emitting per-block packed (node, label) count
+    partials. Output: (node, community), community = the converged label
+    (itself a member node id, stable across runs).
+    """
+    from .util import collect_table
+
+    def to_lo_hi(t: pa.Table) -> pa.Table:
+        u = pc.cast(t[a_col], pa.int64()).to_numpy(zero_copy_only=False)
+        v = pc.cast(t[b_col], pa.int64()).to_numpy(zero_copy_only=False)
+        lo, hi = _dedup_pairs(np.minimum(u, v), np.maximum(u, v))
+        return pa.table({"u": pa.array(lo, pa.int64()),
+                         "v": pa.array(hi, pa.int64())})
+
+    def dedup_kernel(t: pa.Table) -> pa.Table:
+        ou, ov = _dedup_pairs(t["u"].to_numpy(zero_copy_only=False),
+                              t["v"].to_numpy(zero_copy_only=False))
+        return pa.table({"u": pa.array(ou, pa.int64()),
+                         "v": pa.array(ov, pa.int64())})
+
+    e = keyed_part_kernel(
+        edges.map_batches(to_lo_hi, batch_format="pyarrow",
+                          batch_size=None),
+        "u", dedup_kernel, n_parts=n_parts).materialize()
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        uniq = np.unique(np.concatenate(
+            [t["u"].to_numpy(zero_copy_only=False),
+             t["v"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"n": pa.array(uniq, pa.int64())})
+
+    nt = collect_table(e.map_batches(node_partial, batch_format="pyarrow",
+                                     batch_size=None))
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "community": pa.array([], pa.int64())})
+    if nt.num_rows == 0 or "n" not in nt.column_names:
+        return rd.from_arrow(empty)
+    nodes = np.unique(nt["n"].to_numpy(zero_copy_only=False))
+    n = len(nodes)
+    lab = np.arange(n, dtype=np.int64)  # label = own index initially
+    prev = None
+
+    for _ in range(n_iter):
+
+        class Votes:
+            def __init__(self, lab_: np.ndarray):
+                self.lab = lab_
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                u = np.searchsorted(nodes, t["u"]
+                                    .to_numpy(zero_copy_only=False))
+                v = np.searchsorted(nodes, t["v"]
+                                    .to_numpy(zero_copy_only=False))
+                uu = np.concatenate([u, v])  # undirected: vote both ways
+                vv = np.concatenate([v, u])
+                pack = uu * np.int64(n) + self.lab[vv]
+                pk, cnt = np.unique(pack, return_counts=True)
+                return pa.table({"p": pa.array(pk, pa.int64()),
+                                 "c": pa.array(cnt, pa.int64())})
+
+        vt = collect_table(e.map_batches(Votes(lab),
+                                         batch_format="pyarrow",
+                                         batch_size=None))
+        p = vt["p"].to_numpy(zero_copy_only=False)
+        c = vt["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(p, kind="stable")
+        p, c = p[order], c[order]
+        starts = np.nonzero(np.r_[True, p[1:] != p[:-1]])[0]
+        pk = p[starts]
+        cnt = np.add.reduceat(c, starts)
+        node_i = pk // n
+        lab_i = pk % n
+        # per node: max count, then smallest label index
+        pick = np.lexsort((lab_i, -cnt, node_i))
+        first = np.r_[True, node_i[pick][1:] != node_i[pick][:-1]]
+        new = lab.copy()
+        new[node_i[pick][first]] = lab_i[pick][first]
+        if np.array_equal(new, lab) or (prev is not None
+                                        and np.array_equal(new, prev)):
+            lab = new
+            break
+        prev, lab = lab, new
+
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "community": pa.array(nodes[lab], pa.int64()),
+    }))
+
+
+def purchase_cooccurrence_communities(sf_dir: str) -> rd.Dataset:
+    """Label-propagation communities over the same purchase co-occurrence
+    graph as :func:`purchase_cooccurrence_triangles` (co-activity rings)."""
+    import os
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "user_id", "event_type"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        hour = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64())
+        return pa.table({"bucket": hour, "id": pc.cast(t["user_id"],
+                                                       pa.int64())})
+
+    edges = cooccurrence_edges(
+        ds.map_batches(purchases, batch_format="pyarrow"), "bucket", "id")
+    return label_propagation(edges, a_col="a", b_col="b")

@@ -258,3 +258,64 @@ def test_k_core_known_shapes(ray_session):
         chain = pa.table({"a": pa.array([0, 1, 2], pa.int64()),
                           "b": pa.array([1, 2, 3], pa.int64())})
         assert len(k_core(rd.from_arrow(chain), 2, **kw).to_pandas()) == 0
+
+
+def _lpa_reference(edges: list[tuple[int, int]], n_iter: int = 20
+                   ) -> dict[int, int]:
+    """Pure-Python synchronous LPA with the identical deterministic rule:
+    most frequent neighbor label, smallest-label tie-break, stop on
+    stability or the 2-round oscillation."""
+    from collections import Counter, defaultdict
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    nodes = sorted(adj)
+    lab = {v: v for v in nodes}
+    prev = None
+    for _ in range(n_iter):
+        new = {}
+        for v in nodes:
+            counts = Counter(lab[w] for w in adj[v])
+            best = min(counts, key=lambda L: (-counts[L], L))
+            new[v] = best
+        if new == lab or (prev is not None and new == prev):
+            lab = new
+            break
+        prev, lab = lab, new
+    return lab
+
+
+def test_label_propagation_planted_cliques(ray_session):
+    """Two 8-cliques joined by one bridge edge resolve to two communities,
+    split exactly at the bridge."""
+    from sema_ray.graph import label_propagation
+    edges = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+    edges += [(i, j) for i in range(10, 18) for j in range(i + 1, 18)]
+    edges.append((7, 10))  # bridge
+    tbl = pa.table({"a": pa.array([a for a, _ in edges], pa.int64()),
+                    "b": pa.array([b for _, b in edges], pa.int64())})
+    out = label_propagation(rd.from_arrow(tbl)).to_pandas()
+    got = dict(zip(out["node"], out["community"]))
+    left = {got[i] for i in range(8)}
+    right = {got[i] for i in range(10, 18)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_label_propagation_matches_reference(ray_session):
+    """Exact agreement with the pure-Python synchronous rule on random
+    graphs (duplicate and reversed edges must not double-count votes)."""
+    from sema_ray.graph import label_propagation
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        m = int(rng.integers(20, 60))
+        edges = [(int(rng.integers(0, 25)), int(rng.integers(0, 25)))
+                 for _ in range(m)]
+        edges = [e for e in edges if e[0] != e[1]]
+        dup = edges + [(b, a) for a, b in edges[: len(edges) // 2]]
+        tbl = pa.table({"a": pa.array([a for a, _ in dup], pa.int64()),
+                        "b": pa.array([b for _, b in dup], pa.int64())})
+        out = label_propagation(rd.from_arrow(tbl)).to_pandas()
+        got = dict(zip(out["node"], out["community"]))
+        assert got == _lpa_reference(edges)
