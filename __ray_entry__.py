@@ -802,23 +802,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_hour_pivot": relational.event_type_hour_pivot,
         "segment_priority_rollup": relational.segment_priority_rollup,
         "revenue_by_priority": relational.revenue_by_priority,
-        "union_key_counts": relational.union_key_counts,
         "exact_text_search": relational.exact_text_search,
-        "grouped_search": relational.grouped_search,
         "asof_latest_order": relational.latest_order_before_event,
         "value_band_counts": relational.value_band_counts,
-        "median_value_by_type": relational.median_value_by_type,
         "running_user_totals": relational.running_user_totals,
-        "event_gaps": relational.event_gaps,
         "approx_distinct_users": _approx_distinct_users,
         "value_quantiles": _value_quantiles,
         "customers_without_orders": _customers_without_orders,
         "top3_orders_per_customer": relational.top3_orders_per_customer,
         # --- text analysis / training-data hygiene ------------------------
         "lang_id": textops.lang_id,
+        # round-4 marquee families pulled inside the window (displacing
+        # union_key_counts / grouped_search / median_value_by_type /
+        # event_gaps, which are redundant with in-window siblings and keep
+        # their oracle twins in tests/test_oracles.py below)
+        "hybrid_search_rrf": simsearch.hybrid_search_rrf,
+        "temperature_sample_by_lang": sampling.temperature_sample_by_lang,
+        "gopher_quality_filter": textops.gopher_quality_filter,
+        "ngram_decontaminate": textops.ngram_decontaminate,
         # ================= driver window boundary (50) =====================
-        # Everything below is either green in CORRECTNESS_r03, redundant
+        # Everything below is either green in CORRECTNESS_r03/r04, redundant
         # with an in-window row, or rows-only/pytest-oracled by design.
+        "union_key_counts": relational.union_key_counts,
+        "grouped_search": relational.grouped_search,
+        "median_value_by_type": relational.median_value_by_type,
+        "event_gaps": relational.event_gaps,
         "doc_fingerprints": textops.doc_fingerprints,
         "distinct_segments": relational.distinct_segments,
         "active_customer_keys": relational.active_customer_keys,
@@ -924,19 +932,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (Lucene range rewrite — every matching doc scores 1.0)
         "bm25_range_search": lambda sf: simsearch.bm25_search(
             sf, query="[sa TO sz]"),
-        # temperature-weighted language resampling (XLM-R alpha=0.5 via
-        # exact integer sqrt weights; rates computed FROM the data in one
-        # bounded count pass, then a stateless hash-mod filter)
-        "temperature_sample_by_lang": sampling.temperature_sample_by_lang,
-        # GPT-3-style n-gram-overlap decontamination vs a held-out
-        # benchmark slice (bench gram set = broadcast small side)
-        "ngram_decontaminate": textops.ngram_decontaminate,
-        # Gopher A1.1 document-quality rules, every ratio recast as exact
-        # integer arithmetic (no float thresholds on either engine)
-        "gopher_quality_filter": textops.gopher_quality_filter,
-        # reciprocal-rank fusion of the reference's two retrieval modes
-        # (BM25 text ranks + exact-cosine vector ranks, Cormack 2009)
-        "hybrid_search_rrf": simsearch.hybrid_search_rrf,
     }
 
 
