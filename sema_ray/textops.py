@@ -1068,54 +1068,61 @@ def gopher_quality_filter(sf_dir: str, min_words: int = 50,
     ds = _load_docs(sf_dir, ["doc_id", "text"])
 
     def rules(t: pa.Table) -> pa.Table:
-        text = t["text"]
-        low = pc.utf8_lower(text)
-        n_hash = pc.count_substring(text, pattern="#") \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        n_ell = pc.count_substring(text, pattern="...") \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        # one tokenization pass feeds word count, token-char total and the
-        # digit-token count (no second full-text RE2 scan for any of them)
-        n_words = np.zeros(t.num_rows, dtype=np.int64)
-        n_tokchars = np.zeros(t.num_rows, dtype=np.int64)
-        n_digit_tok = np.zeros(t.num_rows, dtype=np.int64)
-        toks, par = _word_stream(t)
-        if toks is not None:
-            n_words = np.bincount(par, minlength=t.num_rows) \
-                .astype(np.int64)
-            tok_len = pc.utf8_length(toks).to_numpy(zero_copy_only=False)
-            n_tokchars = np.bincount(par, weights=tok_len,
-                                     minlength=t.num_rows).astype(np.int64)
-            dig = pc.match_substring_regex(toks, pattern="^[0-9]+$") \
-                .to_numpy(zero_copy_only=False)
-            n_digit_tok = np.bincount(par[dig], minlength=t.num_rows) \
-                .astype(np.int64)
-        norm = pc.binary_join_element_wise(
-            " ", pc.replace_substring_regex(low, pattern="[^a-z0-9]+",
-                                            replacement="  "), " ", "")
-        n_stop = np.zeros(t.num_rows, dtype=np.int64)
-        for w in GOPHER_STOPWORDS:
-            n_stop += pc.match_substring(norm, pattern=f" {w} ") \
-                .to_numpy(zero_copy_only=False).astype(np.int64)
-        ok_wc = (n_words >= min_words) & (n_words <= max_words)
-        ok_mean = (3 * n_words <= n_tokchars) & (n_tokchars <= 10 * n_words)
-        ok_sym = (10 * n_hash <= n_words) & (10 * n_ell <= n_words)
-        ok_alpha = 5 * (n_words - n_digit_tok) >= 4 * n_words
-        ok_stop = n_stop >= 2
-        ok = ok_wc & ok_mean & ok_sym & ok_alpha & ok_stop
-
-        def i64(a):
-            return pa.array(a.astype(np.int64), pa.int64())
-
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "n_words": pa.array(n_words, pa.int64()),
-            "ok_word_count": i64(ok_wc),
-            "ok_mean_word_len": i64(ok_mean),
-            "ok_symbol_ratio": i64(ok_sym),
-            "ok_alpha_words": i64(ok_alpha),
-            "ok_stopwords": i64(ok_stop),
-            "pass": i64(ok),
-        })
+        return _gopher_rules_batch(t, min_words, max_words)
 
     return ds.map_batches(rules, batch_format="pyarrow")
+
+
+def _gopher_rules_batch(t: pa.Table, min_words: int,
+                        max_words: int) -> pa.Table:
+    """Per-batch kernel of :func:`gopher_quality_filter` (module-level so
+    the hypothesis property test can drive it directly)."""
+    text = t["text"]
+    low = pc.utf8_lower(text)
+    n_hash = pc.count_substring(text, pattern="#") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    n_ell = pc.count_substring(text, pattern="...") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    # one tokenization pass feeds word count, token-char total and the
+    # digit-token count (no second full-text RE2 scan for any of them)
+    n_words = np.zeros(t.num_rows, dtype=np.int64)
+    n_tokchars = np.zeros(t.num_rows, dtype=np.int64)
+    n_digit_tok = np.zeros(t.num_rows, dtype=np.int64)
+    toks, par = _word_stream(t)
+    if toks is not None:
+        n_words = np.bincount(par, minlength=t.num_rows) \
+            .astype(np.int64)
+        tok_len = pc.utf8_length(toks).to_numpy(zero_copy_only=False)
+        n_tokchars = np.bincount(par, weights=tok_len,
+                                 minlength=t.num_rows).astype(np.int64)
+        dig = pc.match_substring_regex(toks, pattern="^[0-9]+$") \
+            .to_numpy(zero_copy_only=False)
+        n_digit_tok = np.bincount(par[dig], minlength=t.num_rows) \
+            .astype(np.int64)
+    norm = pc.binary_join_element_wise(
+        " ", pc.replace_substring_regex(low, pattern="[^a-z0-9]+",
+                                        replacement="  "), " ", "")
+    n_stop = np.zeros(t.num_rows, dtype=np.int64)
+    for w in GOPHER_STOPWORDS:
+        n_stop += pc.match_substring(norm, pattern=f" {w} ") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+    ok_wc = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean = (3 * n_words <= n_tokchars) & (n_tokchars <= 10 * n_words)
+    ok_sym = (10 * n_hash <= n_words) & (10 * n_ell <= n_words)
+    ok_alpha = 5 * (n_words - n_digit_tok) >= 4 * n_words
+    ok_stop = n_stop >= 2
+    ok = ok_wc & ok_mean & ok_sym & ok_alpha & ok_stop
+
+    def i64(a):
+        return pa.array(a.astype(np.int64), pa.int64())
+
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_words": pa.array(n_words, pa.int64()),
+        "ok_word_count": i64(ok_wc),
+        "ok_mean_word_len": i64(ok_mean),
+        "ok_symbol_ratio": i64(ok_sym),
+        "ok_alpha_words": i64(ok_alpha),
+        "ok_stopwords": i64(ok_stop),
+        "pass": i64(ok),
+    })

@@ -195,3 +195,72 @@ def test_bpe_merges_are_applicable_and_shrink(word_lists):
         # reassembly: stripping markers recovers the concatenated words
         joined = "".join(toks).replace("</w>", "")
         assert joined == "".join(text.split())
+
+
+def _token_split_oracle(txt: str) -> list[str]:
+    """Pure-Python mirror of textops._word_stream's tokenization (lowering
+    via the same Arrow kernel the engine uses, so the property tests probe
+    the stream/gram machinery, not utf8proc-vs-str.lower differences)."""
+    import re
+
+    import pyarrow.compute as _pc
+    low = _pc.utf8_lower(pa.array([txt]))[0].as_py()
+    return re.findall("[a-z0-9]+", low)
+
+
+@settings(max_examples=150, deadline=None, derandomize=True)
+@given(st.lists(st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    min_size=0, max_size=120), min_size=1, max_size=8))
+def test_gram_strings_match_pure_python(texts):
+    """_gram_strings (vectorized shifted-take n-grams) equals the obvious
+    pure-Python tokenize-then-zip on arbitrary unicode."""
+    from sema_ray.textops import _gram_strings
+    n = 3
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    grams, par = _gram_strings(t, n)
+    got = []
+    if grams is not None:
+        got = list(zip(par.tolist(), grams.to_pylist()))
+    want = []
+    for row, txt in enumerate(texts):
+        toks = _token_split_oracle(txt)
+        for i in range(len(toks) - n + 1):
+            want.append((row, " ".join(toks[i:i + n])))
+    assert sorted(got) == sorted(want)
+
+
+@settings(max_examples=100, deadline=None, derandomize=True)
+@given(st.lists(st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    min_size=0, max_size=200), min_size=1, max_size=6))
+def test_gopher_rules_match_pure_python(texts):
+    """Every gopher_quality_filter column equals a pure-Python
+    recomputation of the documented integer rules on arbitrary unicode."""
+    import re
+
+    from sema_ray.textops import _gopher_rules_batch
+    t = pa.table({"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = _gopher_rules_batch(t, 50, 100_000).to_pandas().set_index("doc_id")
+    stop = ("the", "be", "to", "of", "and", "that", "have", "with")
+    for i, txt in enumerate(texts):
+        toks = _token_split_oracle(txt)
+        n_words = len(toks)
+        n_tokchars = sum(len(w) for w in toks)
+        n_hash = txt.count("#")
+        n_ell = len(re.findall(re.escape("..."), txt))
+        n_digit = sum(1 for w in toks if re.fullmatch("[0-9]+", w))
+        import pyarrow.compute as _pc
+        low = _pc.utf8_lower(pa.array([txt]))[0].as_py()
+        pad = " " + re.sub("[^a-z0-9]+", "  ", low) + " "
+        n_stop = sum(1 for w in stop if f" {w} " in pad)
+        assert out.loc[i, "n_words"] == n_words
+        assert out.loc[i, "ok_word_count"] == int(50 <= n_words <= 100_000)
+        assert out.loc[i, "ok_mean_word_len"] == int(
+            3 * n_words <= n_tokchars <= 10 * n_words)
+        assert out.loc[i, "ok_symbol_ratio"] == int(
+            10 * n_hash <= n_words and 10 * n_ell <= n_words)
+        assert out.loc[i, "ok_alpha_words"] == int(
+            5 * (n_words - n_digit) >= 4 * n_words)
+        assert out.loc[i, "ok_stopwords"] == int(n_stop >= 2)
