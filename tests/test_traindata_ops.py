@@ -240,3 +240,30 @@ def test_gopher_symbol_budgets_are_separate(ray_session, tmp_path):
     assert out.loc[0, "ok_symbol_ratio"] == 1
     assert out.loc[1, "ok_symbol_ratio"] == 0
     assert out.loc[2, "ok_symbol_ratio"] == 0
+
+
+def test_temperature_sample_partition_invariant(ray_session, tmp_path):
+    """The two-pass rule depends only on global lang counts and doc_id
+    hashes — the kept set must be identical however the parquet is
+    sharded."""
+    from sema_ray.sampling import temperature_sample_by_lang
+    langs = (["en"] * 40 + ["de"] * 20 + ["fr"] * 10) * 2
+    texts = [f"doc {i}" for i in range(len(langs))]
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    one.mkdir(), many.mkdir()
+    t = pa.table({
+        "doc_id": pa.array(list(range(len(langs))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    })
+    pq.write_table(t, str(one / "documents.parquet"))
+    (many / "documents.parquet").mkdir()
+    for j in range(4):
+        pq.write_table(t.slice(j * 35, 35),
+                       str(many / "documents.parquet" / f"part-{j}.parquet"))
+    a = temperature_sample_by_lang(str(one)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = temperature_sample_by_lang(str(many)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b) and len(a) > 0
