@@ -764,6 +764,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_sq8": simsearch.knn_sq8_checked,
         "bm25_search": simsearch.bm25_search,
         "bm25_phrase_search": _bm25_phrase_search,
+        # stored-index path: build-once posting-list parquet (partitioned
+        # by term bucket), query reads ONLY its terms' buckets — score-
+        # identical to the scan path, same full-BM25 SQL twin
+        "bm25_indexed": simsearch.bm25_indexed_query,
         "embedding_dup_pairs": _embedding_dup_pairs,
         "embedding_near_dup": simsearch.embedding_near_dup,
         # --- dedup family -------------------------------------------------
@@ -799,7 +803,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_users": relational.sessionize_users,
         "orders_per_segment": relational.orders_per_segment,
         "orders_segment_left_outer": relational.orders_segment_left_outer,
-        "event_type_hour_pivot": relational.event_type_hour_pivot,
         "segment_priority_rollup": relational.segment_priority_rollup,
         "revenue_by_priority": relational.revenue_by_priority,
         "exact_text_search": relational.exact_text_search,
@@ -827,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_search": relational.grouped_search,
         "median_value_by_type": relational.median_value_by_type,
         "event_gaps": relational.event_gaps,
+        "event_type_hour_pivot": relational.event_type_hour_pivot,
         "doc_fingerprints": textops.doc_fingerprints,
         "distinct_segments": relational.distinct_segments,
         "active_customer_keys": relational.active_customer_keys,
@@ -1690,6 +1694,9 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) >= 0.5
         """,
         "bm25_search": _bm25_sql([("scan",), ("table",), ("vector",)]),
+        # the indexed path reproduces the scan path's scores bit-for-bit,
+        # so its twin is the same full-BM25 SQL over its own term set
+        "bm25_indexed": _bm25_sql([("hash",), ("join",), ("merge",)]),
         # phrase variant: '"table hash" scan' — the quoted clause scores
         # positionally (tf = adjacent-bigram count, idf = sum of the two
         # terms' idfs), exercising the Tantivy phrase-scoring semantics

@@ -1190,3 +1190,224 @@ def hybrid_search_rrf(sf_dir: str, query: str = "scan table vector",
         "r_text": pa.array(rt[order], pa.int64()),
         "r_vec": pa.array(rv[order], pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Stored text index (the reference's build-once/query-many architecture —
+# text_indexer.rs builds a Tantivy index; here the index is a partitioned
+# posting-list parquet table and queries read ONLY the query terms' buckets)
+# ---------------------------------------------------------------------------
+
+TEXT_INDEX_BUCKETS = 64
+
+
+def _term_buckets(terms: pa.Array, n_buckets: int) -> np.ndarray:
+    from .dedup import _text_bucket64
+    return (_text_bucket64(terms) % np.uint64(n_buckets)).astype(np.int64)
+
+
+def build_text_index(sf_dir: str, index_dir: str,
+                     n_buckets: int = TEXT_INDEX_BUCKETS) -> dict:
+    """Materialize the BM25 posting lists as a partitioned parquet table:
+    ``postings/bucket=<h(term) % n_buckets>/`` rows of
+    (term, doc_id, tf, dl) plus a tiny corpus-stats JSON (n_docs,
+    total_len). One pass over the corpus, fully vectorized (the per-block
+    (doc, term, tf) fold is one np.unique over packed dictionary codes);
+    df(term) is derivable at query time as the term's posting count, so no
+    separate vocabulary table is needed. Queries then read only the
+    buckets their terms hash into — cost scales with posting-list length,
+    not corpus size (the "prune at the read" path the scan-based
+    ``bm25_search`` cannot offer).
+    """
+    import json
+    import shutil
+
+    from .textops import _word_stream
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def postings(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bucket": pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "tf": pa.array([], pa.int64()),
+                          "dl": pa.array([], pa.int64())})
+        toks, par = _word_stream(t)
+        if toks is None:
+            return empty
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        dl = np.bincount(par, minlength=t.num_rows)
+        enc = toks.dictionary_encode()
+        tid = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = len(enc.dictionary)
+        keys, tf = np.unique(par * nv + tid, return_counts=True)
+        row, term_i = keys // nv, keys % nv
+        term_arr = enc.dictionary.take(pa.array(term_i, pa.int64()))
+        return pa.table({
+            "bucket": pa.array(_term_buckets(term_arr, n_buckets),
+                               pa.int64()),
+            "term": pc.cast(term_arr, pa.string()),
+            "doc_id": pa.array(ids[row], pa.int64()),
+            "tf": pa.array(tf, pa.int64()),
+            "dl": pa.array(dl[row], pa.int64()),
+        })
+
+    def len_partial(t: pa.Table) -> pa.Table:
+        toks, par = _word_stream(t)
+        total = 0 if toks is None else len(par)
+        return pa.table({"n_docs": pa.array([t.num_rows], pa.int64()),
+                         "total_len": pa.array([total], pa.int64())})
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(postings, batch_format="pyarrow", batch_size=None) \
+        .write_parquet(os.path.join(index_dir, "postings"),
+                       partition_cols=["bucket"])
+    lt = collect_table(ds.map_batches(len_partial, batch_format="pyarrow",
+                                      batch_size=None))
+    stats = {"n_docs": int(pc.sum(lt["n_docs"]).as_py() or 0),
+             "total_len": int(pc.sum(lt["total_len"]).as_py() or 0),
+             "n_buckets": n_buckets}
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    return stats
+
+
+def bm25_search_indexed(index_dir: str, query: str = "hash join merge",
+                        k: int = 20, k1: float = 1.2,
+                        b: float = 0.75) -> rd.Dataset:
+    """BM25 top-k over a :func:`build_text_index` artifact — score-
+    identical to the scan-based :func:`bm25_search` (same tokenization,
+    same IEEE op order, same rounded-rank tail), but reading ONLY the
+    posting buckets the query terms hash into. SHOULD term clauses only
+    (posting lists carry no positions, so phrases/ranges stay on the scan
+    path — as in Lucene, positional queries need a positional index).
+
+    Shape: pruned partition read -> term filter -> per-term df fold
+    (driver, ≤|terms| rows) -> ONE doc_id-keyed shuffle co-locating each
+    candidate doc's posting rows -> vectorized per-part scoring + local
+    top-k -> bounded driver merge.
+    """
+    import json
+    import math as _math
+
+    from .queryparse import parse
+    from .relational import keyed_part_kernel
+    pq_parsed = parse(query)
+    if (pq_parsed.must or pq_parsed.must_not
+            or any(c.is_range or len(c.terms) > 1 for c in pq_parsed.should)):
+        raise ValueError("indexed BM25 supports bare SHOULD term clauses; "
+                         "phrases/ranges/MUST need the scan path "
+                         "(bm25_search)")
+    clauses = sorted((c for c in pq_parsed.should if c.terms),
+                     key=lambda c: c.terms[0])
+    terms = [c.terms[0] for c in clauses]
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if not terms:
+        return rd.from_arrow(empty)
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    n_docs = max(1, stats["n_docs"])
+    avg_len = max(1.0, stats["total_len"] / n_docs)
+    buckets = sorted(set(
+        _term_buckets(pa.array(terms, pa.string()),
+                      stats["n_buckets"]).tolist()))
+    import glob as _glob
+    paths = [f for bkt in buckets
+             for f in sorted(_glob.glob(os.path.join(
+                 index_dir, "postings", f"bucket={bkt}", "*.parquet")))]
+    if not paths:
+        return rd.from_arrow(empty)
+    post = rd.read_parquet(paths, columns=["term", "doc_id", "tf", "dl"])
+
+    tset = pa.array(sorted(set(terms)), pa.string())
+
+    def only_terms(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["term"], value_set=tset))
+
+    post = post.map_batches(only_terms, batch_format="pyarrow",
+                            batch_size=None).materialize()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        vc = t["term"].combine_chunks().value_counts() \
+            if isinstance(t["term"], pa.ChunkedArray) \
+            else t["term"].value_counts()
+        return pa.table({"term": vc.field("values"),
+                         "df": pc.cast(vc.field("counts"), pa.int64())})
+
+    dft = collect_table(post.map_batches(df_partial, batch_format="pyarrow",
+                                         batch_size=None))
+    df_map: dict[str, int] = {}
+    if dft.num_rows and "term" in dft.column_names:
+        agg = dft.group_by("term").aggregate([("df", "sum")])
+        df_map = dict(zip(agg["term"].to_pylist(),
+                          agg["df_sum"].to_pylist()))
+    idf = {w: _math.log(1.0 + (n_docs - df_map.get(w, 0) + 0.5)
+                        / (df_map.get(w, 0) + 0.5)) for w in terms}
+
+    def score_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        docs, inv = np.unique(ids, return_inverse=True)
+        dl = np.zeros(len(docs), dtype=np.float64)
+        dl[inv] = t["dl"].to_numpy(zero_copy_only=False)
+        tfs = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        term_col = t["term"]
+        denom_len = 1 - b + b * dl / avg_len
+        scores = np.zeros(len(docs))
+        # fixed sorted-clause order — the same IEEE sum order as the scan
+        # scorer and the SQL twin
+        for clause in clauses:
+            w = clause.terms[0]
+            sel = pc.equal(term_col, w).to_numpy(zero_copy_only=False)
+            tf = np.zeros(len(docs))
+            tf[inv[sel]] = tfs[sel]
+            scores += clause.boost * idf[w] * (tf * (k1 + 1)) \
+                / (tf + k1 * denom_len)
+        scores = np.floor(scores * 1e6 + 0.5) / 1e6
+        take = min(k, len(docs))
+        if take < len(docs):
+            kth = scores[np.argpartition(-scores, take - 1)[take - 1]]
+            sel_i = np.nonzero(scores >= kth)[0]
+        else:
+            sel_i = np.arange(len(docs))
+        top = sel_i[np.lexsort((docs[sel_i], -scores[sel_i]))][:take]
+        return pa.table({"doc_id": pa.array(docs[top], pa.int64()),
+                         "score": pa.array(scores[top], pa.float64())})
+
+    local = keyed_part_kernel(post, "doc_id", score_part)
+    merged = collect_table(local)
+    if merged.num_rows == 0 or "doc_id" not in merged.column_names:
+        return rd.from_arrow(empty)
+    merged = merged \
+        .sort_by([("score", "descending"), ("doc_id", "ascending")]) \
+        .slice(0, k)
+    return rd.from_arrow(merged)
+
+
+def ensure_text_index(sf_dir: str) -> str:
+    """Build-once cache of :func:`build_text_index` for a testdata dir
+    (same /tmp cache discipline as ``sources.files``: keyed by the source
+    parquet's size+mtime, crash-safe ``_COMPLETE`` marker)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    root = os.path.join(
+        "/tmp/sema_ray_files",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-documents"
+        f"-{st.st_size}-{int(st.st_mtime)}-textindex")
+    marker = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(marker):
+        build_text_index(sf_dir, root)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
+
+
+def bm25_indexed_query(sf_dir: str, query: str = "hash join merge",
+                       k: int = 20) -> rd.Dataset:
+    """Driver-contract entry: build (or reuse) the stored text index for
+    ``sf_dir``, then answer the query from posting lists alone. Score-
+    identical to the scan path, so the twin is the same full-BM25 SQL."""
+    return bm25_search_indexed(ensure_text_index(sf_dir), query=query, k=k)

@@ -645,3 +645,24 @@ def test_hybrid_search_rrf(ray_session, tmp_path):
     for r in out.itertuples():
         if r.r_vec:
             assert expect_rank[r.doc_id] == r.r_vec
+
+
+def test_bm25_indexed_matches_scan(ray_session, dup_dir, tmp_path):
+    """The stored posting-list index answers term queries with scores
+    bit-identical to the scan path (same tokenization, idf, IEEE order,
+    rounded-rank tail), and rejects clause types posting lists cannot
+    express."""
+    idx = str(tmp_path / "tix")
+    stats = simsearch.build_text_index(dup_dir, idx)
+    assert stats["n_docs"] == 50
+    for q in ["alpha zzz0", "zzz0^2 alpha", "alpha beta gamma",
+              "doesnotexistterm"]:
+        a = simsearch.bm25_search(dup_dir, query=q, k=7).to_pandas()
+        b = simsearch.bm25_search_indexed(idx, query=q, k=7).to_pandas()
+        assert a.reset_index(drop=True).equals(b.reset_index(drop=True)), q
+    with pytest.raises(ValueError, match="scan path"):
+        simsearch.bm25_search_indexed(idx, query='"alpha beta"')
+    with pytest.raises(ValueError, match="scan path"):
+        simsearch.bm25_search_indexed(idx, query="+alpha beta")
+    with pytest.raises(ValueError, match="scan path"):
+        simsearch.bm25_search_indexed(idx, query="[a TO c]")
