@@ -889,6 +889,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shape as knn_lsh/knn_ivf/knn_sq8 (outside the 50-row driver
         # window — test_oracles.py runs the twin)
         "knn_ivfpq": simsearch.knn_ivfpq_checked,
+        # stored IVF artifact (centroids.parquet + list-partitioned
+        # assignments): queries read ONLY probed lists' partitions; same
+        # recall-check oracle shape as the in-memory ANN family
+        "knn_ivf_stored": simsearch.knn_ivf_stored_checked,
         "pq_encode_embeddings": simsearch.pq_encode_embeddings,
         # iterative: distributed Lloyd's k-means (per-iteration partial-sum
         # reduce; non-SQL by nature — mixture-recovery oracle in pytest)
@@ -1687,6 +1691,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _KNN_CHECK_SQL,
         "knn_sq8": _KNN_CHECK_SQL,
         "knn_ivfpq": _KNN_CHECK_SQL,
+        "knn_ivf_stored": _KNN_CHECK_SQL,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

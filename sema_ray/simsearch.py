@@ -1411,3 +1411,140 @@ def bm25_indexed_query(sf_dir: str, query: str = "hash join merge",
     ``sf_dir``, then answer the query from posting lists alone. Score-
     identical to the scan path, so the twin is the same full-BM25 SQL."""
     return bm25_search_indexed(ensure_text_index(sf_dir), query=query, k=k)
+
+
+def build_vector_index(sf_dir: str, index_dir: str, n_lists: int = 16,
+                       sample_rows: int = 2048) -> dict:
+    """Materialize the IVF vector index as a stored artifact (the vector
+    counterpart of :func:`build_text_index`): ``centroids.parquet`` (the
+    trained coarse quantizer, float64 so the stored path reproduces the
+    in-memory path bit-for-bit) and ``lists/list_id=<j>/`` partitions of
+    (vec_id, embedding) rows assigned to their nearest centroid in one
+    vectorized pass. Queries then read ONLY their probed lists' partitions
+    — candidate I/O scales with n_probe/n_lists of the corpus.
+    """
+    import shutil
+    ds = _load_embeddings(sf_dir)
+    # sort the training sample: block arrival order is nondeterministic,
+    # and _train_centroids is order-sensitive — a stored artifact must be
+    # byte-reproducible across builds
+    sm = _batch_matrix(collect_table(ds.filter(
+        expr=f"vec_id < {sample_rows}")).sort_by("vec_id"))
+    cents = _train_centroids(sm, n_lists)
+
+    class Assign:
+        def __init__(self, cents_: np.ndarray):
+            self.cents = cents_
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"list_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "embedding": t["embedding"]})
+            m = _normalize_rows(_batch_matrix(t))
+            assign = (m @ self.cents.T).argmax(axis=1).astype(np.int64)
+            return pa.table({"list_id": pa.array(assign, pa.int64()),
+                             "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                             "embedding": t["embedding"]})
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(Assign(cents), batch_format="pyarrow",
+                   batch_size=None) \
+        .write_parquet(os.path.join(index_dir, "lists"),
+                       partition_cols=["list_id"])
+    flat = pa.array(cents.reshape(-1), pa.float64())
+    ct = pa.table({
+        "list_id": pa.array(list(range(len(cents))), pa.int64()),
+        "centroid": pa.FixedSizeListArray.from_arrays(flat, cents.shape[1]),
+    })
+    import pyarrow.parquet as _pq
+    _pq.write_table(ct, os.path.join(index_dir, "centroids.parquet"))
+    return {"n_lists": int(len(cents)), "dim": int(cents.shape[1])}
+
+
+def knn_ivf_indexed(index_dir: str, sf_dir: str, k: int = 10,
+                    n_queries: int = 5, n_probe: int = 4) -> rd.Dataset:
+    """IVF top-k over a :func:`build_vector_index` artifact: load the
+    (tiny) stored centroids, pick each query's ``n_probe`` nearest lists,
+    and read ONLY those list partitions — the pruned-read path the
+    in-memory :func:`knn_ivf` (which scans every vector and masks) cannot
+    offer. Same probe rule and scoring as knn_ivf, so with identical
+    centroids the results match it exactly. Output: query_id, neighbor_id.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    ct = _pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    cents = _batch_matrix(ct, col="centroid")
+    order = np.argsort(ct["list_id"].to_numpy(zero_copy_only=False))
+    cents = cents[order]
+    qt = collect_table(_load_embeddings(sf_dir).filter(
+        expr=f"vec_id < {n_queries}")).sort_by("vec_id")
+    q_ids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    qm = _normalize_rows(_batch_matrix(qt))
+    q_lists = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
+    probe_of = np.zeros((len(cents), len(q_ids)), bool)
+    for j in range(len(q_ids)):
+        probe_of[q_lists[j], j] = True
+    wanted = sorted({int(x) for x in q_lists.reshape(-1)})
+    paths = [f for lid in wanted
+             for f in sorted(_glob.glob(os.path.join(
+                 index_dir, "lists", f"list_id={lid}", "*.parquet")))]
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64())})
+    if not paths:
+        return rd.from_arrow(empty)
+    # the partition column is encoded in the path; recover it per file so
+    # the per-batch probe mask stays per-query exact
+    lid_of_path = {f: lid for lid in wanted
+                   for f in _glob.glob(os.path.join(
+                       index_dir, "lists", f"list_id={lid}", "*.parquet"))}
+    ds = rd.read_parquet(paths, columns=["vec_id", "embedding"],
+                         include_paths=True)
+
+    class Score(TopKScoreStage):
+        def __init__(self):
+            super().__init__(q_ids, _batch_matrix(qt), k, True)
+            self.lid_of_path = lid_of_path
+            self.probe_of = probe_of
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return super().__call__(t.drop_columns(["path"])
+                                        if "path" in t.column_names else t)
+            lids = np.fromiter(
+                (self.lid_of_path[p] for p in t["path"].to_pylist()),
+                dtype=np.int64, count=t.num_rows)
+            t = t.drop_columns(["path"])
+            return self.topk(t, cand_mask=self.probe_of[lids, :])
+
+    local = ds.map_batches(Score(), batch_format="pyarrow")
+    return _gather_topk(local, k)
+
+
+def ensure_vector_index(sf_dir: str) -> str:
+    """Build-once cache of :func:`build_vector_index` for a testdata dir
+    (size+mtime key, crash-safe marker — the ensure_text_index pattern)."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    root = os.path.join(
+        "/tmp/sema_ray_files",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-embeddings"
+        f"-{st.st_size}-{int(st.st_mtime)}-vecindex")
+    marker = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(marker):
+        build_vector_index(sf_dir, root)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
+
+
+def knn_ivf_stored_checked(sf_dir: str, k: int = 10, n_queries: int = 5,
+                           threshold: float = 0.6) -> pa.Table:
+    """Stored-IVF ANN + exact-scan recall summary (the knn_ivf_checked
+    shape over the pruned-read path; 12 probe lists for the same
+    weakly-clustered-testdata reason)."""
+    approx = knn_ivf_indexed(ensure_vector_index(sf_dir), sf_dir, k=k,
+                             n_queries=n_queries, n_probe=12)
+    return _knn_recall_check(sf_dir, approx, k, n_queries, threshold)

@@ -666,3 +666,33 @@ def test_bm25_indexed_matches_scan(ray_session, dup_dir, tmp_path):
         simsearch.bm25_search_indexed(idx, query="+alpha beta")
     with pytest.raises(ValueError, match="scan path"):
         simsearch.bm25_search_indexed(idx, query="[a TO c]")
+
+
+def test_vector_index_stored_matches_numpy_probe(ray_session, vec_dir,
+                                                 tmp_path):
+    """The stored-IVF query path equals a whole-matrix numpy recomputation
+    of the same probe rule using the centroids READ BACK from the
+    artifact — exercising the partition pruning, the path->list recovery
+    and the scoring tail end to end."""
+    import pyarrow.parquet as pq2
+    idx = str(tmp_path / "vix")
+    simsearch.build_vector_index(vec_dir, idx, n_lists=4)
+    out = simsearch.knn_ivf_indexed(idx, vec_dir, k=5, n_queries=3,
+                                    n_probe=2).to_pandas()
+    ct = pq2.read_table(idx + "/centroids.parquet")
+    order = np.argsort(ct["list_id"].to_numpy(zero_copy_only=False))
+    cents = np.array(ct["centroid"].to_pylist(), dtype=np.float64)[order]
+    t = pq2.read_table(vec_dir + "/embeddings.parquet")
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    assign = (m @ cents.T).argmax(axis=1)
+    for q in range(3):
+        qv = m[ids == q][0]
+        probes = set(np.argsort(-(qv @ cents.T))[:2].tolist())
+        cand = [(int(i), float(v @ qv)) for i, v, a in zip(ids, m, assign)
+                if a in probes and i != q]
+        expect = [i for i, _ in sorted(cand,
+                                       key=lambda x: (-x[1], x[0]))[:5]]
+        got = out[out.query_id == q]["neighbor_id"].tolist()
+        assert got == expect, q
