@@ -929,23 +929,7 @@ def label_propagation(edges: rd.Dataset, a_col: str = "a",
     """
     from .util import collect_table
 
-    def to_lo_hi(t: pa.Table) -> pa.Table:
-        u = pc.cast(t[a_col], pa.int64()).to_numpy(zero_copy_only=False)
-        v = pc.cast(t[b_col], pa.int64()).to_numpy(zero_copy_only=False)
-        lo, hi = _dedup_pairs(np.minimum(u, v), np.maximum(u, v))
-        return pa.table({"u": pa.array(lo, pa.int64()),
-                         "v": pa.array(hi, pa.int64())})
-
-    def dedup_kernel(t: pa.Table) -> pa.Table:
-        ou, ov = _dedup_pairs(t["u"].to_numpy(zero_copy_only=False),
-                              t["v"].to_numpy(zero_copy_only=False))
-        return pa.table({"u": pa.array(ou, pa.int64()),
-                         "v": pa.array(ov, pa.int64())})
-
-    e = keyed_part_kernel(
-        edges.map_batches(to_lo_hi, batch_format="pyarrow",
-                          batch_size=None),
-        "u", dedup_kernel, n_parts=n_parts).materialize()
+    e = _canonical_edges(edges, a_col, b_col, n_parts)
 
     def node_partial(t: pa.Table) -> pa.Table:
         uniq = np.unique(np.concatenate(
@@ -961,6 +945,25 @@ def label_propagation(edges: rd.Dataset, a_col: str = "a",
         return rd.from_arrow(empty)
     nodes = np.unique(nt["n"].to_numpy(zero_copy_only=False))
     n = len(nodes)
+
+    class ToIdx:
+        # loop-invariant: re-encode edges into node-index space ONCE so
+        # per-round Votes ships only the label vector (not the node
+        # vocabulary) and never repeats the O(m log n) searchsorted
+        def __init__(self, nodes_: np.ndarray):
+            self.nodes = nodes_
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return pa.table({
+                "u": pa.array(np.searchsorted(
+                    self.nodes, t["u"].to_numpy(zero_copy_only=False)),
+                    pa.int64()),
+                "v": pa.array(np.searchsorted(
+                    self.nodes, t["v"].to_numpy(zero_copy_only=False)),
+                    pa.int64())})
+
+    e = e.map_batches(ToIdx(nodes), batch_format="pyarrow",
+                      batch_size=None).materialize()
     lab = np.arange(n, dtype=np.int64)  # label = own index initially
     prev = None
 
@@ -971,10 +974,8 @@ def label_propagation(edges: rd.Dataset, a_col: str = "a",
                 self.lab = lab_
 
             def __call__(self, t: pa.Table) -> pa.Table:
-                u = np.searchsorted(nodes, t["u"]
-                                    .to_numpy(zero_copy_only=False))
-                v = np.searchsorted(nodes, t["v"]
-                                    .to_numpy(zero_copy_only=False))
+                u = t["u"].to_numpy(zero_copy_only=False)
+                v = t["v"].to_numpy(zero_copy_only=False)
                 uu = np.concatenate([u, v])  # undirected: vote both ways
                 vv = np.concatenate([v, u])
                 pack = uu * np.int64(n) + self.lab[vv]

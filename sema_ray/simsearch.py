@@ -1199,6 +1199,10 @@ def hybrid_search_rrf(sf_dir: str, query: str = "scan table vector",
 # ---------------------------------------------------------------------------
 
 TEXT_INDEX_BUCKETS = 64
+# below this many candidate posting rows (= sum of query-term dfs) the
+# driver scores locally — a distributed keyed shuffle costs seconds of
+# fixed actor setup that dwarfs scoring a few hundred thousand rows
+INDEX_LOCAL_SCORE_MAX_ROWS = 1 << 19
 
 
 def _term_buckets(terms: pa.Array, n_buckets: int) -> np.ndarray:
@@ -1252,22 +1256,36 @@ def build_text_index(sf_dir: str, index_dir: str,
             "dl": pa.array(dl[row], pa.int64()),
         })
 
-    def len_partial(t: pa.Table) -> pa.Table:
-        toks, par = _word_stream(t)
-        total = 0 if toks is None else len(par)
-        return pa.table({"n_docs": pa.array([t.num_rows], pa.int64()),
-                         "total_len": pa.array([total], pa.int64())})
-
     shutil.rmtree(index_dir, ignore_errors=True)
     os.makedirs(index_dir, exist_ok=True)
     ds.map_batches(postings, batch_format="pyarrow", batch_size=None) \
         .write_parquet(os.path.join(index_dir, "postings"),
                        partition_cols=["bucket"])
-    lt = collect_table(ds.map_batches(len_partial, batch_format="pyarrow",
-                                      batch_size=None))
-    stats = {"n_docs": int(pc.sum(lt["n_docs"]).as_py() or 0),
-             "total_len": int(pc.sum(lt["total_len"]).as_py() or 0),
-             "n_buckets": n_buckets}
+    # corpus stats WITHOUT a second tokenization pass: n_docs from parquet
+    # row-group metadata alone (counts tokenless docs too), total_len as a
+    # column-pruned sum of tf over the postings just written
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    src = os.path.join(sf_dir, "documents.parquet")
+    files = sorted(_glob.glob(os.path.join(src, "*.parquet"))) \
+        if os.path.isdir(src) else [src]
+    n_docs = sum(_pq.read_metadata(f).num_rows for f in files)
+    total_len = 0
+    for f in _glob.glob(os.path.join(index_dir, "postings", "bucket=*",
+                                     "*.parquet")):
+        s = pc.sum(_pq.read_table(f, columns=["tf"])["tf"]).as_py()
+        total_len += int(s or 0)
+    stats = {"n_docs": int(n_docs), "total_len": total_len,
+             "n_buckets": n_buckets,
+             # bucket layout depends on the text-hash family (polars
+             # xxhash, or the blake2b fallback), which is NOT stable
+             # across polars versions/absence — fingerprint it so a query
+             # from a different environment fails loudly instead of
+             # silently reading the wrong buckets
+             "hash_fingerprint": int(_term_buckets(
+                 pa.array(["sema ray hash canary 0"], pa.string()),
+                 1 << 62)[0])}
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f)
     return stats
@@ -1284,8 +1302,10 @@ def bm25_search_indexed(index_dir: str, query: str = "hash join merge",
     path — as in Lucene, positional queries need a positional index).
 
     Shape: pruned partition read -> term filter -> per-term df fold
-    (driver, ≤|terms| rows) -> ONE doc_id-keyed shuffle co-locating each
-    candidate doc's posting rows -> vectorized per-part scoring + local
+    (driver, ≤|terms| rows) -> size-adaptive scoring (below
+    ``INDEX_LOCAL_SCORE_MAX_ROWS`` candidate rows — known exactly as
+    sum(df) — the driver scores the collected postings; above it ONE
+    doc_id-keyed shuffle co-locates each candidate doc's rows) -> local
     top-k -> bounded driver merge.
     """
     import json
@@ -1308,6 +1328,13 @@ def bm25_search_indexed(index_dir: str, query: str = "hash join merge",
         return rd.from_arrow(empty)
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
+    canary = int(_term_buckets(pa.array(["sema ray hash canary 0"],
+                                        pa.string()), 1 << 62)[0])
+    if canary != stats.get("hash_fingerprint", canary):
+        raise ValueError(
+            "text-index bucket hash family changed since this index was "
+            "built (polars version change or polars absent) — rebuild "
+            "with build_text_index")
     n_docs = max(1, stats["n_docs"])
     avg_len = max(1.0, stats["total_len"] / n_docs)
     buckets = sorted(set(
@@ -1377,8 +1404,17 @@ def bm25_search_indexed(index_dir: str, query: str = "hash join merge",
         return pa.table({"doc_id": pa.array(docs[top], pa.int64()),
                          "score": pa.array(scores[top], pa.float64())})
 
-    local = keyed_part_kernel(post, "doc_id", score_part)
-    merged = collect_table(local)
+    # size-adaptive (the dedup.LOCAL_COUNT_MAX_ROWS rule): the candidate
+    # row count is exactly sum(df) — already in hand — so below the
+    # threshold the driver scores the collected postings directly instead
+    # of paying the fixed keyed-shuffle actor cost; above it, one
+    # doc_id-keyed shuffle co-locates each candidate doc's rows. Both
+    # paths run the identical kernel, so results are bit-equal.
+    if sum(df_map.values()) <= INDEX_LOCAL_SCORE_MAX_ROWS:
+        merged = score_part(collect_table(post))
+    else:
+        merged = collect_table(keyed_part_kernel(post, "doc_id",
+                                                 score_part))
     if merged.num_rows == 0 or "doc_id" not in merged.column_names:
         return rd.from_arrow(empty)
     merged = merged \
@@ -1513,9 +1549,16 @@ def knn_ivf_indexed(index_dir: str, sf_dir: str, k: int = 10,
             if t.num_rows == 0:
                 return super().__call__(t.drop_columns(["path"])
                                         if "path" in t.column_names else t)
-            lids = np.fromiter(
-                (self.lid_of_path[p] for p in t["path"].to_pylist()),
-                dtype=np.int64, count=t.num_rows)
+            # one dict lookup per DISTINCT path (a batch holds one or a
+            # few files), gathered back through the dictionary codes — no
+            # per-row Python on the scoring hot path
+            enc = pc.dictionary_encode(
+                t["path"].combine_chunks()
+                if isinstance(t["path"], pa.ChunkedArray) else t["path"])
+            lid_of_code = np.fromiter(
+                (self.lid_of_path[p] for p in enc.dictionary.to_pylist()),
+                dtype=np.int64, count=len(enc.dictionary))
+            lids = lid_of_code[enc.indices.to_numpy(zero_copy_only=False)]
             t = t.drop_columns(["path"])
             return self.topk(t, cand_mask=self.probe_of[lids, :])
 

@@ -668,6 +668,20 @@ def test_bm25_indexed_matches_scan(ray_session, dup_dir, tmp_path):
         simsearch.bm25_search_indexed(idx, query="[a TO c]")
 
 
+def test_bm25_indexed_both_scoring_paths_agree(ray_session, dup_dir,
+                                               tmp_path, monkeypatch):
+    """The driver-local and keyed-shuffle scoring paths of the indexed
+    query must be bit-equal (forced by zeroing the size threshold)."""
+    idx = str(tmp_path / "tix2")
+    simsearch.build_text_index(dup_dir, idx)
+    a = simsearch.bm25_search_indexed(idx, query="alpha zzz0",
+                                      k=7).to_pandas()
+    monkeypatch.setattr(simsearch, "INDEX_LOCAL_SCORE_MAX_ROWS", 0)
+    b = simsearch.bm25_search_indexed(idx, query="alpha zzz0",
+                                      k=7).to_pandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
 def test_vector_index_stored_matches_numpy_probe(ray_session, vec_dir,
                                                  tmp_path):
     """The stored-IVF query path equals a whole-matrix numpy recomputation
