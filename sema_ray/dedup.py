@@ -45,7 +45,7 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from .canonicalize import UnionFind
-from .util import collect_table
+from .util import collect_table, lower_utf8
 from .hashing import content_hash
 
 NUM_PERMS = 64
@@ -59,12 +59,20 @@ _A = _rng.integers(1, _MERSENNE, size=NUM_PERMS, dtype=np.uint64)
 _B = _rng.integers(0, _MERSENNE, size=NUM_PERMS, dtype=np.uint64)
 _SIMHASH_MASKS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
-# Odd 64-bit mixing constants (xxhash/splitmix lineage) for combining token
-# ids into shingle hashes numerically — one vectorized pass instead of one
-# blake2b call per shingle.
-_C = np.array([0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
-               0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63], dtype=np.uint64)
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _pos_mults(width: int) -> np.ndarray:
+    """One DISTINCT odd multiplier per window position for combining token
+    ids into shingle/span hashes numerically (one vectorized pass instead
+    of a blake2b call per shingle). Cycling a short constant table (the
+    old 5-entry ``_C[j % len(_C)]``) made the weighted sum invariant under
+    rotations of identical-token runs — "zz zz zz zz zz alpha beta gamma"
+    and "alpha beta gamma zz zz zz zz zz" summed EQUAL, a structural (not
+    chance) collision found by oracle fuzzing on repetitive documents.
+    Derived via splitmix on the position index, forced odd."""
+    return _mix64(np.arange(1, width + 1, dtype=np.uint64) * _GOLDEN) \
+        | np.uint64(1)
 
 # token -> uint64 hash, cached per worker process (blake2b runs once per
 # distinct token ever seen by the worker, not once per occurrence). Bounded:
@@ -114,17 +122,20 @@ def word_shingles(text: str, k: int = 3) -> np.ndarray:
 
     Fully vectorized: token ids (cached blake2b) combined per window with
     position-dependent odd multipliers, then a splitmix64 finalizer — no
-    per-shingle digest calls (VERDICT r1 "What's wrong" #7).
+    per-shingle digest calls (VERDICT r1 "What's wrong" #7). Lowercasing
+    uses Arrow (utf8proc) semantics so tokenization matches _word_stream
+    and the DuckDB twins on non-ASCII text.
     """
-    toks = _TOKEN_RE.findall(text.lower())
+    toks = _TOKEN_RE.findall(lower_utf8(text))
     if not toks:
         return np.empty(0, dtype=np.uint64)
     ids = _token_ids(toks)
     kk = min(k, len(ids))  # short texts collapse to one whole-text shingle
     n = len(ids) - kk + 1
     acc = np.full(n, kk, dtype=np.uint64)  # fold window width into the seed
+    mult = _pos_mults(kk)
     for j in range(kk):
-        acc += ids[j:j + n] * _C[j % len(_C)]
+        acc += ids[j:j + n] * mult[j]
     return np.unique(_mix64(acc))
 
 
@@ -138,7 +149,7 @@ def minhash_sig(shingles: np.ndarray) -> np.ndarray:
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over token hashes (unweighted tokens, deterministic)."""
-    toks = _TOKEN_RE.findall(text.lower())
+    toks = _TOKEN_RE.findall(lower_utf8(text))
     if not toks:
         return 0
     hs = _token_ids(toks)
@@ -393,7 +404,7 @@ class MinHashBandStage:
         # bucket per (doc, band): vectorized fold of the band's signature
         # segment + the band index, one _mix64 pass for the whole batch
         seg = sigs.reshape(n, BANDS, ROWS_PER_BAND)
-        mult = _C[np.arange(ROWS_PER_BAND) % len(_C)]
+        mult = _pos_mults(ROWS_PER_BAND)
         buckets = _mix64((seg * mult[None, None, :]).sum(axis=2)
                          + np.arange(BANDS, dtype=np.uint64)[None, :] * _GOLDEN)
         flat_bucket = buckets.reshape(-1).view(np.int64)  # doc-major
@@ -1021,7 +1032,7 @@ def _member_shingle_rows(ds: rd.Dataset, members: np.ndarray) -> rd.Dataset:
         out_ids, sets_ = [], []
         for i, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             out_ids.append(i)
-            sets_.append(word_shingles(text).tobytes())
+            sets_.append(word_shingles(text or "").tobytes())
         return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
                          "shingles": pa.array(sets_, pa.binary())})
 
@@ -1083,13 +1094,87 @@ def _ngram_verify_join(ds: rd.Dataset, pair_ds: rd.Dataset,
     return j2.map_batches(verify, batch_format="pyarrow")
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
-                        lsh_estimate_threshold: float = 0.35) -> rd.Dataset:
+# reserved candidate bucket for token-less documents (a real-hash
+# coincidence is ~2^-64 and harmless — candidates are verified exactly)
+_EMPTY_SHINGLE_BUCKET = np.int64(-0x7FFFFFFFFFFFFFF7)
+
+
+def _shingle_prefix_stage(threshold: float, hot: np.ndarray | None = None):
+    """(bucket, doc_id) rows keyed by PREFIX shingle hashes — prefix
+    filtering (Bayardo, Ma & Srikant 2007): for Jaccard ≥ t, a qualifying
+    pair must share a shingle inside BOTH docs' prefixes of length
+    ``|S| - ceil(t*|S|) + 1`` under a global order (the hash order here),
+    so candidate recall is EXACT — unlike minhash banding, which misses a
+    J≈t pair with probability (1-t^r)^b (found by oracle fuzzing on a
+    near-threshold-heavy corpus). Hash order approximates the random
+    tie-break of classic prefix filtering; frequency-ascending order would
+    shrink hot buckets further at web scale."""
+    import math as _math
+    hot_sorted = np.sort(hot) if hot is not None else None
+
+    def stage(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_b: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for i, text in enumerate(t["text"].to_pylist()):
+            sh = word_shingles(text or "")  # sorted unique uint64
+            if len(sh) == 0:
+                # token-less docs are pairwise J=1.0 duplicates (the twin's
+                # nu=0 -> 1.0 rule): co-locate them in one reserved bucket
+                out_b.append(np.array([_EMPTY_SHINGLE_BUCKET],
+                                      dtype=np.int64))
+                out_d.append(np.array([ids[i]], dtype=np.int64))
+                continue
+            ln = len(sh) - _math.ceil(threshold * len(sh)) + 1
+            pref = sh[:ln].view(np.int64)
+            out_b.append(pref)
+            out_d.append(np.full(len(pref), ids[i], dtype=np.int64))
+        if not out_b:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        b, d = np.concatenate(out_b), np.concatenate(out_d)
+        if hot_sorted is not None:
+            m = np.isin(b, hot_sorted)
+            b, d = b[m], d[m]
+        return pa.table({"bucket": pa.array(b, pa.int64()),
+                         "doc_id": pa.array(d, pa.int64())})
+
+    return stage
+
+
+def _bucket_all_pairs(mt: pa.Table) -> pa.Table:
+    """Colliding-bucket member rows -> ALL distinct (a < b) in-bucket
+    pairs, vectorized (segmented pair expansion, no per-bucket Python, no
+    quadratic cap — exactness requires the complete listing)."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    if mt.num_rows == 0 or "bucket" not in mt.column_names:
+        return empty
+    from .graph import _segmented_pairs
+    b = mt["bucket"].to_numpy(zero_copy_only=False)
+    d = mt["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((d, b))
+    b, d = b[order], d[order]
+    first = np.r_[True, (b[1:] != b[:-1]) | (d[1:] != d[:-1])]
+    b, d = b[first], d[first]
+    seg_lens = np.diff(np.r_[
+        np.nonzero(np.r_[True, b[1:] != b[:-1]])[0], len(b)])
+    lo, hi = _segmented_pairs(d, seg_lens)
+    if len(lo) == 0:
+        return empty
+    pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    return pa.table({"a": pa.array(pairs[:, 0], pa.int64()),
+                     "b": pa.array(pairs[:, 1], pa.int64())})
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
     """Pairs with *exact* word-3-gram Jaccard ≥ threshold.
 
-    Candidates from LSH (loose estimate threshold to keep recall), then
-    exact verification over just the candidate members' shingle sets.
-    Placement is adaptive, three regimes:
+    Candidates from PREFIX FILTERING over the shingle hashes
+    (:func:`_shingle_prefix_stage` — exact recall by construction; the
+    earlier minhash-banding candidates missed near-threshold pairs with
+    probability (1-t^r)^b), then exact verification over just the
+    candidate members' shingle sets. Placement is adaptive, three regimes:
 
     - colliding-member band rows > ``LOCAL_VERIFY_MAX_ROWS``: FULLY
       distributed — candidate pairs are generated inside the bounded-part
@@ -1109,18 +1194,18 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       "jac": pa.array([], pa.float64())})
-    light = ds.map_batches(MinHashBandStage("doc_id", "text"),
+    light = ds.map_batches(_shingle_prefix_stage(threshold),
                            batch_format="pyarrow")
-    hot, member_rows = _hot_buckets(light, _doc_count(sf_dir) * BANDS)
+    hot, member_rows = _hot_buckets(light, _doc_count(sf_dir) * 64)
     if len(hot) == 0:
         return rd.from_arrow(empty)
-    full = ds.map_batches(
-        MinHashBandStage("doc_id", "text", carry_sig=True, hot=hot),
-        batch_format="pyarrow")
+    full = ds.map_batches(_shingle_prefix_stage(threshold, hot=hot),
+                          batch_format="pyarrow")
 
     def kernel(mt: pa.Table) -> pa.Table:
-        # complete pair listing => all in-bucket pairs, deduped across bands
-        return _members_to_pairs(mt, lsh_estimate_threshold, True, 256)
+        # complete pair listing: all in-bucket pairs, deduped across
+        # buckets downstream
+        return _bucket_all_pairs(mt)
 
     if member_rows > LOCAL_VERIFY_MAX_ROWS:
         raw_ds = _verified_pairs_ds(full, kernel)
@@ -1332,8 +1417,9 @@ def _window_hash_stream(
     ids = vocab_ids[enc.indices.to_numpy(zero_copy_only=False)]
     n = len(ids) - window + 1
     acc = np.full(n, window, dtype=np.uint64)
+    mult = _pos_mults(window)
     for j in range(window):
-        acc += ids[j:j + n] * _C[j % len(_C)]
+        acc += ids[j:j + n] * mult[j]
     hashes = (_mix64(acc)
               & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
     valid = par[:n] == par[window - 1:]  # window inside one document

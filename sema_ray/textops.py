@@ -858,11 +858,13 @@ def bpe_apply(texts: list[str], merges: list[tuple[str, str]]) -> list[list[str]
     """Segment texts with a trained merge list (rank order = priority),
     mirroring the reference encoder loop — used by the round-trip test."""
     import re as _re
+
+    from .util import lower_utf8
     rank_of = {(l, r): i for i, (l, r) in enumerate(merges)}
     out = []
     for text in texts:
         toks: list[str] = []
-        for w in _re.findall("[a-z0-9]+", text.lower()):
+        for w in _re.findall("[a-z0-9]+", lower_utf8(text)):
             toks.extend(_bpe_segment_word(w, rank_of))
         out.append(toks)
     return out

@@ -57,3 +57,18 @@ def collect_table(ds) -> pa.Table:
     if len(tables) == 1:
         return tables[0]
     return pa.concat_tables(tables, promote_options="default")
+
+
+def lower_utf8(text: str) -> str:
+    """Lowercase with Arrow/DuckDB (utf8proc) semantics. Python's
+    ``str.lower()`` diverges on some codepoints — e.g. U+0130 İ becomes
+    ``'i' + COMBINING DOT`` in Python but plain ``'i'`` under utf8proc —
+    which silently SPLITS TOKENIZATION between a Python-side kernel and
+    the engine's Arrow/DuckDB twins (found by oracle fuzzing: a shingle
+    set built with Python lower disagreed with the SQL twin's gram set on
+    'İstanbul'). ASCII fast path; kernel call only on non-ASCII text."""
+    if text.isascii():
+        return text.lower()
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    return pc.utf8_lower(pa.scalar(text)).as_py()

@@ -145,8 +145,7 @@ def test_simhash64_properties():
 
 
 def test_ngram_jaccard_pairs_vs_bruteforce(ray_session, dup_dir):
-    got = dedup.ngram_jaccard_pairs(dup_dir, threshold=0.5,
-                                    lsh_estimate_threshold=0.3).to_pandas()
+    got = dedup.ngram_jaccard_pairs(dup_dir, threshold=0.5).to_pandas()
     got_pairs = {(a, b) for a, b in zip(got["a"], got["b"])}
     # brute-force oracle over all pairs
     t = pq.read_table(os.path.join(dup_dir, "documents.parquet"))
@@ -160,10 +159,8 @@ def test_ngram_jaccard_pairs_vs_bruteforce(ray_session, dup_dir):
             if u and len(sh[i] & sh[j]) / u >= 0.5:
                 want.add((a, b))
     assert want, "fixture must contain qualifying pairs"
-    # LSH candidates + exact verify: precision 1.0; recall bounded by LSH
-    assert got_pairs <= want
-    recall = len(got_pairs & want) / len(want)
-    assert recall >= 0.9, (recall, want - got_pairs)
+    # prefix-filtered candidates + exact verify: EXACT precision and recall
+    assert got_pairs == want
     # exact jaccard values correct
     jac = dict(((a, b), v) for a, b, v in zip(got["a"], got["b"], got["jac"]))
     for (a, b), v in jac.items():
@@ -710,3 +707,71 @@ def test_vector_index_stored_matches_numpy_probe(ray_session, vec_dir,
                                        key=lambda x: (-x[1], x[0]))[:5]]
         got = out[out.query_id == q]["neighbor_id"].tolist()
         assert got == expect, q
+
+
+def test_span_hash_no_rotation_collision(ray_session, tmp_path):
+    """Regression (oracle fuzz): cycling 5 multipliers across an 8-token
+    window made 'zz x5 + tail' hash equal to 'tail + zz x5' — rotated
+    windows must NOT count as duplicated spans."""
+    d = _docs_dir_pair(tmp_path, [
+        "zz zz zz zz zz zz alpha beta gamma one two three four",
+        "alpha beta gamma zz zz zz zz zz zz five six seven eight",
+    ])
+    out = dedup.dup_span_counts(d).to_pandas()
+    assert (out["n_dup_windows"] == 0).all()
+
+
+def _docs_dir_pair(tmp_path, texts):
+    t = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_word_shingles_utf8proc_lowercase():
+    """Regression (oracle fuzz): Python str.lower() maps U+0130 to
+    'i'+combining-dot while Arrow/DuckDB map it to plain 'i' — shingles
+    must tokenize like the SQL twins."""
+    a = dedup.word_shingles("İstanbul merkez park")
+    b = dedup.word_shingles("istanbul merkez park")
+    assert np.array_equal(a, b)
+    assert dedup.simhash64("İstanbul merkez") == \
+        dedup.simhash64("istanbul merkez")
+
+
+def test_ngram_jaccard_exact_recall_near_threshold(ray_session, tmp_path):
+    """Regression (oracle fuzz): minhash-banding candidates missed
+    near-threshold pairs with probability (1-t^r)^b; prefix filtering
+    must find EVERY pair with exact J >= t, checked against a
+    whole-corpus brute force, including token-less docs (pairwise
+    J=1.0 by the twin's nu=0 rule)."""
+    import itertools
+    import re
+
+    rng = np.random.default_rng(33)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(4, 14))))
+             for _ in range(40)]
+    texts += ["", "   ", "..."]  # token-less family
+    d = _docs_dir_pair(tmp_path, texts)
+    got = dedup.ngram_jaccard_pairs(d, threshold=0.5).to_pandas()
+    gs = {(a, b): j for a, b, j in zip(got.a, got.b, got.jac)}
+
+    def grams(txt):
+        toks = re.findall("[a-z0-9]+", txt.lower())
+        if not toks:
+            return set()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for i, j in itertools.combinations(range(len(texts)), 2):
+        ga, gb = grams(texts[i]), grams(texts[j])
+        u = len(ga | gb)
+        jac = (len(ga & gb) / u) if u else 1.0
+        if jac >= 0.5:
+            want[(i, j)] = np.floor(jac * 1e4 + 0.5) / 1e4
+    assert gs == want

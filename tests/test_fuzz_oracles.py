@@ -1,0 +1,101 @@
+"""Adversarial oracle fuzz (the harness that caught the span-hash rotation
+collision, the minhash-banding recall gap, and the Python-vs-utf8proc
+lowercase divergence): a hostile generated documents table — unicode edge
+cases, empty/whitespace docs, repeated-token runs, planted exact copies —
+run through the bug-prone oracle pairs and compared against DuckDB with
+the driver's comparison."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+FRAGS = [
+    "", " ", "the of and that", "#### ### ##", "... .. ....",
+    "ALPHA Beta gamma", "123 456 7890 00", "ÄÖÜ ß İstanbul ĲĳǱǲǳ",
+    "日本語のテキスト and english", "a", "zz zz zz zz zz zz",
+    "word " * 200, "x" * 5000, "mail a@b.co ph +1 (415) 555-0000",
+    "\t\n\r  \x0b", "ΣΙΣΥΦΟΣ σίσυφος", "🎉 emoji 🎊 text",
+    "the quick brown fox of note with have be to and that",
+    "'s 't 're n123n456", "a0b1c2 d3e4f5", "MiXeD CaSe ToKeNs",
+]
+
+FUZZ_QUERIES = [
+    "dedup_ngram_jaccard", "dup_components", "dup_span_counts",
+    "remove_dup_spans", "doc_fingerprints", "lang_id",
+    "gopher_quality_filter", "ngram_decontaminate",
+    "temperature_sample_by_lang", "unigram_surprisal", "word_counts",
+    "dedup_exact_clusters", "repetition_stats",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(tmp_path_factory):
+    rng = np.random.default_rng(1)
+    n = 150
+    texts = []
+    for _ in range(n):
+        k = int(rng.integers(1, 6))
+        texts.append(" ".join(str(FRAGS[int(rng.integers(0, len(FRAGS)))])
+                              for _ in range(k)))
+    for j in range(8):  # planted exact copies
+        texts[100 + j] = texts[j]
+    d = str(tmp_path_factory.mktemp("hostile"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array([["en", "de", "fr", "xx", ""][i % 5]
+                          for i in range(n)], pa.string()),
+        "source": pa.array([f"s{i % 3}" for i in range(n)], pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    return d
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def test_hostile_corpus_oracles_match(ray_session, hostile_dir):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    queries, oracles = mod.queries(), mod.oracle_sql()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{hostile_dir}/documents.parquet')")
+    failures = []
+    for name in FUZZ_QUERIES:
+        got = queries[name](hostile_dir)
+        got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+        want = con.execute(oracles[name]).df()
+        g, w = _norm(got), _norm(want)
+        if len(g) == 0 and len(w) == 0:
+            continue
+        if list(g.columns) != list(w.columns) or len(g) != len(w):
+            failures.append(f"{name}: shape {g.shape} vs {w.shape}")
+            continue
+        for c in g.columns:
+            if pd.api.types.is_float_dtype(g[c]):
+                ok = all((math.isnan(a) and math.isnan(b)) or a == b
+                         for a, b in zip(g[c], w[c]))
+            else:
+                ok = g[c].equals(w[c])
+            if not ok:
+                failures.append(f"{name}.{c}")
+    assert not failures, failures
