@@ -428,30 +428,49 @@ def zscore_by_type(sf_dir: str) -> rd.Dataset:
         k = len(et.dictionary)
         n = np.bincount(idx, minlength=k).astype(np.int64)
         # int64 scatter-adds keep the partials EXACT (float64 bincount
-        # weights would round above 2^53); per-block Σc² stays well inside
-        # int64 for any realistic block row count
+        # weights would round above 2^53)
         s = np.zeros(k, np.int64)
         np.add.at(s, idx, c)
-        q = np.zeros(k, np.int64)
-        np.add.at(q, idx, c * c)
+        amax = int(np.abs(c).max()) if len(c) else 0
+        if amax * amax * max(len(c), 1) < (1 << 62):
+            # vectorized fast path: every per-element square AND the block
+            # sum provably fit int64 (typical money-like magnitudes)
+            q = np.zeros(k, np.int64)
+            np.add.at(q, idx, c * c)
+            qints = [int(x) for x in q]
+        else:
+            # exact fallback (oracle fuzz: a single |value| > ~$3e7 makes
+            # c*c wrap int64 PER ELEMENT — the twin's HUGEINT does not):
+            # fold squares over DISTINCT (type, cent) pairs with Python
+            # bigints, O(distinct values) Python
+            qints = [0] * k
+            pairs, cnt = np.unique(np.stack([idx, c]), axis=1,
+                                   return_counts=True)
+            for ki, vi, n_ in zip(pairs[0].tolist(), pairs[1].tolist(),
+                                  cnt.tolist()):
+                qints[int(ki)] += int(n_) * int(vi) * int(vi)
+        # Σc² can exceed int64 — ship as (hi, lo) limbs of the exact sum
         return pa.table({
             "event_type": et.dictionary,
             "n": pa.array(n, pa.int64()),
             "s": pa.array(s, pa.int64()),
-            "q": pa.array(q, pa.int64()),
+            "q_hi": pa.array([x >> 62 for x in qints], pa.int64()),
+            "q_lo": pa.array([x & ((1 << 62) - 1) for x in qints],
+                             pa.int64()),
         })
 
     parts = collect_table(ds.map_batches(moments, batch_format="pyarrow",
                                          batch_size=None))
     acc: dict[str, list[int]] = {}
-    for et, n, s, qq in zip(parts["event_type"].to_pylist(),
-                            parts["n"].to_pylist(),
-                            parts["s"].to_pylist(),
-                            parts["q"].to_pylist()):
+    for et, n, s, qh, ql in zip(parts["event_type"].to_pylist(),
+                                parts["n"].to_pylist(),
+                                parts["s"].to_pylist(),
+                                parts["q_hi"].to_pylist(),
+                                parts["q_lo"].to_pylist()):
         a = acc.setdefault(et, [0, 0, 0])
         a[0] += n
         a[1] += s
-        a[2] += qq  # Python ints: no overflow at any corpus size
+        a[2] += (qh << 62) + ql  # Python ints: exact at any corpus size
     stats = {et: (float(a[1]) / a[0],
                   (float(a[2]) / a[0]) - (float(a[1]) / a[0]) ** 2)
              for et, a in acc.items()}

@@ -99,3 +99,79 @@ def test_hostile_corpus_oracles_match(ray_session, hostile_dir):
             if not ok:
                 failures.append(f"{name}.{c}")
     assert not failures, failures
+
+
+EV_QUERIES = [
+    "sessionize_users", "event_gaps", "running_user_totals",
+    "hourly_event_stats", "top_event_per_user", "event_type_hour_pivot",
+    "sliding_window_counts", "zscore_by_type", "median_value_by_type",
+    "value_quantiles", "sample_events", "approx_distinct_users",
+    "user_cooccurrence_triangles",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_events_dir(tmp_path_factory):
+    """Hostile events table: exact ts ties, one heavy user, single-event
+    users, and extreme values (1e9 overflows int64 cents-squared — the
+    zscore_by_type regression)."""
+    from datetime import datetime, timedelta
+    rng = np.random.default_rng(1)
+    n = 400
+    base = datetime(2024, 1, 1)
+    users = np.concatenate([
+        np.zeros(120, dtype=np.int64),
+        rng.integers(1, 12, 240),
+        np.arange(1000, 1040),
+    ]).astype(np.int64)
+    rng.shuffle(users)
+    ts = [base + timedelta(minutes=int(rng.integers(0, 240)))
+          for _ in range(n)]
+    for j in range(0, 60, 2):
+        ts[j + 1] = ts[j]
+    d = str(tmp_path_factory.mktemp("hostile_ev"))
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(n)), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(rng.choice(
+            ["click", "purchase", "error", "signup"], size=n).tolist(),
+            pa.string()),
+        "value": pa.array(rng.choice(
+            [0.0, -5.25, 1e9, 0.01, 185.22, 9.64], size=n).tolist(),
+            pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_hostile_events_oracles_match(ray_session, hostile_events_dir):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    queries, oracles = mod.queries(), mod.oracle_sql()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{hostile_events_dir}/events.parquet')")
+    failures = []
+    for name in EV_QUERIES:
+        got = queries[name](hostile_events_dir)
+        got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+        want = con.execute(oracles[name]).df()
+        g, w = _norm(got), _norm(want)
+        if len(g) == 0 and len(w) == 0:
+            continue
+        if list(g.columns) != list(w.columns) or len(g) != len(w):
+            failures.append(f"{name}: shape {g.shape} vs {w.shape}")
+            continue
+        for c in g.columns:
+            if pd.api.types.is_float_dtype(g[c]):
+                ok = all((math.isnan(a) and math.isnan(b)) or a == b
+                         for a, b in zip(g[c], w[c]))
+            else:
+                ok = g[c].equals(w[c])
+            if not ok:
+                failures.append(f"{name}.{c}")
+    assert not failures, failures
