@@ -1139,10 +1139,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN ed e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
             JOIN ed e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
         """,
+        # exact integer numerator cents(ext)*(100-cents(disc)): the float
+        # SUM form was association-dependent (oracle fuzz found a 1-cent
+        # divergence at extreme magnitudes); ONE double division from the
+        # exact HUGEINT total, identical op order to the Ray side
         "revenue_by_priority": """
             SELECT o_orderpriority,
                    COUNT(*) AS n_items,
-                   FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+                   FLOOR(CAST(SUM(
+                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT)
+                       * (100 - CAST(FLOOR(l_discount * 100 + 0.5)
+                                     AS BIGINT))) AS DOUBLE)
+                     / 10000.0 * 100 + 0.5) / 100 AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
         """,

@@ -607,17 +607,39 @@ def revenue_by_priority(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
             def join_partial(t: pa.Table) -> pa.Table:
                 codes, hit = get_gather()(
                     t["l_orderkey"].to_numpy(zero_copy_only=False))
-                rev = pc.multiply(t["l_extendedprice"],
-                                  pc.subtract(pa.scalar(1.0), t["l_discount"]))
-                part = pa.table({
-                    "code": pa.array(codes[hit], pa.int32()),
-                    "rev": pa.array(
-                        rev.to_numpy(zero_copy_only=False)[hit],
-                        pa.float64()),
+                # EXACT integer numerator (oracle fuzz: float partial sums
+                # of ext*(1-disc) are association-dependent — at extreme
+                # magnitudes the two engines' summation orders disagree by
+                # an ULP and the 2-digit rounding lands on different
+                # cents): num = cents(ext) * (100 - cents(disc)); value =
+                # Σnum / 10000, divided ONCE at the end on both engines
+                c = cents64(t["l_extendedprice"])[hit]
+                d100 = cents64(t["l_discount"])[hit]
+                num = c * (100 - d100)
+                code_hit = codes[hit]
+                k = int(code_hit.max()) + 1 if len(code_hit) else 0
+                n = np.bincount(code_hit, minlength=k).astype(np.int64)
+                amax = int(np.abs(num).max()) if len(num) else 0
+                if amax * max(len(num), 1) < (1 << 62):
+                    s = np.zeros(k, np.int64)
+                    np.add.at(s, code_hit, num)
+                    sints = [int(x) for x in s]
+                else:  # bigint fallback over distinct (code, num) pairs
+                    sints = [0] * k
+                    prs, cnt = np.unique(np.stack([code_hit, num]), axis=1,
+                                         return_counts=True)
+                    for ki, vi, n_ in zip(prs[0].tolist(), prs[1].tolist(),
+                                          cnt.tolist()):
+                        sints[int(ki)] += int(n_) * int(vi)
+                keep = np.nonzero(n)[0]
+                return pa.table({
+                    "code": pa.array(keep.astype(np.int32), pa.int32()),
+                    "n": pa.array(n[keep], pa.int64()),
+                    "s_hi": pa.array([sints[i] >> 62 for i in keep],
+                                     pa.int64()),
+                    "s_lo": pa.array([sints[i] & ((1 << 62) - 1)
+                                      for i in keep], pa.int64()),
                 })
-                g = part.group_by(["code"]).aggregate(
-                    [("rev", "sum"), ("rev", "count")])
-                return g.rename_columns(["code", "sum_rev", "n"])
             return join_partial
 
         if len(orders_tbl) <= BROADCAST_CLOSURE_MAX_ROWS:
@@ -643,23 +665,43 @@ def revenue_by_priority(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
             partials = li.map_batches(JoinPartial, batch_format="pyarrow",
                                       batch_size=None, concurrency=(1, 8))
 
+        def _fold(t: pa.Table) -> dict[int, list[int]]:
+            acc: dict[int, list[int]] = {}
+            for code, n, hi, lo in zip(t["code"].to_pylist(),
+                                       t["n"].to_pylist(),
+                                       t["s_hi"].to_pylist(),
+                                       t["s_lo"].to_pylist()):
+                a = acc.setdefault(int(code), [0, 0])
+                a[0] += n
+                a[1] += (hi << 62) + lo  # Python ints: exact at any scale
+            return acc
+
         def recombine(t: pa.Table) -> pa.Table:
-            g = t.group_by(["code"]).aggregate(
-                [("sum_rev", "sum"), ("n", "sum")])
-            return g.rename_columns(["code", "sum_rev", "n"])
+            acc = _fold(t)  # a handful of priority codes — trivial Python
+            codes = sorted(acc)
+            return pa.table({
+                "code": pa.array(codes, pa.int32()),
+                "n": pa.array([acc[c][0] for c in codes], pa.int64()),
+                "s_hi": pa.array([acc[c][1] >> 62 for c in codes],
+                                 pa.int64()),
+                "s_lo": pa.array([acc[c][1] & ((1 << 62) - 1)
+                                  for c in codes], pa.int64()),
+            })
 
         # coalescing no-shuffle combine (many partial blocks per task), then
         # the <= n_groups-per-task residue folds on the driver
-        final = collect_table(
+        final = _fold(collect_table(
             partials.map_batches(recombine, batch_format="pyarrow",
-                                 batch_size=1 << 21))
-        g = final.group_by(["code"]).aggregate(
-            [("sum_rev", "sum"), ("n", "sum")])
+                                 batch_size=1 << 21)))
+        codes = sorted(final)
         out_tbl = pa.table({
-            "o_orderpriority": pc.take(prio_dict,
-                                       pc.cast(g["code"], pa.int32())),
-            "n_items": pc.cast(g["n_sum"], pa.int64()),
-            "revenue": g["sum_rev_sum"],
+            "o_orderpriority": pc.take(
+                prio_dict, pa.array(codes, pa.int32())),
+            "n_items": pa.array([final[c][0] for c in codes], pa.int64()),
+            # ONE float op from the exact integer total — identical on
+            # both engines regardless of summation order
+            "revenue": pa.array([float(final[c][1]) / 10000.0
+                                 for c in codes], pa.float64()),
         })
         return round_result(rd.from_arrow(out_tbl), {"revenue": 2})
     return _revenue_by_priority_shuffle(li, sf_dir, num_partitions)
@@ -675,21 +717,35 @@ def _revenue_by_priority_shuffle(li: rd.Dataset, sf_dir: str,
                      aggregator_ray_remote_args={"num_cpus": 0.05})
 
     def derive(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        # exact integer numerator (see the broadcast path); int64 sums are
+        # exact while Σ revenue < ~$9e14 per priority — the documented
+        # boundary of this scale path
+        num = cents64(t["l_extendedprice"]) \
+            * (100 - cents64(t["l_discount"]))
         return pa.table({"o_orderpriority": t["o_orderpriority"],
-                         "revenue": rev})
+                         "num": pa.array(num, pa.int64())})
 
     partials = partial_groupby(
         joined.map_batches(derive, batch_format="pyarrow"),
         ["o_orderpriority"],
-        [("revenue", "sum"), ("revenue", "count")],
-        ["sum_rev", "n"],
+        [("num", "sum"), ("num", "count")],
+        ["sum_num", "n"],
     )
     out = partials.groupby("o_orderpriority").aggregate(
         Sum("n", alias_name="n_items"),
-        Sum("sum_rev", alias_name="revenue"),
+        Sum("sum_num", alias_name="sum_num"),
     )
+
+    def to_rev(t: pa.Table) -> pa.Table:
+        num = t["sum_num"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "n_items": pc.cast(t["n_items"], pa.int64()),
+            "revenue": pa.array([float(int(x)) / 10000.0 for x in num],
+                                pa.float64()),
+        })
+
+    out = out.map_batches(to_rev, batch_format="pyarrow")
     return round_result(out, {"revenue": 2})
 
 

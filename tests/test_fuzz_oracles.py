@@ -175,3 +175,138 @@ def test_hostile_events_oracles_match(ray_session, hostile_events_dir):
             if not ok:
                 failures.append(f"{name}.{c}")
     assert not failures, failures
+
+
+JOIN_QUERIES = [
+    "filter_high_quantity", "topk_orders", "q1_pricing_summary",
+    "brand_price_stats", "orders_per_segment", "orders_segment_left_outer",
+    "revenue_by_priority", "segment_priority_rollup",
+    "customers_without_orders", "asof_latest_order", "value_band_counts",
+    "top3_orders_per_customer", "union_key_counts",
+    "active_customer_keys", "inactive_customer_keys",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_joins_dir(tmp_path_factory):
+    """Hostile TPC-H-ish tables: orphan custkeys both directions, one
+    heavy customer with duplicate orderdates, extreme prices (1e9 — the
+    revenue_by_priority float-association regression), zero quantities."""
+    from datetime import datetime, timedelta
+    rng = np.random.default_rng(3)
+    d = str(tmp_path_factory.mktemp("hostile_j"))
+    nc, no, nl, npart = 60, 200, 500, 40
+    base = datetime(1995, 1, 1)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(list(range(nc)), pa.int64()),
+        "c_name": pa.array([f"cust{i}" for i in range(nc)], pa.string()),
+        "c_nationkey": pa.array([i % 5 for i in range(nc)], pa.int32()),
+        "c_acctbal": pa.array(rng.choice([0.0, -999.99, 1e8, 10.5],
+                                         nc).tolist(), pa.float64()),
+        "c_mktsegment": pa.array([["AUTOMOBILE", "BUILDING", "MACHINERY",
+                                   "HOUSEHOLD", "FURNITURE"][i % 5]
+                                  for i in range(nc)], pa.string()),
+    }), os.path.join(d, "customer.parquet"))
+    cust = rng.integers(0, nc + 10, no)
+    cust[:20] = 7
+    dates = [base + timedelta(days=int(rng.integers(0, 1000)))
+             for _ in range(no)]
+    for j in range(10):
+        dates[j] = dates[0]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(list(range(no)), pa.int64()),
+        "o_custkey": pa.array(cust.astype("int64"), pa.int64()),
+        "o_orderstatus": pa.array(rng.choice(["F", "O", "P"], no).tolist(),
+                                  pa.string()),
+        "o_totalprice": pa.array(rng.choice([0.01, 1e9, 144449.04, 5.0],
+                                            no).tolist(), pa.float64()),
+        "o_orderdate": pa.array(dates, pa.timestamp("us")),
+        "o_orderpriority": pa.array(rng.choice(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+            no).tolist(), pa.string()),
+    }), os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(rng.integers(0, no + 20, nl)
+                               .astype("int64"), pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, npart + 5, nl)
+                              .astype("int64"), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, 10, nl).astype("int64"),
+                              pa.int64()),
+        "l_linenumber": pa.array((np.arange(nl) % 7 + 1).astype("int64"),
+                                 pa.int64()),
+        "l_quantity": pa.array(rng.choice([0.0, 1.0, 50.0, 49.99],
+                                          nl).tolist(), pa.float64()),
+        "l_extendedprice": pa.array(rng.choice([0.01, 1e9, 44473.56],
+                                               nl).tolist(), pa.float64()),
+        "l_discount": pa.array(rng.choice([0.0, 0.05, 0.1], nl).tolist(),
+                               pa.float64()),
+        "l_tax": pa.array(rng.choice([0.0, 0.08], nl).tolist(),
+                          pa.float64()),
+        "l_returnflag": pa.array(rng.choice(["A", "N", "R"], nl).tolist(),
+                                 pa.string()),
+        "l_linestatus": pa.array(rng.choice(["F", "O"], nl).tolist(),
+                                 pa.string()),
+        "l_shipdate": pa.array(
+            [base + timedelta(days=int(rng.integers(0, 2000)))
+             for _ in range(nl)], pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(list(range(npart)), pa.int64()),
+        "p_name": pa.array([f"part {i}" for i in range(npart)],
+                           pa.string()),
+        "p_brand": pa.array([f"Brand#{i % 4}" for i in range(npart)],
+                            pa.string()),
+        "p_type": pa.array([f"TYPE {i % 3}" for i in range(npart)],
+                           pa.string()),
+        "p_size": pa.array([(i % 9) + 1 for i in range(npart)],
+                           pa.int32()),
+        "p_retailprice": pa.array(rng.choice([1.0, 1e7, 901.0],
+                                             npart).tolist(), pa.float64()),
+    }), os.path.join(d, "part.parquet"))
+    nev = 150
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(nev)), pa.int64()),
+        "ts": pa.array([base + timedelta(days=int(rng.integers(0, 1200)))
+                        for _ in range(nev)], pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, nc, nev).astype("int64"),
+                            pa.int64()),
+        "event_type": pa.array(rng.choice(["click", "purchase"],
+                                          nev).tolist(), pa.string()),
+        "value": pa.array(rng.choice([5.0, 77.25], nev).tolist(),
+                          pa.float64()),
+        "props": pa.array(["{}"] * nev, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_hostile_joins_oracles_match(ray_session, hostile_joins_dir):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    queries, oracles = mod.queries(), mod.oracle_sql()
+    con = duckdb.connect()
+    for tb in ["customer", "orders", "lineitem", "part", "events"]:
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{hostile_joins_dir}/{tb}.parquet')")
+    failures = []
+    for name in JOIN_QUERIES:
+        got = queries[name](hostile_joins_dir)
+        got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+        want = con.execute(oracles[name]).df()
+        g, w = _norm(got), _norm(want)
+        if len(g) == 0 and len(w) == 0:
+            continue
+        if list(g.columns) != list(w.columns) or len(g) != len(w):
+            failures.append(f"{name}: shape {g.shape} vs {w.shape}")
+            continue
+        for c in g.columns:
+            if pd.api.types.is_float_dtype(g[c]):
+                ok = all((math.isnan(a) and math.isnan(b)) or a == b
+                         for a, b in zip(g[c], w[c]))
+            else:
+                ok = g[c].equals(w[c])
+            if not ok:
+                failures.append(f"{name}.{c}")
+    assert not failures, failures
