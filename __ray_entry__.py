@@ -1793,6 +1793,7 @@ def oracle_sql() -> dict[str, str]:
         # iff knuth_bucket(doc_id) % c < m — all-integer on both engines
         "temperature_sample_by_lang": """
             WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+                       WHERE lang IS NOT NULL
                        GROUP BY lang),
             w0 AS (SELECT lang, n,
                           CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS r

@@ -117,6 +117,26 @@ def _doc_count(sf_dir: str) -> int:
         os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
 
 
+def _prefix_rows_estimate(sf_dir: str, threshold: float) -> int:
+    """Upper-ish estimate of total prefix-filter rows, from parquet
+    metadata alone: prefix length per doc is ``(1-t)·|shingles| + 1`` and
+    shingles are bounded by word count ≈ text bytes / 5 (ADVICE r4: the
+    old fixed 64-per-doc constant undershoots on long-document corpora and
+    kept the count pass driver-local past its memory intent)."""
+    import pyarrow.parquet as pq_mod
+    md = pq_mod.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata
+    text_bytes = 0
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            if col.path_in_schema == "text":
+                text_bytes += col.total_uncompressed_size
+    words = text_bytes // 5
+    return md.num_rows + int(words * max(0.0, 1.0 - threshold))
+
+
 def word_shingles(text: str, k: int = 3) -> np.ndarray:
     """Sorted unique uint64 hashes of the k-word shingles of ``text``.
 
@@ -1196,7 +1216,8 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
                       "jac": pa.array([], pa.float64())})
     light = ds.map_batches(_shingle_prefix_stage(threshold),
                            batch_format="pyarrow")
-    hot, member_rows = _hot_buckets(light, _doc_count(sf_dir) * 64)
+    hot, member_rows = _hot_buckets(
+        light, _prefix_rows_estimate(sf_dir, threshold))
     if len(hot) == 0:
         return rd.from_arrow(empty)
     full = ds.map_batches(_shingle_prefix_stage(threshold, hot=hot),
@@ -1481,7 +1502,8 @@ def dup_span_counts(sf_dir: str, window: int = 8) -> rd.Dataset:
 
     light = ds.map_batches(SpanStage(), batch_format="pyarrow",
                            batch_size=None)
-    hot, _member_rows = _hot_buckets(light, _doc_count(sf_dir) * 64)
+    hot, _member_rows = _hot_buckets(
+        light, _prefix_rows_estimate(sf_dir, 0.0))
     return ds.map_batches(SpanStage(hot=hot), batch_format="pyarrow",
                           batch_size=None)
 
@@ -1506,7 +1528,7 @@ def remove_dup_spans(sf_dir: str, window: int = 8) -> rd.Dataset:
 
     light_ds = ds.map_batches(lambda t: _distinct_span_buckets(t, window),
                               batch_format="pyarrow", batch_size=None)
-    hot, _ = _hot_buckets(light_ds, _doc_count(sf_dir) * 64)
+    hot, _ = _hot_buckets(light_ds, _prefix_rows_estimate(sf_dir, 0.0))
     hot = np.sort(hot)
 
     class Rewrite:

@@ -583,6 +583,37 @@ BROADCAST_JOIN_MAX_ROWS = 2_000_000
 BROADCAST_CLOSURE_MAX_ROWS = 500_000
 
 
+def _exact_prio_sums(code: np.ndarray, c: np.ndarray, d100: np.ndarray,
+                     k: int) -> list[int]:
+    """Per-code EXACT sums of ``c * (100 - d100)`` as Python ints.
+
+    The overflow guard runs on the FACTORS, before multiplying (ADVICE r4:
+    a post-product ``abs(num).max()`` check never sees a wrapped product —
+    the per-element-product trap in CLAUDE.md). Fast path: both the
+    per-element product and the block sum provably fit int64; otherwise a
+    Python-bigint fold over distinct (code, c, d100) triples.
+    """
+    sints = [0] * k
+    if len(c) == 0:
+        return sints
+    cmax = int(np.abs(c).max())
+    # |num| <= cmax * 200 (d100 in cents of a discount fraction can be
+    # negative on hostile data, so the multiplier bound is 100 + |d100|max)
+    dmax = int(np.abs(d100).max())
+    nmax = cmax * (100 + dmax)
+    if nmax * len(c) < (1 << 62):
+        num = c * (100 - d100)
+        s = np.zeros(k, np.int64)
+        np.add.at(s, code, num)
+        return [int(x) for x in s]
+    trips, cnt = np.unique(np.stack([code, c, d100]), axis=1,
+                           return_counts=True)
+    for ki, ci, di, n_ in zip(trips[0].tolist(), trips[1].tolist(),
+                              trips[2].tolist(), cnt.tolist()):
+        sints[int(ki)] += int(n_) * int(ci) * (100 - int(di))
+    return sints
+
+
 def revenue_by_priority(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     """lineitem ⋈ orders + aggregate, size-adaptive join placement.
 
@@ -615,22 +646,10 @@ def revenue_by_priority(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
                 # Σnum / 10000, divided ONCE at the end on both engines
                 c = cents64(t["l_extendedprice"])[hit]
                 d100 = cents64(t["l_discount"])[hit]
-                num = c * (100 - d100)
                 code_hit = codes[hit]
                 k = int(code_hit.max()) + 1 if len(code_hit) else 0
                 n = np.bincount(code_hit, minlength=k).astype(np.int64)
-                amax = int(np.abs(num).max()) if len(num) else 0
-                if amax * max(len(num), 1) < (1 << 62):
-                    s = np.zeros(k, np.int64)
-                    np.add.at(s, code_hit, num)
-                    sints = [int(x) for x in s]
-                else:  # bigint fallback over distinct (code, num) pairs
-                    sints = [0] * k
-                    prs, cnt = np.unique(np.stack([code_hit, num]), axis=1,
-                                         return_counts=True)
-                    for ki, vi, n_ in zip(prs[0].tolist(), prs[1].tolist(),
-                                          cnt.tolist()):
-                        sints[int(ki)] += int(n_) * int(vi)
+                sints = _exact_prio_sums(code_hit, c, d100, k)
                 keep = np.nonzero(n)[0]
                 return pa.table({
                     "code": pa.array(keep.astype(np.int32), pa.int32()),
@@ -717,36 +736,56 @@ def _revenue_by_priority_shuffle(li: rd.Dataset, sf_dir: str,
                      aggregator_ray_remote_args={"num_cpus": 0.05})
 
     def derive(t: pa.Table) -> pa.Table:
-        # exact integer numerator (see the broadcast path); int64 sums are
-        # exact while Σ revenue < ~$9e14 per priority — the documented
-        # boundary of this scale path
-        num = cents64(t["l_extendedprice"]) \
-            * (100 - cents64(t["l_discount"]))
-        return pa.table({"o_orderpriority": t["o_orderpriority"],
-                         "num": pa.array(num, pa.int64())})
-
-    partials = partial_groupby(
-        joined.map_batches(derive, batch_format="pyarrow"),
-        ["o_orderpriority"],
-        [("num", "sum"), ("num", "count")],
-        ["sum_num", "n"],
-    )
-    out = partials.groupby("o_orderpriority").aggregate(
-        Sum("n", alias_name="n_items"),
-        Sum("sum_num", alias_name="sum_num"),
-    )
-
-    def to_rev(t: pa.Table) -> pa.Table:
-        num = t["sum_num"].to_numpy(zero_copy_only=False)
+        # per-block EXACT partial, keyed by priority string: the same
+        # factor-guarded bigint sums as the broadcast path (ADVICE r4: a
+        # per-row int64 `num` column wraps silently past |price| ~ $4.6e14
+        # while the HUGEINT oracle stays exact), split hi/lo so the partial
+        # rides an int64 Arrow column
+        c = cents64(t["l_extendedprice"])
+        d100 = cents64(t["l_discount"])
+        col = t["o_orderpriority"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = pc.dictionary_encode(col)
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        n = np.bincount(code, minlength=k).astype(np.int64)
+        sints = _exact_prio_sums(code, c, d100, k)
+        keep = np.nonzero(n)[0]
         return pa.table({
-            "o_orderpriority": t["o_orderpriority"],
-            "n_items": pc.cast(t["n_items"], pa.int64()),
-            "revenue": pa.array([float(int(x)) / 10000.0 for x in num],
-                                pa.float64()),
+            "o_orderpriority": pc.cast(
+                enc.dictionary.take(pa.array(keep, pa.int64())),
+                pa.string()),
+            "n": pa.array(n[keep], pa.int64()),
+            "s_hi": pa.array([sints[i] >> 62 for i in keep], pa.int64()),
+            "s_lo": pa.array([sints[i] & ((1 << 62) - 1) for i in keep],
+                             pa.int64()),
         })
 
-    out = out.map_batches(to_rev, batch_format="pyarrow")
-    return round_result(out, {"revenue": 2})
+    partials = joined.map_batches(derive, batch_format="pyarrow",
+                                  batch_size=None)
+
+    # handful of priorities × blocks — fold exactly on the driver with
+    # Python ints (no Ray Sum: hi/lo halves cannot be summed independently
+    # without losing carries)
+    acc: dict[str, list[int]] = {}
+    tbl = collect_table(partials)
+    if tbl.num_rows:
+        for p, n_, hi, lo in zip(tbl["o_orderpriority"].to_pylist(),
+                                 tbl["n"].to_pylist(),
+                                 tbl["s_hi"].to_pylist(),
+                                 tbl["s_lo"].to_pylist()):
+            a = acc.setdefault(p, [0, 0])
+            a[0] += n_
+            a[1] += (hi << 62) + lo
+    prios = sorted(acc)
+    out_tbl = pa.table({
+        "o_orderpriority": pa.array(prios, pa.string()),
+        "n_items": pa.array([acc[p][0] for p in prios], pa.int64()),
+        "revenue": pa.array([float(acc[p][1]) / 10000.0 for p in prios],
+                            pa.float64()),
+    })
+    return round_result(rd.from_arrow(out_tbl), {"revenue": 2})
 
 
 def union_key_counts(sf_dir: str) -> rd.Dataset:
@@ -815,6 +854,24 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *, key: str,
     _ts_float = (pa.types.is_floating(l_schema.field(left_ts).type)
                  or pa.types.is_floating(r_schema.field(right_ts).type))
     _ts_type = pa.float64() if _ts_float else pa.int64()
+    # mixed float/int timestamps: the integer side is about to be compared
+    # in float64, which is exact only up to 2^53 — beyond that (e.g. int64
+    # epoch NANOseconds) the cast can reorder near-tie timestamps and flip
+    # which right row the inclusive `<=` rule matches. Fail loudly instead
+    # of silently mismatching (ADVICE r4); callers with ns-int + float
+    # sides must cast one side explicitly.
+    _int_sides = [nm for nm, sch, f in ((left_ts, l_schema, left_ts),
+                                        (right_ts, r_schema, right_ts))
+                  if _ts_float and pa.types.is_integer(sch.field(nm).type)]
+
+    def _check_f64_exact(col: pa.ChunkedArray | pa.Array, name: str):
+        m = pc.max(pc.abs(pc.cast(col, pa.int64()))).as_py()
+        if m is not None and int(m) >= (1 << 53):
+            raise ValueError(
+                f"asof_join: integer timestamp column {name!r} has values "
+                f">= 2^53 but the other side is floating — the float64 "
+                f"comparison domain would lose precision; cast one side "
+                f"explicitly")
 
     def _tag(side: str):
         def tag(t: pa.Table) -> pa.Table:
@@ -847,6 +904,8 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *, key: str,
             kcol = kcol.combine_chunks()
         enc = pc.dictionary_encode(kcol)
         code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        for _nm in set(_int_sides):  # mixed float/int: see entry guard
+            _check_f64_exact(g[_nm], _nm)
         lt = pc.fill_null(pc.cast(g[left_ts], _ts_type), 0) \
             .to_numpy(zero_copy_only=False)
         rt = pc.fill_null(pc.cast(g[right_ts], _ts_type), 0) \

@@ -20,6 +20,7 @@ from __future__ import annotations
 import math
 import os
 import re
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -1328,9 +1329,7 @@ def bm25_search_indexed(index_dir: str, query: str = "hash join merge",
         return rd.from_arrow(empty)
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
-    canary = int(_term_buckets(pa.array(["sema ray hash canary 0"],
-                                        pa.string()), 1 << 62)[0])
-    if canary != stats.get("hash_fingerprint", canary):
+    if not _text_index_fingerprint_ok(index_dir):
         raise ValueError(
             "text-index bucket hash family changed since this index was "
             "built (polars version change or polars absent) — rebuild "
@@ -1434,11 +1433,31 @@ def ensure_text_index(sf_dir: str) -> str:
         f"{os.path.basename(os.path.normpath(sf_dir))}-documents"
         f"-{st.st_size}-{int(st.st_mtime)}-textindex")
     marker = os.path.join(root, "_COMPLETE")
+    if os.path.exists(marker) and not _text_index_fingerprint_ok(root):
+        # bucket hash family changed (polars version change / absence)
+        # since this cache entry was built — a rebuild in the CURRENT
+        # environment fixes it, so do that instead of raising at query
+        # time forever (ADVICE r4)
+        shutil.rmtree(root, ignore_errors=True)
     if not os.path.exists(marker):
         build_text_index(sf_dir, root)
         with open(marker, "w") as f:
             f.write("ok")
     return root
+
+
+def _text_index_fingerprint_ok(index_dir: str) -> bool:
+    """True iff the stored index's bucket-hash fingerprint matches the
+    current environment's hash family (see build_text_index stats)."""
+    import json
+    try:
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            stats = json.load(f)
+    except (OSError, ValueError):
+        return False
+    canary = int(_term_buckets(pa.array(["sema ray hash canary 0"],
+                                        pa.string()), 1 << 62)[0])
+    return canary == stats.get("hash_fingerprint", canary)
 
 
 def bm25_indexed_query(sf_dir: str, query: str = "hash join merge",

@@ -51,7 +51,11 @@ def hostile_dir(tmp_path_factory):
     pq.write_table(pa.table({
         "doc_id": pa.array(list(range(n)), pa.int64()),
         "text": pa.array(texts, pa.string()),
-        "lang": pa.array([["en", "de", "fr", "xx", ""][i % 5]
+        # one real NULL every 29 rows (not just "" — the NULL-lang group
+        # must be excluded from temperature-sample denominators on BOTH
+        # engines; ADVICE r4 found the twin silently including it)
+        "lang": pa.array([None if i % 29 == 7
+                          else ["en", "de", "fr", "xx", ""][i % 5]
                           for i in range(n)], pa.string()),
         "source": pa.array([f"s{i % 3}" for i in range(n)], pa.string()),
         "n_chars": pa.array([len(x) for x in texts], pa.int64()),

@@ -214,3 +214,62 @@ def test_asof_join_float_timestamps(ray_session):
     got = {(r.k, r.lid): r.val for r in out.itertuples()}
     # k=1: 5.5 matches rts=5.5 inclusively; 2.25 precedes every right row
     assert got == {(1, 0): 55, (2, 2): 67}
+
+
+def test_asof_join_mixed_int_float_guard(ray_session):
+    """Mixed float/int timestamp sides: int values >= 2^53 would silently
+    lose precision in the float64 comparison domain — the operator must
+    raise instead (ADVICE r4). Small mixed values still work exactly."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from sema_ray.relational import asof_join
+
+    big = (1 << 53) + 1  # not float64-representable
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "lts": pa.array([big, 10], pa.int64()),
+        "lid": pa.array([0, 1], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "rts": pa.array([9.5], pa.float64()),
+        "val": pa.array([95], pa.int64()),
+    }))
+    with pytest.raises((ValueError, Exception)) as ei:
+        asof_join(left, right, key="k", left_ts="lts", right_ts="rts",
+                  value_cols=["val"], n_parts=1).to_pandas()
+    assert "2^53" in str(ei.value)
+
+    # small mixed int/float values: exact and inclusive as usual
+    left2 = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "lts": pa.array([10, 5], pa.int64()),
+        "lid": pa.array([0, 1], pa.int64()),
+    }))
+    out = asof_join(left2, right, key="k", left_ts="lts", right_ts="rts",
+                    value_cols=["val"], n_parts=1).to_pandas()
+    got = {r.lid: r.val for r in out.itertuples()}
+    assert got == {0: 95}  # lts=5 precedes rts=9.5 -> dropped (inner)
+
+
+def test_exact_prio_sums_factor_overflow():
+    """The overflow guard must fire on the FACTORS, pre-product: a cents
+    value whose product with (100 - d100) wraps int64 must still sum
+    exactly via the bigint fold (ADVICE r4)."""
+    import numpy as np
+
+    from sema_ray.relational import _exact_prio_sums
+
+    c = np.array([1 << 60, -(1 << 60), 7], dtype=np.int64)
+    d100 = np.array([0, 5, 10], dtype=np.int64)
+    code = np.array([0, 0, 1], dtype=np.int64)
+    got = _exact_prio_sums(code, c, d100, 2)
+    want0 = (1 << 60) * 100 + (-(1 << 60)) * 95  # exact Python ints
+    assert got == [want0, 7 * 90]
+    # fast path agrees with the exact path on small values
+    c2 = np.array([123456, -999], dtype=np.int64)
+    d2 = np.array([3, 7], dtype=np.int64)
+    assert _exact_prio_sums(np.array([0, 0]), c2, d2, 1) \
+        == [123456 * 97 + (-999) * 93]
