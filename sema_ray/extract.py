@@ -19,7 +19,6 @@ import pyarrow.compute as pc
 
 from . import golden
 from .chunker import chunk_text
-from .hashing import content_hash
 
 TRIPLE_SCHEMA = pa.schema(
     [
@@ -62,15 +61,22 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
     rewritten (per-turn text-equality invariant, BASELINE.json input_hint).
 
     Adds ``n_bytes`` (UTF-8 length) and ``text_hash`` (content fingerprint,
-    reference T4 idea at row granularity). Null text rows get n_bytes=0 and
-    the empty-content hash (tagged, not dropped — SURVEY S2 note).
+    reference T4 idea at row granularity — the reference's family is xxh3,
+    src/storage/mod.rs:72-94). Null text rows get n_bytes=0 and the
+    empty-content hash (tagged, not dropped — SURVEY S2 note).
+
+    The fingerprint is the vectorized 64-bit xxhash kernel shared with the
+    dedup family (``dedup._text_bucket64`` — one Rust call per column, no
+    per-row Python digests; VERDICT r4 weak #4), hex-encoded. It feeds
+    resume fingerprints and tests only, never an oracle.
     """
+    from .dedup import _text_bucket64
     n_bytes = pc.fill_null(
         pc.binary_length(pc.cast(batch["text"], pa.binary())), 0)
-    hashes = pa.array(
-        [content_hash(t if t is not None else "")
-         for t in batch["text"].to_pylist()], pa.string()
-    )
+    h64 = _text_bucket64(pc.fill_null(batch["text"], ""))
+    hx = h64.astype(">u8").tobytes().hex()  # one hexlify for the column
+    hashes = pa.array([hx[i << 4:(i + 1) << 4] for i in range(len(h64))],
+                      pa.string())
     out = batch.append_column("n_bytes", pc.cast(n_bytes, pa.int64()))
     return out.append_column("text_hash", hashes)
 

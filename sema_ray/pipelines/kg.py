@@ -688,12 +688,16 @@ def coherent_turns(ds: rd.Dataset) -> rd.Dataset:
 
 def detect_heavy_convs(ds: rd.Dataset, threshold: int = 1000) -> set[str]:
     """Cheap presample for skew: conv_ids with > threshold turns (SURVEY §4.3)."""
+    from ..util import collect_table
     counts = ds.groupby("conv_id").aggregate(Count(alias_name="n_turns"))
     heavy = counts.map_batches(
         lambda t: t.filter(pc.greater(t["n_turns"], threshold)),
         batch_format="pyarrow",
     )
-    return set(heavy.to_pandas()["conv_id"])
+    tbl = collect_table(heavy)  # empty-block-safe (CLAUDE.md)
+    if "conv_id" not in tbl.column_names:
+        return set()
+    return set(tbl["conv_id"].to_pylist())
 
 
 def salted_repartition(ds: rd.Dataset, num_partitions: int,

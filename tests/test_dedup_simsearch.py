@@ -709,6 +709,26 @@ def test_vector_index_stored_matches_numpy_probe(ray_session, vec_dir,
         assert got == expect, q
 
 
+def test_vector_index_layout_canary_raises(ray_session, vec_dir,
+                                            tmp_path):
+    """A stored centroid artifact whose layout drifted from its stats.json
+    canary must fail LOUDLY at query time, not with wrong probes."""
+    import json
+
+    import pytest
+
+    idx = str(tmp_path / "vix_bad")
+    simsearch.build_vector_index(vec_dir, idx, n_lists=4)
+    with open(idx + "/stats.json") as f:
+        stats = json.load(f)
+    stats["dim"] = stats["dim"] + 1  # simulate layout drift
+    with open(idx + "/stats.json", "w") as f:
+        json.dump(stats, f)
+    with pytest.raises(ValueError, match="canary"):
+        simsearch.knn_ivf_indexed(idx, vec_dir, k=5, n_queries=1,
+                                  n_probe=2).to_pandas()
+
+
 def test_span_hash_no_rotation_collision(ray_session, tmp_path):
     """Regression (oracle fuzz): cycling 5 multipliers across an 8-token
     window made 'zz x5 + tail' hash equal to 'tail + zz x5' — rotated
