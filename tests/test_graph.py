@@ -319,3 +319,61 @@ def test_label_propagation_matches_reference(ray_session):
         out = label_propagation(rd.from_arrow(tbl)).to_pandas()
         got = dict(zip(out["node"], out["community"]))
         assert got == _lpa_reference(edges)
+
+
+def test_pagerank_distributed_path_matches_reference(ray_session):
+    """The past-driver-memory rounds (ranks as a (node, rank, deg) dataset,
+    two keyed shuffles per round) forced via local_max_edges=0 must match
+    the dense reference AND the driver-vector path after 9-digit rounding
+    (VERDICT r4 #1)."""
+    from sema_ray.graph import pagerank
+    rng = np.random.default_rng(43)
+    edges = list({(int(a), int(b))
+                  for a, b in rng.integers(0, 30, size=(120, 2)) if a != b})
+    edges.append((77, 0))  # 77 dangling beyond the cycle
+    edges.append((0, 77))
+    tbl = pa.table({"a": pa.array([a for a, _ in edges], pa.int64()),
+                    "b": pa.array([b for _, b in edges], pa.int64())})
+    got = pagerank(rd.from_arrow(tbl), local_max_edges=0, n_iter=5,
+                   n_parts=8).to_pandas()
+    want = _ref_pagerank(edges, n_iter=5)
+    assert abs(got["rank"].sum() - 1.0) < 1e-6
+    for node, rank in zip(got["node"], got["rank"]):
+        assert abs(rank - want[node]) < 1e-6, node
+    loc = pagerank(rd.from_arrow(tbl), n_iter=5).to_pandas() \
+        .set_index("node")["rank"]
+    dst = got.set_index("node")["rank"]
+    assert float((loc - dst).abs().max()) == 0.0
+
+
+def test_label_propagation_distributed_path_exact(ray_session):
+    """The distributed rounds (labels as a (node, label) dataset, votes +
+    argmax keyed shuffles, 3-int signature convergence) are all-integer and
+    must agree EXACTLY with the driver-vector path and the pure-Python
+    synchronous rule (VERDICT r4 #1)."""
+    from sema_ray.graph import label_propagation
+    edges = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+    edges += [(i, j) for i in range(10, 18) for j in range(i + 1, 18)]
+    edges.append((7, 10))  # bridge
+    tbl = pa.table({"a": pa.array([a for a, _ in edges], pa.int64()),
+                    "b": pa.array([b for _, b in edges], pa.int64())})
+    out = label_propagation(rd.from_arrow(tbl), local_max_edges=0,
+                            n_parts=8).to_pandas()
+    got = dict(zip(out["node"], out["community"]))
+    left = {got[i] for i in range(8)}
+    right = {got[i] for i in range(10, 18)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+    rng = np.random.default_rng(19)
+    m = int(rng.integers(20, 60))
+    es = [(int(rng.integers(0, 25)), int(rng.integers(0, 25)))
+          for _ in range(m)]
+    es = [e for e in es if e[0] != e[1]]
+    dup = es + [(b, a) for a, b in es[: len(es) // 2]]
+    t2 = pa.table({"a": pa.array([a for a, _ in dup], pa.int64()),
+                   "b": pa.array([b for _, b in dup], pa.int64())})
+    o_l = label_propagation(rd.from_arrow(t2)).to_pandas()
+    o_d = label_propagation(rd.from_arrow(t2), local_max_edges=0,
+                            n_parts=8).to_pandas()
+    gl = dict(zip(o_l["node"], o_l["community"]))
+    gd = dict(zip(o_d["node"], o_d["community"]))
+    assert gl == gd == _lpa_reference(es)
