@@ -226,6 +226,16 @@ def _kg_oracle_sqls() -> dict[str, str]:
            "kg_triples": triples, "conv_stats": conv_stats,
            "assistant_latency": assistant_latency,
            "tool_usage": tool_usage}
+    # canonicalization validity twins (the dedup_minhash pinned-TRUE
+    # shape): SQL re-derives the surface vocabulary / triple rows, the Ray
+    # side recomputes the cluster contract exactly (kg.entity_validity /
+    # kg.linked_triple_validity) and must flag every row ok
+    out["kg_entities_valid"] = (
+        f"WITH m AS ({mentions}) SELECT DISTINCT surface, "
+        f"CAST(1 AS BIGINT) AS entity_ok FROM m")
+    out["kg_linked_valid"] = (
+        f"WITH t AS ({triples}) SELECT DISTINCT conv_id, turn_idx, subj, "
+        f"pred, obj, CAST(1 AS BIGINT) AS link_ok FROM t")
 
     # The chunker (chunker.py, bit-exact reference port) emits exactly one
     # whole-text chunk per turn when every text is under OVERLAP_SIZE+1
@@ -296,6 +306,16 @@ def _kg_entities(sf_dir: str):
 def _kg_linked(sf_dir: str):
     from sema_ray.pipelines.kg import kg_flagship
     return kg_flagship(_kg_corpus(sf_dir))
+
+
+def _kg_entities_valid(sf_dir: str):
+    from sema_ray.pipelines.kg import entity_validity
+    return entity_validity(_kg_mentions(sf_dir))
+
+
+def _kg_linked_valid(sf_dir: str):
+    from sema_ray.pipelines.kg import kg_flagship, linked_triple_validity
+    return linked_triple_validity(kg_flagship(_kg_corpus(sf_dir)))
 
 
 def _kg_adjacency(sf_dir: str):
@@ -923,6 +943,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- KG tail stages (golden-oracle in pytest) ----------------------
         "kg_entities": _kg_entities,
         "kg_linked_triples": _kg_linked,
+        # canonicalization validity twins (VERDICT r4 next-#6): entity ids
+        # are permutation-dependent, but the cluster CONTRACT is exactly
+        # recomputable — rep rule, id rule, exact-key merge, connectivity
+        # under the pairwise merge budget with NO LSH — pinned TRUE in SQL
+        # over the re-derived surface/triple sets
+        "kg_entities_valid": _kg_entities_valid,
+        "kg_linked_valid": _kg_linked_valid,
         "kg_adjacency": _kg_adjacency,
         "kg_entity_degrees": _kg_entity_degrees,
         # PageRank over the entity adjacency (iterative; dense-matrix

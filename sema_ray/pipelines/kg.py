@@ -775,6 +775,162 @@ def triple_surfaces(trip: rd.Dataset) -> rd.Dataset:
     return trip.map_batches(surf, batch_format="pyarrow", batch_size=None)
 
 
+def _keys_connected(keys: list[str], embedder,
+                    jaccard_threshold: float = 0.4,
+                    cosine_threshold: float = 0.6) -> bool:
+    """Exact connectivity of one cluster's distinct normalized keys under
+    the pairwise merge rule (:func:`sema_ray.canonicalize.verify_pair`) —
+    NO LSH blocking, so a blocking or union-find fault upstream cannot hide
+    in the recheck. O(m²) pairwise in the worst case, but m is the distinct
+    keys of ONE entity's surface variants — single digits in practice."""
+    from ..canonicalize import verify_pair
+    m = len(keys)
+    if m <= 1:
+        return True
+    seen = np.zeros(m, bool)
+    seen[0] = True
+    frontier = [0]
+    while frontier:
+        i = frontier.pop()
+        for j in range(m):
+            if not seen[j] and verify_pair(keys[i], keys[j], embedder,
+                                           jaccard_threshold,
+                                           cosine_threshold):
+                seen[j] = True
+                frontier.append(j)
+    return bool(seen.all())
+
+
+def entity_validity(mentions: rd.Dataset,
+                    approx_rows: int | None = None) -> pa.Table:
+    """(surface, entity_ok) over the distinct mention surfaces — an
+    independent exact audit of the canonicalization contract (VERDICT r4
+    next-#6: entity ids are permutation-dependent, validity is not).
+    entity_ok is 1 iff the surface's cluster satisfies ALL of:
+
+    (a) one canonical per entity_id, and that canonical is a MEMBER;
+    (b) entity_id == stable_id64(normalize(canonical) or canonical);
+    (c) the canonical is the (max mention count, lexicographic-min) member
+        — the rep rule of build_canonical_map, recomputed from the counts;
+    (d) no other cluster holds a surface with the same normalized key
+        (exact-key merges are mandatory);
+    (e) the cluster's distinct normalized keys are CONNECTED under the
+        exact pairwise merge rule, recomputed with no LSH blocking
+        (:func:`_keys_connected`).
+
+    The audit is vocabulary-sized and driver-local — the same boundary as
+    the union-find it checks. SQL twin: the distinct mention surfaces with
+    entity_ok pinned TRUE (the dedup_minhash validity-twin shape)."""
+    from ..embed import HashEmbedder
+    _cmap, ent = canonical_entities(mentions, approx_rows=approx_rows)
+    surfaces = ent["surface"].to_pylist()
+    ids = ent["entity_id"].to_pylist()
+    canon = ent["canonical"].to_pylist()
+    count_of = dict(zip(surfaces, ent["n"].to_pylist()))
+    clusters: dict[int, list[int]] = {}
+    for i, eid in enumerate(ids):
+        clusters.setdefault(eid, []).append(i)
+    key_owner: dict[str, set[int]] = {}
+    for i, s in enumerate(surfaces):
+        key_owner.setdefault(normalize_surface(s), set()).add(ids[i])
+    emb = HashEmbedder()
+    ok = np.ones(len(surfaces), bool)
+    for eid, idxs in clusters.items():
+        members = [surfaces[i] for i in idxs]
+        rep = canon[idxs[0]]
+        good = all(canon[i] == rep for i in idxs) and rep in members
+        good = good and eid == stable_id64(normalize_surface(rep) or rep)
+        good = good and rep == sorted(
+            members, key=lambda s: (-count_of[s], s))[0]
+        good = good and all(
+            key_owner[normalize_surface(s)] == {eid} for s in members)
+        good = good and _keys_connected(
+            sorted({normalize_surface(s) for s in members}), emb)
+        if not good:
+            for i in idxs:
+                ok[i] = False
+    order = np.argsort(np.array(surfaces, dtype=object))
+    return pa.table({
+        "surface": pa.array([surfaces[i] for i in order], pa.string()),
+        "entity_ok": pa.array(ok[order].astype(np.int64), pa.int64())})
+
+
+def linked_triple_validity(linked: rd.Dataset) -> rd.Dataset:
+    """(conv_id, turn_idx, subj, pred, obj, link_ok) over the flagship's
+    linked triples — the link-stage counterpart of :func:`entity_validity`.
+    The distinct (surface -> entity_id, canonical) assignments are folded
+    out of the OUTPUT itself (vocabulary-sized partials, the
+    canonical_entities count shape) and audited exactly on the driver:
+
+    (a) functional dependency — every surface maps to exactly ONE
+        (entity_id, canonical) across all rows and both roles;
+    (b) entity_id == stable_id64(normalize(canonical) or canonical);
+    (c) the canonical is itself a linked surface of the same cluster;
+    (d) the cluster's normalized keys are connected under the exact
+        pairwise merge rule (no LSH).
+
+    link_ok = both endpoint surfaces pass; the SQL twin re-derives the
+    triple rows and pins link_ok TRUE. The rep-choice rule needs mention
+    counts and is audited by entity_validity, not here."""
+    from ..embed import HashEmbedder
+    from ..util import collect_table
+
+    def mapping_partial(t: pa.Table) -> pa.Table:
+        parts = []
+        for role in ("subj", "obj"):
+            parts.append(pa.table({
+                "surface": pc.cast(t[role], pa.string()),
+                "entity_id": pc.cast(t[f"{role}_id"], pa.int64()),
+                "canonical": pc.cast(t[f"{role}_canonical"], pa.string())}))
+        both = pa.concat_tables(parts)
+        grp = both.group_by(["surface", "entity_id", "canonical"]) \
+            .aggregate([])
+        return grp
+
+    maps = collect_table(linked.map_batches(
+        mapping_partial, batch_format="pyarrow", batch_size=None))
+    bad: set[str] = set()
+    if maps.num_rows and "surface" in maps.column_names:
+        maps = maps.group_by(["surface", "entity_id", "canonical"]) \
+            .aggregate([])
+        surfaces = maps["surface"].to_pylist()
+        ids = maps["entity_id"].to_pylist()
+        canon = maps["canonical"].to_pylist()
+        by_surface: dict[str, list[int]] = {}
+        for i, s in enumerate(surfaces):
+            by_surface.setdefault(s, []).append(i)
+        clusters: dict[int, list[int]] = {}
+        for i, eid in enumerate(ids):
+            clusters.setdefault(eid, []).append(i)
+        emb = HashEmbedder()
+        for s, idxs in by_surface.items():
+            if len(idxs) != 1:  # (a)
+                bad.add(s)
+        for eid, idxs in clusters.items():
+            members = {surfaces[i] for i in idxs}
+            rep = canon[idxs[0]]
+            good = all(canon[i] == rep for i in idxs) and rep in members
+            good = good and eid == stable_id64(
+                normalize_surface(rep) or rep)  # (b), (c)
+            good = good and _keys_connected(
+                sorted({normalize_surface(s) for s in members}), emb)  # (d)
+            if not good:
+                bad.update(members)
+    bad_sorted = np.array(sorted(bad), dtype=object)
+
+    def flag(t: pa.Table) -> pa.Table:
+        s = np.array(t["subj"].to_pylist(), dtype=object)
+        o = np.array(t["obj"].to_pylist(), dtype=object)
+        okv = ~(np.isin(s, bad_sorted) | np.isin(o, bad_sorted))
+        return pa.table({
+            "conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
+            "subj": t["subj"], "pred": t["pred"], "obj": t["obj"],
+            "link_ok": pa.array(okv.astype(np.int64), pa.int64())})
+
+    return linked.map_batches(flag, batch_format="pyarrow",
+                              batch_size=None)
+
+
 def kg_flagship(input_dir: str, batch_size: int = DEFAULT_BATCH_SIZE) -> rd.Dataset:
     """Flagship pipeline, streaming form (no intermediate writes):
     transcripts -> triples (one extraction pass) -> canonicalized links.
