@@ -1279,15 +1279,40 @@ def _postings_fn(n_buckets: int, gen: int):
     return postings
 
 
-def _load_kill(index_dir: str,
-               id_col: str = "doc_id") -> tuple[np.ndarray, np.ndarray]:
+def _read_index_stats(index_dir: str) -> dict:
+    """stats.json, or {} for a pre-stats artifact."""
+    import json as _json
+    try:
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            return _json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _resolve_subdir(index_dir: str, stats: dict, key: str,
+                    default: str) -> str:
+    """Stored-artifact subdirs are resolved through stats.json so
+    :func:`compact_text_index` / :func:`compact_vector_index` can swap in
+    a compacted directory with ONE atomic stats.json replace (the commit
+    point); artifacts that predate compaction have no key and resolve to
+    the original fixed names."""
+    return os.path.join(index_dir, stats.get(key, default))
+
+
+def _load_kill(index_dir: str, id_col: str = "doc_id",
+               stats: dict | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Tombstones -> (sorted ids, kill gen): rows with gen < kill are
-    dead. Bounded by cumulative upsert volume (compaction = fresh build)."""
+    dead. Bounded by cumulative upsert volume SINCE the last compaction
+    (:func:`compact_text_index` / :func:`compact_vector_index` swap in an
+    empty tombstone dir)."""
     import glob as _glob
 
     import pyarrow.parquet as _pq
-    files = sorted(_glob.glob(os.path.join(index_dir, "tombstones",
-                                           "*.parquet")))
+    if stats is None:
+        stats = _read_index_stats(index_dir)
+    files = sorted(_glob.glob(os.path.join(
+        _resolve_subdir(index_dir, stats, "tombstones_dir", "tombstones"),
+        "*.parquet")))
     if not files:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     t = pa.concat_tables([_pq.read_table(f) for f in files])
@@ -1311,6 +1336,183 @@ def _kill_filter(t: pa.Table, kids: np.ndarray, kgens: np.ndarray,
     if not dead.any():
         return t
     return t.filter(pa.array(~dead))
+
+
+# below this many cumulative DIRTY bytes, compaction rewrites on the
+# driver (Ray's fixed per-pass cost dwarfs filtering a few MB); above it
+# one distributed streaming read -> kill filter -> partitioned write
+COMPACT_LOCAL_MAX_BYTES = 64 << 20
+
+
+def _file_may_hold_dead(path: str, id_col: str, kids: np.ndarray,
+                        kgens: np.ndarray) -> bool:
+    """Parquet-FOOTER test: can this file contain a tombstone-killed row?
+    Per row group, a killed id must fall inside the id column's [min, max]
+    AND the group's min generation must predate some kill generation in
+    that id range — otherwise every row provably survives and compaction
+    can hard-link the file instead of reading it. Files without usable
+    statistics are conservatively treated as dirty (rewriting a clean
+    file is slower, never wrong)."""
+    import pyarrow.parquet as _pq
+    md = _pq.read_metadata(path)
+    if md.num_row_groups == 0:
+        return False
+    rg0 = md.row_group(0)
+    id_j = gen_j = None
+    for j in range(rg0.num_columns):
+        p = rg0.column(j).path_in_schema
+        if p == id_col:
+            id_j = j
+        elif p == "gen":
+            gen_j = j
+    if id_j is None or gen_j is None:
+        return True
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        s_id = rg.column(id_j).statistics
+        s_gen = rg.column(gen_j).statistics
+        if (s_id is None or s_gen is None
+                or not s_id.has_min_max or not s_gen.has_min_max):
+            return True
+        a = np.searchsorted(kids, int(s_id.min))
+        b = np.searchsorted(kids, int(s_id.max), side="right")
+        if b > a and int(s_gen.min) < int(kgens[a:b].max()):
+            return True
+    return False
+
+
+def _compact_artifact(index_dir: str, stats: dict, data_key: str,
+                      data_default: str, part_col: str,
+                      id_col: str) -> dict:
+    """Shared core of :func:`compact_text_index` /
+    :func:`compact_vector_index`: fold accumulated tombstones into the
+    partitioned data, touching only partitions that can hold dead rows.
+
+    Protocol (crash-safe at every step):
+
+    1. classify every data file with the parquet-footer test — provably
+       clean files are HARD-LINKED into a fresh epoch directory (zero
+       data bytes moved), possibly-dirty files are read, kill-filtered
+       and rewritten there (driver-local below
+       ``COMPACT_LOCAL_MAX_BYTES`` of dirty bytes, else one distributed
+       streaming pass);
+    2. the atomic stats.json replace pointing ``{data,tombstones}_dir``
+       at the new epoch IS the commit — a crash before it leaves the old
+       artifact fully intact (readers never see the half-built epoch,
+       and the next compaction clears it);
+    3. the old epoch's directories are deleted after the commit (a crash
+       between 2 and 3 leaves harmless orphans).
+
+    ``n_docs`` / ``total_len`` are untouched — only dead rows leave.
+    """
+    import glob as _glob
+    import shutil as _shutil
+
+    import pyarrow.parquet as _pq
+    kids, kgens = _load_kill(index_dir, id_col=id_col, stats=stats)
+    if len(kids) == 0:
+        return stats
+    old_data = _resolve_subdir(index_dir, stats, data_key, data_default)
+    old_tomb = _resolve_subdir(index_dir, stats, "tombstones_dir",
+                               "tombstones")
+    epoch = int(stats.get("epoch", 0)) + 1
+    new_data_name = f"{data_default}-e{epoch}"
+    new_tomb_name = f"tombstones-e{epoch}"
+    new_data = os.path.join(index_dir, new_data_name)
+    new_tomb = os.path.join(index_dir, new_tomb_name)
+    _shutil.rmtree(new_data, ignore_errors=True)  # crashed prior attempt
+    _shutil.rmtree(new_tomb, ignore_errors=True)
+    os.makedirs(new_tomb, exist_ok=True)
+    dirty: list[tuple[str, str]] = []
+    dirty_bytes = 0
+    for pdir in sorted(_glob.glob(os.path.join(old_data,
+                                               f"{part_col}=*"))):
+        pname = os.path.basename(pdir)
+        for f in sorted(_glob.glob(os.path.join(pdir, "*.parquet"))):
+            if _file_may_hold_dead(f, id_col, kids, kgens):
+                dirty.append((f, pname))
+                dirty_bytes += os.path.getsize(f)
+            else:
+                tgt = os.path.join(new_data, pname)
+                os.makedirs(tgt, exist_ok=True)
+                dst = os.path.join(tgt, os.path.basename(f))
+                try:
+                    os.link(f, dst)  # same-fs: zero-copy
+                except OSError:
+                    _shutil.copy2(f, dst)
+    if dirty_bytes <= COMPACT_LOCAL_MAX_BYTES:
+        for n, (f, pname) in enumerate(dirty):
+            t = _kill_filter(_pq.read_table(f), kids, kgens,
+                             id_col=id_col)
+            if t.num_rows == 0:
+                continue  # whole file dead -> partition shrinks/vanishes
+            tgt = os.path.join(new_data, pname)
+            os.makedirs(tgt, exist_ok=True)
+            _pq.write_table(
+                t, os.path.join(tgt, f"compact-{n:06d}.parquet"))
+    else:
+        import re as _re
+        pat = _re.compile(rf"{_re.escape(part_col)}=(\d+)")
+        kk, gg = kids, kgens  # task-pool closure ships the arrays once
+
+        def scrub(t: pa.Table) -> pa.Table:
+            # Ray's parquet reader may or may not have inferred the hive
+            # partition column from the path (it varies per read task);
+            # normalize to ONE explicitly-derived int64 column in a fixed
+            # position so downstream block concat sees a single schema
+            if part_col in t.column_names:
+                part = pc.cast(t[part_col], pa.int64())
+                t = t.drop_columns([part_col])
+            else:
+                part = pa.array(
+                    [int(pat.search(p).group(1))
+                     for p in t["path"].to_pylist()], pa.int64())
+            t = t.drop_columns(["path"]).append_column(part_col, part)
+            return _kill_filter(t, kk, gg, id_col=id_col)
+
+        rd.read_parquet([f for f, _ in dirty], include_paths=True) \
+            .map_batches(scrub, batch_format="pyarrow", batch_size=None) \
+            .write_parquet(new_data, partition_cols=[part_col])
+    stats = dict(stats)
+    stats["epoch"] = epoch
+    stats[data_key] = new_data_name
+    stats["tombstones_dir"] = new_tomb_name
+    _write_stats_atomic(index_dir, stats)  # the commit point
+    _shutil.rmtree(old_data, ignore_errors=True)
+    _shutil.rmtree(old_tomb, ignore_errors=True)
+    return stats
+
+
+def compact_text_index(index_dir: str) -> dict:
+    """Fold accumulated upsert tombstones into the stored text index:
+    dead (doc_id, gen) posting + doclen rows are physically removed,
+    clean partitions are hard-linked untouched, and the tombstone set is
+    cleared — so query-time kill filtering returns to a no-op and the
+    tombstone list stops growing with upsert history. Completes the
+    artifact lifecycle (build -> upsert* -> compact -> upsert* ...)
+    without ever re-reading the corpus — the piece the reference's
+    full-table Lance rewrite does monolithically
+    (/root/reference/src/storage/lance_indexer.rs:215-229) re-expressed
+    as a partition-pruned maintenance pass. Queries before/during/after
+    answer bit-identically (the stats.json swap is atomic)."""
+    stats = _read_index_stats(index_dir)
+    if stats.get("format", 1) < TEXT_INDEX_FORMAT:
+        raise ValueError("text index predates format 2 (no generations) "
+                         "— nothing to compact; rebuild instead")
+    return _compact_artifact(index_dir, stats, "postings_dir", "postings",
+                             "bucket", "doc_id")
+
+
+def compact_vector_index(index_dir: str) -> dict:
+    """:func:`compact_text_index` for the stored IVF artifact: dead
+    (vec_id, gen) rows leave their list partitions, tombstones clear, the
+    frozen coarse quantizer (centroids.parquet) is untouched."""
+    stats = _read_index_stats(index_dir)
+    if stats.get("format", 1) < TEXT_INDEX_FORMAT:
+        raise ValueError("vector index predates format 2 (no generations) "
+                         "— nothing to compact; rebuild instead")
+    return _compact_artifact(index_dir, stats, "lists_dir", "lists",
+                             "list_id", "vec_id")
 
 
 def build_text_index(sf_dir: str, index_dir: str,
@@ -1438,16 +1640,20 @@ def upsert_text_index(index_dir: str, docs: rd.Dataset,
     affected = np.union1d(changed, removed)
     if len(affected) == 0:
         return stats
-    kids, kgens = _load_kill(index_dir)  # PRE-upsert tombstones
+    kids, kgens = _load_kill(index_dir, stats=stats)  # PRE-upsert stones
+    post_root = _resolve_subdir(index_dir, stats, "postings_dir",
+                                "postings")
 
-    # 1. append the new generation's postings + doclen rows
-    docs.map_batches(_postings_fn(n_buckets, gen=new_gen),
-                     batch_format="pyarrow", batch_size=None) \
-        .write_parquet(os.path.join(index_dir, "postings"),
-                       partition_cols=["bucket"])
+    # 1. append the new generation's postings + doclen rows (a
+    # removal-only upsert has nothing to append — just the tombstone)
+    if len(changed):
+        docs.map_batches(_postings_fn(n_buckets, gen=new_gen),
+                         batch_format="pyarrow", batch_size=None) \
+            .write_parquet(post_root, partition_cols=["bucket"])
 
     # 2. commit the tombstone (one small driver-written file per upsert)
-    tomb_dir = os.path.join(index_dir, "tombstones")
+    tomb_dir = _resolve_subdir(index_dir, stats, "tombstones_dir",
+                               "tombstones")
     os.makedirs(tomb_dir, exist_ok=True)
     _pq.write_table(
         pa.table({"doc_id": pa.array(affected, pa.int64()),
@@ -1459,7 +1665,7 @@ def upsert_text_index(index_dir: str, docs: rd.Dataset,
     # rows (pre-upsert kill applied) leave, new-gen rows enter
     parts = sorted(set(_doclen_buckets(affected).tolist()))
     paths = [f for p in parts for f in sorted(_glob.glob(
-        os.path.join(index_dir, "postings", f"bucket={p}", "*.parquet")))]
+        os.path.join(post_root, f"bucket={p}", "*.parquet")))]
     # size-adaptive (the dedup.LOCAL_COUNT_MAX_ROWS rule): a registry
     # partition holds n_docs/_DOCLEN_PARTS 3-int rows — tiny at test
     # scale (driver read skips Ray's fixed task cost), gigabytes at
@@ -1549,9 +1755,11 @@ def bm25_search_indexed(index_dir: str, query: str = "hash join merge",
         _term_buckets(pa.array(terms, pa.string()),
                       stats["n_buckets"]).tolist()))
     import glob as _glob
+    post_root = _resolve_subdir(index_dir, stats, "postings_dir",
+                                "postings")
     paths = [f for bkt in buckets
              for f in sorted(_glob.glob(os.path.join(
-                 index_dir, "postings", f"bucket={bkt}", "*.parquet")))]
+                 post_root, f"bucket={bkt}", "*.parquet")))]
     if not paths:
         return rd.from_arrow(empty)
     # format-2 artifacts carry generations: ship the (small, bounded by
@@ -1561,7 +1769,7 @@ def bm25_search_indexed(index_dir: str, query: str = "hash join merge",
     fmt2 = stats.get("format", 1) >= TEXT_INDEX_FORMAT
     cols = ["term", "doc_id", "tf", "dl"] + (["gen"] if fmt2 else [])
     post = rd.read_parquet(paths, columns=cols)
-    kids, kgens = _load_kill(index_dir) if fmt2 \
+    kids, kgens = _load_kill(index_dir, stats=stats) if fmt2 \
         else (np.empty(0, np.int64), np.empty(0, np.int64))
 
     tset = pa.array(sorted(set(terms)), pa.string())
@@ -1793,11 +2001,14 @@ def upsert_vector_index(index_dir: str, vecs: rd.Dataset,
     affected = np.union1d(changed, removed)
     if len(affected) == 0:
         return stats
-    vecs.map_batches(_AssignLists(cents, gen=new_gen),
-                     batch_format="pyarrow", batch_size=None) \
-        .write_parquet(os.path.join(index_dir, "lists"),
-                       partition_cols=["list_id"])
-    tomb_dir = os.path.join(index_dir, "tombstones")
+    if len(changed):  # removal-only upserts append nothing
+        vecs.map_batches(_AssignLists(cents, gen=new_gen),
+                         batch_format="pyarrow", batch_size=None) \
+            .write_parquet(_resolve_subdir(index_dir, stats, "lists_dir",
+                                           "lists"),
+                           partition_cols=["list_id"])
+    tomb_dir = _resolve_subdir(index_dir, stats, "tombstones_dir",
+                               "tombstones")
     os.makedirs(tomb_dir, exist_ok=True)
     _pq.write_table(
         pa.table({"vec_id": pa.array(affected, pa.int64()),
@@ -1860,9 +2071,11 @@ def knn_ivf_indexed(index_dir: str, sf_dir: str, k: int = 10,
     for j in range(len(q_ids)):
         probe_of[q_lists[j], j] = True
     wanted = sorted({int(x) for x in q_lists.reshape(-1)})
+    _vstats = _read_index_stats(index_dir)
+    lists_root = _resolve_subdir(index_dir, _vstats, "lists_dir", "lists")
     paths = [f for lid in wanted
              for f in sorted(_glob.glob(os.path.join(
-                 index_dir, "lists", f"list_id={lid}", "*.parquet")))]
+                 lists_root, f"list_id={lid}", "*.parquet")))]
     empty = pa.table({"query_id": pa.array([], pa.int64()),
                       "neighbor_id": pa.array([], pa.int64())})
     if not paths:
@@ -1871,18 +2084,13 @@ def knn_ivf_indexed(index_dir: str, sf_dir: str, k: int = 10,
     # the per-batch probe mask stays per-query exact
     lid_of_path = {f: lid for lid in wanted
                    for f in _glob.glob(os.path.join(
-                       index_dir, "lists", f"list_id={lid}", "*.parquet"))}
+                       lists_root, f"list_id={lid}", "*.parquet"))}
     # format-2 artifacts carry generations (upsert support): ship the
     # small tombstone arrays in the task-pool closure and drop dead rows
     # before scoring; format-1 artifacts have neither
-    import json as _json
-    try:
-        with open(os.path.join(index_dir, "stats.json")) as f:
-            _vstats = _json.load(f)
-    except (OSError, ValueError):
-        _vstats = {}
     fmt2 = _vstats.get("format", 1) >= TEXT_INDEX_FORMAT
-    kids, kgens = _load_kill(index_dir, id_col="vec_id") if fmt2 \
+    kids, kgens = _load_kill(index_dir, id_col="vec_id",
+                             stats=_vstats) if fmt2 \
         else (np.empty(0, np.int64), np.empty(0, np.int64))
     ds = rd.read_parquet(paths,
                          columns=["vec_id", "embedding"]
