@@ -1448,8 +1448,12 @@ def _compact_artifact(index_dir: str, stats: dict, data_key: str,
                 continue  # whole file dead -> partition shrinks/vanishes
             tgt = os.path.join(new_data, pname)
             os.makedirs(tgt, exist_ok=True)
+            # epoch-unique name: a bare compact-N could collide with a
+            # HARD-LINKED compact-N from a previous epoch, and truncating
+            # that shared inode would corrupt the still-live old epoch
             _pq.write_table(
-                t, os.path.join(tgt, f"compact-{n:06d}.parquet"))
+                t, os.path.join(tgt,
+                                f"compact-e{epoch}-{n:06d}.parquet"))
     else:
         import re as _re
         pat = _re.compile(rf"{_re.escape(part_col)}=(\d+)")

@@ -115,7 +115,7 @@ def test_text_compact_hard_links_clean_files(compact_env):
               and os.stat(f).st_ino
               == compact_env["pre_inodes"][os.path.relpath(f, root)]]
     rewritten = [f for f in post if os.path.basename(f).startswith(
-        "compact-")]
+        "compact-e")]
     assert linked, "no clean file was hard-linked"
     assert rewritten, "no dirty file was rewritten"
     # every surviving file is one or the other
