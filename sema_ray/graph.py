@@ -134,6 +134,26 @@ def _signature(edges: rd.Dataset) -> tuple[int, int, int]:
             int(np.bitwise_xor.reduce(xs)) if len(xs) else 0)
 
 
+def _fresh(ds: rd.Dataset, n_parts: int) -> rd.Dataset:
+    """Materialize a round-carried dataset with BOTH growth vectors cut:
+
+    * ``repartition(n_parts, shuffle=False)`` bounds the block count —
+      Ray's sort-shuffle preserves its input block count as mostly-empty
+      output blocks, so a round loop that unions the carried dataset with
+      the (constant) edge dataset otherwise compounds blocks per round
+      (S <- E + 2S went exponential in the pagerank rounds);
+    * rebuilding from the materialized block refs truncates the STATS
+      lineage — each round's union re-embeds the constant dataset's stats
+      object into the new plan, and the driver re-walks that growing DAG
+      at every execution end (observed: ~8 s/round at iteration 3,
+      2-minute driver-CPU gaps by iteration 14 on a 1,020-edge graph).
+
+    The block object refs survive the rebuild (the new dataset holds
+    them), so this moves no data."""
+    mat = ds.repartition(n_parts, shuffle=False).materialize()
+    return rd.from_arrow_refs(list(mat.to_arrow_refs()))
+
+
 # Below this many (directed) edges the rank vector and node vocabulary live
 # on the driver (fastest at bench scale); above it every round runs as two
 # keyed shuffles with ranks as a (node, rank, deg) DATASET — no node-sized
@@ -316,8 +336,8 @@ def _pagerank_distributed(e: rd.Dataset, damping: float, n_iter: int,
         return t.append_column(
             "rank", pa.array(np.full(t.num_rows, r0), pa.float64()))
 
-    state = state.map_batches(add_rank, batch_format="pyarrow",
-                              batch_size=None).materialize()
+    state = _fresh(state.map_batches(add_rank, batch_format="pyarrow",
+                                     batch_size=None), n_parts)
 
     p1_schema = pa.schema([("k", pa.int64()), ("v", pa.int64()),
                            ("rank", pa.float64()), ("deg", pa.int64())])
@@ -329,6 +349,10 @@ def _pagerank_distributed(e: rd.Dataset, damping: float, n_iter: int,
                         schema=p1_schema)
 
     def tag_state_p1(t: pa.Table) -> pa.Table:
+        # the carried state keeps the previous round's per-part scalar
+        # rows (node == -1) so the round loop never needs a separate
+        # filtering execution; drop them lazily here
+        t = t.filter(pc.not_equal(t["node"], -1))
         return pa.table({"k": t["node"],
                          "v": pa.nulls(t.num_rows, pa.int64()),
                          "rank": t["rank"], "deg": t["deg"]},
@@ -366,6 +390,7 @@ def _pagerank_distributed(e: rd.Dataset, damping: float, n_iter: int,
                            ("rank", pa.float64()), ("deg", pa.int64())])
 
     def tag_state_p2(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["node"], -1))  # see tag_state_p1
         return pa.table({"k": t["node"],
                          "s": pa.nulls(t.num_rows, pa.float64()),
                          "rank": t["rank"], "deg": t["deg"]},
@@ -413,6 +438,17 @@ def _pagerank_distributed(e: rd.Dataset, damping: float, n_iter: int,
 
     tagged_edges = e.map_batches(tag_edges, batch_format="pyarrow",
                                  batch_size=None).materialize()
+    # Per round: exactly TWO shuffle executions + two tiny scalar collects.
+    # The carried state is rebuilt from the materialized block refs each
+    # round (the _fresh discipline): repartition bounds the block count —
+    # the sort-shuffle otherwise preserves its input block count as
+    # mostly-empty blocks and state feeds both unions, S <- E + 2S,
+    # exponential — and from_arrow_refs cuts the stats lineage the driver
+    # re-walks at every execution end (observed: 2-minute driver-CPU gaps
+    # by iteration 14 on a 1,020-edge graph before these cuts). The
+    # per-part scalar rows (node == -1) stay in the carried state and are
+    # dropped lazily by tag_state_p1/p2/finish, so no extra filtering
+    # execution is needed.
     for _ in range(n_iter):
         contribs = keyed_part_kernel(
             tagged_edges.union(state.map_batches(
@@ -430,17 +466,17 @@ def _pagerank_distributed(e: rd.Dataset, damping: float, n_iter: int,
                 batch_size=None) \
             .union(state.map_batches(tag_state_p2, batch_format="pyarrow",
                                      batch_size=None))
-        new_state = keyed_part_kernel(p2_in, "k",
-                                      apply_kernel_fn(dangling),
-                                      n_parts=n_parts).materialize()
-        delta = _scalar_rows(new_state, "node", "rank")
-        state = new_state.map_batches(_real_rows("node"),
-                                      batch_format="pyarrow",
-                                      batch_size=None).materialize()
+        new_mat = keyed_part_kernel(p2_in, "k",
+                                    apply_kernel_fn(dangling),
+                                    n_parts=n_parts) \
+            .repartition(n_parts, shuffle=False).materialize()
+        delta = _scalar_rows(new_mat, "node", "rank")
+        state = rd.from_arrow_refs(list(new_mat.to_arrow_refs()))
         if delta < tol:
             break
 
     def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["node"], -1))  # carried scalar rows
         return pa.table({"node": t["node"],
                          "rank": _rhu(t["rank"], 9)})
 
@@ -1297,8 +1333,8 @@ def _lpa_distributed(e: rd.Dataset, n_iter: int,
         return pa.table({"node": pa.array(u, pa.int64()),
                          "label": pa.array(u, pa.int64())})
 
-    labels = keyed_part_kernel(bd, "u", init_labels,
-                               n_parts=n_parts).materialize()
+    labels = _fresh(keyed_part_kernel(bd, "u", init_labels,
+                                      n_parts=n_parts), n_parts)
     empty = pa.table({"node": pa.array([], pa.int64()),
                       "community": pa.array([], pa.int64())})
     if labels.count() == 0:
@@ -1365,8 +1401,11 @@ def _lpa_distributed(e: rd.Dataset, n_iter: int,
             tagged_edges.union(labels.map_batches(
                 tag_labels, batch_format="pyarrow", batch_size=None)),
             "k", vote_kernel, n_parts=n_parts)
-        new_labels = keyed_part_kernel(votes, "k", pick_kernel,
-                                       n_parts=n_parts).materialize()
+        # _fresh: bound the carried labels' block count and cut the stats
+        # lineage (see _fresh) — without both, per-round cost grows with
+        # the round number
+        new_labels = _fresh(keyed_part_kernel(votes, "k", pick_kernel,
+                                              n_parts=n_parts), n_parts)
         sig = _labels_signature(new_labels)
         labels = new_labels
         if sig == sig_hist[-1] or (len(sig_hist) >= 2
