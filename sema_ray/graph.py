@@ -149,8 +149,13 @@ def _fresh(ds: rd.Dataset, n_parts: int) -> rd.Dataset:
       2-minute driver-CPU gaps by iteration 14 on a 1,020-edge graph).
 
     The block object refs survive the rebuild (the new dataset holds
-    them), so this moves no data."""
-    mat = ds.repartition(n_parts, shuffle=False).materialize()
+    them), so this moves no data. Coalesce-only: repartition targets
+    EXACTLY n_parts blocks, so applying it to an already-small dataset
+    would SPLIT it upward and inflate every later per-block task count —
+    only shrink when the count actually exceeds n_parts."""
+    mat = ds.materialize()
+    if mat.num_blocks() > n_parts:
+        mat = mat.repartition(n_parts, shuffle=False).materialize()
     return rd.from_arrow_refs(list(mat.to_arrow_refs()))
 
 
@@ -468,8 +473,10 @@ def _pagerank_distributed(e: rd.Dataset, damping: float, n_iter: int,
                                      batch_size=None))
         new_mat = keyed_part_kernel(p2_in, "k",
                                     apply_kernel_fn(dangling),
-                                    n_parts=n_parts) \
-            .repartition(n_parts, shuffle=False).materialize()
+                                    n_parts=n_parts).materialize()
+        if new_mat.num_blocks() > n_parts:  # coalesce-only (see _fresh)
+            new_mat = new_mat.repartition(n_parts,
+                                          shuffle=False).materialize()
         delta = _scalar_rows(new_mat, "node", "rank")
         state = rd.from_arrow_refs(list(new_mat.to_arrow_refs()))
         if delta < tol:
@@ -509,8 +516,11 @@ def connected_components(edges: rd.Dataset, a_col: str = "a",
         small_in = after_large.map_batches(_larger_keyed,
                                            batch_format="pyarrow",
                                            batch_size=None)
-        cur = keyed_part_kernel(small_in, "u", _star_kernel(large=False),
-                                n_parts=n_parts).materialize()
+        # _fresh cuts the per-round stats lineage (driver re-walks it at
+        # every execution end) and keeps the block count at n_parts
+        cur = _fresh(keyed_part_kernel(small_in, "u",
+                                       _star_kernel(large=False),
+                                       n_parts=n_parts), n_parts)
         sig = _signature(cur)
         if sig == prev_sig or sig[0] == 0:
             break
@@ -919,8 +929,9 @@ def _peel(cur: rd.Dataset, k: int,
                          | np.isin(v, self.removed))
                 return t.filter(pa.array(keep))
 
-        cur = cur.map_batches(DropIncident(removed), batch_format="pyarrow",
-                              batch_size=None).materialize()
+        cur = _fresh(cur.map_batches(DropIncident(removed),
+                                     batch_format="pyarrow",
+                                     batch_size=None), 64)
     raise RuntimeError(
         f"k-core peel did not converge in {max_rounds} rounds (adversarial "
         "long-chain topology) — raise max_rounds; a wrong answer is never "
