@@ -377,3 +377,22 @@ def test_label_propagation_distributed_path_exact(ray_session):
     gl = dict(zip(o_l["node"], o_l["community"]))
     gd = dict(zip(o_d["node"], o_d["community"]))
     assert gl == gd == _lpa_reference(es)
+
+
+def test_fresh_bounds_blocks_and_preserves_rows(ray_session):
+    """The round-loop rebuild discipline: _fresh must coalesce a
+    many-block dataset to at most n_parts blocks (the sort-shuffle
+    otherwise compounds mostly-empty blocks round over round), must NOT
+    split an already-small dataset upward, and must preserve rows
+    exactly while truncating the stats lineage."""
+    from sema_ray.graph import _fresh
+    big = rd.from_arrow(
+        [pa.table({"k": pa.array([i], pa.int64())}) for i in range(200)])
+    assert big.num_blocks() == 200
+    f = _fresh(big, 16)
+    assert f.num_blocks() <= 16
+    assert sorted(f.to_pandas()["k"]) == list(range(200))
+    small = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64())}))
+    g = _fresh(small, 64)
+    assert g.num_blocks() <= 3  # coalesce-only: never split upward
+    assert sorted(g.to_pandas()["k"]) == [1, 2, 3]
