@@ -1,4 +1,4 @@
-"""Baseline JPEG codec (ITU-T T.81 / JFIF), pure stdlib + NumPy.
+"""JPEG codec (ITU-T T.81 / JFIF), pure stdlib + NumPy.
 
 Replaces the round-3 ``NotImplementedError`` gate for ``image/jpeg`` in
 :mod:`sema_ray.multimodal` (the reference treats media as opaque bytes; a
@@ -6,14 +6,20 @@ Replaces the round-3 ``NotImplementedError`` gate for ``image/jpeg`` in
 ``processor.rs`` reads bytes only). Scope:
 
 - :func:`decode_jpeg`: baseline sequential DCT (SOF0; SOF1 accepted —
-  same entropy coding at 8-bit precision), interleaved single scan,
-  restart markers, any sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0),
-  grayscale or YCbCr. Progressive (SOF2) and arithmetic coding raise
-  ``ValueError`` — honestly out of scope, not silently wrong.
-- :func:`encode_jpeg`: baseline JFIF writer — Annex K quantization tables
-  with IJG quality scaling, Annex K Huffman tables, optional 4:2:0
-  subsampling. The tables ship inside DQT/DHT segments, so the output is
-  self-describing valid JPEG for any decoder.
+  same entropy coding at 8-bit precision) AND progressive DCT (SOF2,
+  T.81 Annex G: spectral selection + successive approximation, DC/AC
+  first and refinement scans, EOB runs), interleaved or per-component
+  scans, restart markers, any sampling factors 1-2 (4:4:4 / 4:2:2 /
+  4:2:0), grayscale or YCbCr. Lossless/hierarchical/arithmetic frames
+  raise ``ValueError`` — honestly out of scope, not silently wrong.
+- :func:`encode_jpeg`: JFIF writer — Annex K quantization tables with
+  IJG quality scaling, optional 4:2:0 subsampling. Baseline mode uses
+  the Annex K Huffman tables; ``progressive=True`` emits the standard
+  10-scan (color) / 6-scan (gray) successive-approximation script with
+  per-scan optimal Huffman tables built by the Annex K.2 procedure.
+  All tables ship inside DQT/DHT segments, so the output is
+  self-describing valid JPEG for any decoder. Both modes quantize the
+  same coefficients, so baseline and progressive decode bit-identically.
 
 Entropy (de)coding is a per-block Python loop (inherently sequential bit
 I/O); DCT/IDCT, color transforms, (de)quantization and upsampling are
@@ -255,7 +261,7 @@ def _split_scan(buf: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> uint8 [h, w, 3] (YCbCr) or [h, w, 1] (grayscale)."""
+    """JPEG (baseline or progressive) -> uint8 [h, w, 3] or [h, w, 1]."""
     buf = payload
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -266,15 +272,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     size = None                     # (h, w)
     restart = 0
     frame_marker = None
-    while i + 4 <= len(buf):
+    progressive = False
+    pstate = None                   # progressive coefficient state
+    while i + 2 <= len(buf):
         if buf[i] != 0xFF:
             raise ValueError("JPEG marker desync")
         m = buf[i + 1]
         if m == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
             i += 1
             continue
-        if m == 0xD9:  # EOI before any scan
+        if m == 0xD9:  # EOI
+            if pstate is not None and pstate["scans"]:
+                return _reconstruct_progressive(pstate, qtabs)
             raise ValueError("JPEG has no scan data")
+        if i + 4 > len(buf):
+            break
         seglen = struct.unpack(">H", buf[i + 2:i + 4])[0]
         seg = buf[i + 4:i + 2 + seglen]
         i += 2 + seglen
@@ -301,8 +313,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[j + 17:j + 17 + nv])
                 htabs[(tc, th)] = _decode_map(bits, vals)
                 j += 17 + nv
-        elif m in (0xC0, 0xC1):  # SOF0/SOF1 baseline-compatible
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
             frame_marker = m
+            progressive = m == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -316,18 +329,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         f"for component {cid} (this decoder handles 1-2)")
                 comps.append((cid, ch, cv, tq))
             size = (h, w)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential JPEG is supported "
-                f"(SOF marker 0xFF{m:02X})")
+                "only baseline sequential and progressive JPEG are "
+                f"supported (SOF marker 0xFF{m:02X})")
         elif m == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:  # SOS
             if comps is None or frame_marker is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            if ns != len(comps):
+            if not progressive and ns != len(comps):
                 raise ValueError("multi-scan baseline JPEG not supported")
             scan = []
             for c in range(ns):
@@ -339,7 +352,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 (cid, ch, cv, tq) = match[0]
                 scan.append((cid, ch, cv, tq, tt >> 4, tt & 15))
             segs, i = _split_scan(buf, i)
-            return _decode_scan(size, scan, qtabs, htabs, segs, restart)
+            if not progressive:
+                return _decode_scan(size, scan, qtabs, htabs, segs, restart)
+            if pstate is None:
+                pstate = _init_progressive(size, comps)
+            ss, se, aa = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            _decode_progressive_scan(pstate, scan, htabs, segs, restart,
+                                     ss, se, aa >> 4, aa & 15)
         # else: APPn/COM/etc — skipped
     raise ValueError("truncated JPEG (no SOS)")
 
@@ -410,7 +429,12 @@ def _decode_scan(size, scan, qtabs, htabs, segs, restart) -> np.ndarray:
             break
     if mcu < n_mcus:
         raise ValueError("truncated JPEG scan")
+    return _reconstruct(per_comp, h, w, hmax, vmax)
 
+
+def _reconstruct(per_comp, h, w, hmax, vmax) -> np.ndarray:
+    """Dequantize + IDCT + upsample + color transform (shared by the
+    baseline and progressive paths; both store zigzag int32 coefficients)."""
     planes = []
     for c in per_comp:
         by, bx, _ = c["blocks"].shape
@@ -437,8 +461,284 @@ def _decode_scan(size, scan, qtabs, htabs, segs, restart) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Progressive decoder (T.81 Annex G.2)
+# ---------------------------------------------------------------------------
+
+def _init_progressive(size, comps) -> dict:
+    """Allocate the cross-scan coefficient state for an SOF2 frame."""
+    h, w = size
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    state = {"size": size, "hmax": hmax, "vmax": vmax,
+             "mcus_x": mcus_x, "mcus_y": mcus_y,
+             "comps": {}, "order": [c[0] for c in comps], "scans": 0}
+    for (cid, ch, cv, tq) in comps:
+        state["comps"][cid] = {
+            "h": ch, "v": cv, "tq": tq,
+            # MCU-padded storage; non-interleaved scans touch only the
+            # component's true block grid (A.2.2): ceil(ceil(dim*f/fmax)/8)
+            "blocks": np.zeros((mcus_y * cv, mcus_x * ch, 64),
+                               dtype=np.int32),
+            "th": -(-(-(-h * cv // vmax)) // 8),
+            "tw": -(-(-(-w * ch // hmax)) // 8),
+        }
+    return state
+
+
+def _decode_progressive_scan(st, scan, htabs, segs, restart,
+                             ss, se, ah, al) -> None:
+    """Decode one progressive scan into the persistent coefficient state.
+
+    ``ss``/``se`` select the spectral band, ``ah``/``al`` the successive-
+    approximation bit position (T.81 G.1.1.1). Restart markers reset the
+    DC predictors and the EOB run, exactly as in sequential mode.
+    """
+    if ss == 0 and se != 0:
+        raise ValueError("invalid progressive JPEG scan: DC scan "
+                         f"with Se={se}")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("invalid progressive JPEG scan: interleaved "
+                         "AC scan")
+    if not (0 <= ss <= se <= 63):
+        raise ValueError(f"invalid progressive JPEG band {ss}..{se}")
+    comps = []
+    for (cid, ch, cv, tq, td, ta) in scan:
+        c = st["comps"][cid]
+        ent = {"blocks": c["blocks"], "h": c["h"], "v": c["v"],
+               "th": c["th"], "tw": c["tw"], "dc": None, "ac": None}
+        if ss == 0 and ah == 0:
+            if (0, td) not in htabs:
+                raise ValueError(f"JPEG component {cid} references "
+                                 f"undeclared Huffman table (dc={td})")
+            ent["dc"] = htabs[(0, td)]
+        if ss > 0:
+            if (1, ta) not in htabs:
+                raise ValueError(f"JPEG component {cid} references "
+                                 f"undeclared Huffman table (ac={ta})")
+            ent["ac"] = htabs[(1, ta)]
+        comps.append(ent)
+    st["scans"] += 1
+
+    # restart-interval groups: MCUs when interleaved, data units otherwise
+    if len(comps) == 1:
+        c = comps[0]
+        groups = [((0, by, bx),)
+                  for by in range(c["th"]) for bx in range(c["tw"])]
+    else:
+        groups = []
+        for mcu in range(st["mcus_y"] * st["mcus_x"]):
+            my, mx = divmod(mcu, st["mcus_x"])
+            g = []
+            for ci, c in enumerate(comps):
+                for bv in range(c["v"]):
+                    for bh in range(c["h"]):
+                        g.append((ci, my * c["v"] + bv, mx * c["h"] + bh))
+            groups.append(tuple(g))
+    n_groups = len(groups)
+    done = 0
+    for seg in segs:
+        rd = _BitReader(seg)
+        pred = [0] * len(comps)
+        eobrun = 0
+        end = min(n_groups, done + restart) if restart else n_groups
+        while done < end:
+            for (ci, by, bx) in groups[done]:
+                c = comps[ci]
+                vec = c["blocks"][by, bx]
+                if ss == 0:
+                    if ah == 0:  # DC first: diffs in the shifted domain
+                        s = rd.huff(c["dc"])
+                        pred[ci] += _extend(rd.receive(s), s)
+                        vec[0] = pred[ci] << al
+                    elif rd.receive(1):  # DC refinement: one raw bit
+                        vec[0] = int(vec[0]) | (1 << al)
+                elif ah == 0:
+                    eobrun = _ac_first(rd, vec, ss, se, al, c["ac"], eobrun)
+                else:
+                    eobrun = _ac_refine(rd, vec, ss, se, al, c["ac"], eobrun)
+            done += 1
+        if done >= n_groups:
+            break
+    if done < n_groups:
+        raise ValueError("truncated JPEG scan")
+
+
+def _ac_first(rd, vec, ss, se, al, ac, eobrun) -> int:
+    """First AC scan of a band for one block (T.81 G.2.2, Figure G.3)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.huff(ac)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:  # EOBn: run of (1<<r)-1 more all-zero-band blocks
+                return (1 << r) - 1 + (rd.receive(r) if r else 0)
+            k += 16      # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC index overflow")
+        vec[k] = _extend(rd.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(rd, vec, ss, se, al, ac, eobrun) -> int:
+    """AC refinement scan for one block (T.81 G.2.2, Figures G.7/G.10):
+    newly-significant coefficients arrive as (run, 1) symbols + sign bit;
+    already-nonzero coefficients consume one correction bit each as the
+    run passes over them; EOB runs carry the remaining correction bits."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.huff(ac)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid JPEG refinement code")
+                newval = p1 if rd.receive(1) else m1
+            elif r != 15:
+                eobrun = (1 << r) + (rd.receive(r) if r else 0)
+                break
+            # advance over r zero-history positions; nonzero-history
+            # positions are skipped and take a correction bit instead
+            while k <= se:
+                cur = int(vec[k])
+                if cur != 0:
+                    if rd.receive(1) and (cur & p1) == 0:
+                        vec[k] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if newval and k <= se:
+                vec[k] = newval
+            k += 1
+    if eobrun > 0:
+        # block ends inside an EOB run: correction bits only
+        while k <= se:
+            cur = int(vec[k])
+            if cur != 0:
+                if rd.receive(1) and (cur & p1) == 0:
+                    vec[k] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(st, qtabs) -> np.ndarray:
+    h, w = st["size"]
+    per_comp = []
+    for cid in st["order"]:
+        c = st["comps"][cid]
+        if c["tq"] not in qtabs:
+            raise ValueError(f"JPEG component {cid} references "
+                             f"undeclared quantization table {c['tq']}")
+        per_comp.append({"h": c["h"], "v": c["v"], "q": qtabs[c["tq"]],
+                         "blocks": c["blocks"]})
+    return _reconstruct(per_comp, h, w, st["hmax"], st["vmax"])
+
+
+# ---------------------------------------------------------------------------
 # Encoder
 # ---------------------------------------------------------------------------
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _optimal_table(freq: list[int]) -> tuple[list[int], list[int]]:
+    """Huffman table generation per T.81 Annex K.2 (Figures K.1-K.4):
+    merge the two least-frequent symbols tracking code sizes through the
+    ``others`` chain, limit code lengths to 16, and list symbols in
+    (code size, symbol value) order. Symbol 256 is the reserved filler
+    that guarantees no code is all one-bits."""
+    freq = list(freq) + [1]
+    others = [-1] * 257
+    codesize = [0] * 257
+    while True:
+        c1 = c2 = -1
+        v = None
+        for j in range(257):
+            if freq[j] and (v is None or freq[j] <= v):
+                v = freq[j]
+                c1 = j
+        v = None
+        for j in range(257):
+            if freq[j] and j != c1 and (v is None or freq[j] <= v):
+                v = freq[j]
+                c2 = j
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for j in range(257):
+        if codesize[j]:
+            bits[codesize[j]] += 1
+    i = 32
+    while i > 16:  # Figure K.3 ADJUST_BITS
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved symbol's code
+    vals = [j for sz in range(1, 33)
+            for j in range(256) if codesize[j] == sz]
+    return bits[1:17], vals
+
+
+class _SymCounter:
+    """Counting sink for the first (statistics) pass of a scan."""
+
+    def __init__(self):
+        self.freq = [0] * 256
+
+    def sym(self, s: int) -> None:
+        self.freq[s] += 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _SymEmitter:
+    """Huffman-coding sink for the second (emission) pass of a scan."""
+
+    def __init__(self, bw: _BitWriter, codes: dict):
+        self.bw = bw
+        self.codes = codes
+
+    def sym(self, s: int) -> None:
+        code, ln = self.codes[s]
+        self.bw.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.bw.write(v, n)
+
 
 def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     q = min(100, max(1, int(quality)))
@@ -499,14 +799,34 @@ def _encode_block(bw: _BitWriter, vec: np.ndarray, pred: int,
     return int(vec[0])
 
 
+def _frame_header(gray: bool, h: int, w: int, samp, qlum_zz, qchrom_zz,
+                  sof_marker: int) -> bytearray:
+    """SOI + JFIF APP0 + DQT(s) + SOF, shared by both encoder modes."""
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(qlum_zz.astype(np.uint8)))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes(qchrom_zz.astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += _seg(sof_marker, sof)
+    return out
+
+
 def encode_jpeg(img: np.ndarray, quality: int = 90,
                 subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """uint8 [h, w], [h, w, 1] or [h, w, 3] -> baseline JFIF bytes.
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """uint8 [h, w], [h, w, 1] or [h, w, 3] -> JFIF bytes.
 
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many MCUs
     (T.81 F.1.2.3) — resynchronization points a parallel decoder can split
-    on."""
+    on. ``progressive=True`` writes an SOF2 successive-approximation
+    stream carrying the SAME quantized coefficients as baseline mode, so
+    the two decode bit-identically."""
     if img.ndim == 3 and img.shape[2] == 1:
         img = img[:, :, 0]
     gray = img.ndim == 2
@@ -544,6 +864,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     blocks = [_block_quant(_pad_to(p, 8, 8), q)
               for p, q in zip(planes, qzz)]
 
+    if progressive:
+        if restart_interval:
+            raise ValueError("restart markers are not supported by the "
+                             "progressive encoder")
+        return _encode_progressive(blocks, samp, h, w, gray,
+                                   qlum_zz, qchrom_zz)
+
     dc_lum = _canonical_codes(*_DC_LUM)
     ac_lum = _canonical_codes(*_AC_LUM)
     dc_chrom = _canonical_codes(*_DC_CHROM)
@@ -575,34 +902,220 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     entropy += bw.flush()
     entropy = bytes(entropy)
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0x00]) + bytes(qlum_zz.astype(np.uint8)))
-    if not gray:
-        out += seg(0xDB, bytes([0x01]) + bytes(qchrom_zz.astype(np.uint8)))
+    out = _frame_header(gray, h, w, samp, qlum_zz, qchrom_zz, 0xC0)
     ncomp = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sh, sv = samp[ci]
-        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    out += seg(0xC0, sof)
     for (tc, th, spec) in ((0, 0, _DC_LUM), (1, 0, _AC_LUM)):
-        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(spec[0])
-                   + bytes(spec[1]))
+        out += _seg(0xC4, bytes([(tc << 4) | th]) + bytes(spec[0])
+                    + bytes(spec[1]))
     if not gray:
         for (tc, th, spec) in ((0, 1, _DC_CHROM), (1, 1, _AC_CHROM)):
-            out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(spec[0])
-                       + bytes(spec[1]))
+            out += _seg(0xC4, bytes([(tc << 4) | th]) + bytes(spec[0])
+                        + bytes(spec[1]))
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
+    out += _seg(0xDA, sos)
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G.1)
+# ---------------------------------------------------------------------------
+
+def _enc_dc_first(groups, blocks, al, em) -> None:
+    """First DC scan: Huffman-coded diffs of the point-transformed
+    (arithmetic-shift, G.1.2.1) DC coefficients."""
+    pred = {}
+    for g in groups:
+        for (ci, by, bx) in g:
+            v = int(blocks[ci][by, bx, 0]) >> al
+            diff = v - pred.get(ci, 0)
+            pred[ci] = v
+            s = abs(diff).bit_length()
+            em.sym(s)
+            em.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _enc_dc_refine(groups, blocks, al, em) -> None:
+    """DC refinement: one raw bit per block, no Huffman coding."""
+    for g in groups:
+        for (ci, by, bx) in g:
+            em.bits((int(blocks[ci][by, bx, 0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(groups, blocks, ss, se, al, em) -> None:
+    """First AC scan of a band (G.1.2.2): runs, ZRL, and EOBn codes whose
+    appended bits carry the low bits of the end-of-band run length."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            em.sym(nb << 4)
+            em.bits(eobrun & ((1 << nb) - 1), nb)
+            eobrun = 0
+
+    for g in groups:
+        for (ci, by, bx) in g:
+            vec = blocks[ci][by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                t = int(vec[k])
+                a = (t if t >= 0 else -t) >> al  # AC point transform: /2^Al
+                if a == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    em.sym(0xF0)
+                    r -= 16
+                s = a.bit_length()
+                em.sym((r << 4) | s)
+                em.bits(a if t >= 0 else -a + (1 << s) - 1, s)
+                r = 0
+            if r:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
+def _enc_ac_refine(groups, blocks, ss, se, al, em) -> None:
+    """AC refinement scan (G.1.2.3): newly-significant coefficients
+    (|coef| >> Al == 1) emit (run, 1) + a sign bit; coefficients already
+    significant emit buffered correction bits; trailing zero runs fold
+    into an EOB run that carries its buffered bits."""
+    eobrun = 0
+    pend: list[int] = []  # correction bits deferred across the EOB run
+
+    def flush_eob():
+        nonlocal eobrun, pend
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            em.sym(nb << 4)
+            em.bits(eobrun & ((1 << nb) - 1), nb)
+            eobrun = 0
+        for b in pend:
+            em.bits(b, 1)
+        pend = []
+
+    for g in groups:
+        for (ci, by, bx) in g:
+            vec = blocks[ci][by, bx]
+            band = [int(vec[k]) for k in range(ss, se + 1)]
+            a = [(t if t >= 0 else -t) >> al for t in band]
+            eob = -1  # position of the last newly-significant coefficient
+            for j, av in enumerate(a):
+                if av == 1:
+                    eob = j
+            r = 0
+            br: list[int] = []  # correction bits within the current block
+            for j, av in enumerate(a):
+                if av == 0:
+                    r += 1
+                    continue
+                # ZRLs are due at EVERY nonzero position (history ones
+                # included) so the buffered correction bits stay aligned
+                # with the decoder's positional walk — but never past the
+                # last new coefficient, where zeros fold into the EOB run
+                while r > 15 and j <= eob:
+                    flush_eob()
+                    em.sym(0xF0)
+                    r -= 16
+                    for b in br:
+                        em.bits(b, 1)
+                    br = []
+                if av > 1:  # history coefficient: defer its correction bit
+                    br.append(av & 1)
+                    continue
+                flush_eob()
+                em.sym((r << 4) | 1)
+                em.bits(1 if band[j] >= 0 else 0, 1)
+                for b in br:
+                    em.bits(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pend.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
+# the standard IJG progressive scan scripts (spectral selection bands and
+# successive-approximation schedule), expressed as (comps, Ss, Se, Ah, Al)
+_SCRIPT_GRAY = (
+    ((0,), 0, 0, 0, 1), ((0,), 1, 5, 0, 2), ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1), ((0,), 0, 0, 1, 0), ((0,), 1, 63, 1, 0))
+_SCRIPT_COLOR = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2), ((2,), 1, 63, 0, 1), ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2), ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0), ((1,), 1, 63, 1, 0), ((0,), 1, 63, 1, 0))
+
+
+def _encode_progressive(blocks, samp, h, w, gray,
+                        qlum_zz, qchrom_zz) -> bytes:
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # true per-component block grids (A.2.2) — may be smaller than the
+    # MCU-padded coefficient arrays for non-interleaved scans
+    dims = [(-(-(-(-h * sv // vmax)) // 8), -(-(-(-w * sh // hmax)) // 8))
+            for (sh, sv) in samp]
+
+    out = _frame_header(gray, h, w, samp, qlum_zz, qchrom_zz, 0xC2)
+    for (cis, ss, se, ah, al) in (_SCRIPT_GRAY if gray else _SCRIPT_COLOR):
+        if len(cis) == 1:
+            th, tw = dims[cis[0]]
+            groups = [((cis[0], by, bx),)
+                      for by in range(th) for bx in range(tw)]
+        else:
+            groups = []
+            for mcu in range(mcus_y * mcus_x):
+                my, mx = divmod(mcu, mcus_x)
+                g = []
+                for ci in cis:
+                    sh, sv = samp[ci]
+                    for bv in range(sv):
+                        for bh in range(sh):
+                            g.append((ci, my * sv + bv, mx * sh + bh))
+                groups.append(tuple(g))
+
+        def run(em):
+            if ss == 0 and ah == 0:
+                _enc_dc_first(groups, blocks, al, em)
+            elif ss == 0:
+                _enc_dc_refine(groups, blocks, al, em)
+            elif ah == 0:
+                _enc_ac_first(groups, blocks, ss, se, al, em)
+            else:
+                _enc_ac_refine(groups, blocks, ss, se, al, em)
+
+        counter = _SymCounter()
+        run(counter)
+        codes = {}
+        if any(counter.freq):  # DC refinement scans code no symbols
+            bits, vals = _optimal_table(counter.freq)
+            codes = _canonical_codes(bits, vals)
+            tc = 0 if ss == 0 else 1
+            out += _seg(0xC4, bytes([tc << 4]) + bytes(bits) + bytes(vals))
+        bw = _BitWriter()
+        run(_SymEmitter(bw, codes))
+        sos = bytes([len(cis)])
+        for ci in cis:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        out += bw.flush()
     out += b"\xff\xd9"
     return bytes(out)

@@ -90,12 +90,17 @@ def test_restart_markers_roundtrip():
         assert (decode_jpeg(enc) == base).all()
 
 
-def test_rejects_progressive_truncated_and_garbage():
+def test_rejects_lossless_invalid_scan_truncated_and_garbage():
     img = np.full((8, 8), 100, np.uint8)
     enc = bytearray(encode_jpeg(img))
     i = enc.index(b"\xff\xc0")
-    enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    enc[i + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless, unsupported)
+    with pytest.raises(ValueError, match="SOF marker"):
+        decode_jpeg(bytes(enc))
+    # SOF0 -> SOF2 turns the baseline full-band scan into an invalid
+    # progressive scan (a DC scan must have Se == 0, T.81 G.1.1.1)
+    enc[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
         decode_jpeg(bytes(enc))
     with pytest.raises(ValueError):
         decode_jpeg(encode_jpeg(img)[:20])
@@ -129,3 +134,63 @@ def test_rejects_undeclared_tables_and_bad_sampling():
     # SOF comp0 hv: h=3 is outside the documented 1-2 support
     with pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg(mut(b"\xff\xc0", 11, 0x31))
+
+
+def _progressive_dc_fixture() -> bytes:
+    """Hand-assembled 8x8 grayscale SOF2 JPEG, derived bit-by-bit from
+    T.81 Annex G (independent of the encoder under test): quant all ones,
+    scan 1 = DC first (Al=1) carrying diff -41 (category 6 -> huff '0',
+    magnitude bits -41+63=22='010110'), scan 2 = DC refinement (one raw
+    bit, 1). Decoder state: -41<<1 = -82, then -82|1 = -81; the dc-only
+    IDCT gives round(128 - 81/8) = 118 everywhere."""
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([0x06]))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    out += bytes([0b00101101])           # '0' + '010110' + pad '1'
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+    out += bytes([0xFF, 0x00])           # '1' + pad '1111111', stuffed
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_hand_built_spec_fixture():
+    img = decode_jpeg(_progressive_dc_fixture())
+    assert img.shape == (8, 8, 1)
+    assert (img == 118).all()
+
+
+def test_progressive_roundtrip_bit_exact_vs_baseline():
+    """Baseline and progressive modes quantize identical coefficients, so
+    their decodes must agree EXACTLY — any asymmetric bug in the Annex G
+    scan codecs (EOB runs, refinement bits, ZRL, point transforms) breaks
+    this equality."""
+    rng = np.random.default_rng(7)
+    y, x = np.mgrid[0:33, 0:50]
+    smooth = np.stack([np.minimum(x * 5, 255), np.minimum(y * 7, 255),
+                       ((x + y) * 2) % 256], axis=2).astype(np.uint8)
+    noisy = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    sparse = np.zeros((48, 64, 3), np.uint8)       # long EOB runs, EOBn>0
+    sparse[20:28, 30:38] = 255
+    for img in (smooth, noisy, sparse):
+        for q, sub in ((95, False), (85, True), (60, True), (30, False)):
+            enc = encode_jpeg(img, quality=q, subsample=sub,
+                              progressive=True)
+            assert b"\xff\xc2" in enc
+            base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+            assert (decode_jpeg(enc) == base).all(), (img.shape, q, sub)
+    gray = np.minimum(x * 5, 255).astype(np.uint8)
+    for q in (95, 40):
+        enc = encode_jpeg(gray, quality=q, progressive=True)
+        assert (decode_jpeg(enc)
+                == decode_jpeg(encode_jpeg(gray, quality=q))).all()
+
+
+def test_progressive_rejects_restart_encoding():
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(np.full((8, 8), 9, np.uint8), progressive=True,
+                    restart_interval=2)
