@@ -492,7 +492,10 @@ def synthesize_real_items(n: int = 12, seed: int = 7) -> pa.Table:
                 rows["payload"].append(encode_png(img))
                 rows["mime"].append("image/png")
             else:
-                rows["payload"].append(encode_jpeg(img, quality=90))
+                # alternate baseline / progressive (SOF2) streams so the
+                # decode stages exercise both T.81 entropy layouts
+                rows["payload"].append(encode_jpeg(
+                    img, quality=90, progressive=(i // 2) % 2 == 1))
                 rows["mime"].append("image/jpeg")
             rows["meta_json"].append(f'{{"w": {w}, "h": {h}}}')
         else:

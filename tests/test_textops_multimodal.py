@@ -195,6 +195,11 @@ def test_decode_stage_real_codec_gated(ray_session):
     mimes = items["mime"].to_pylist()
     assert {"image/png", "image/x-portable-pixmap",
             "image/jpeg"} <= set(mimes)
+    # both T.81 entropy layouts must flow through the pool: one baseline
+    # (SOF0) and one progressive (SOF2) stream
+    sofs = {(b"\xff\xc2" in bytes(p)) for m, p in
+            zip(mimes, items["payload"].to_pylist()) if m == "image/jpeg"}
+    assert sofs == {False, True}
     out = rd.from_arrow(items).map_batches(
         multimodal.DecodeStage, batch_format="pyarrow", batch_size=4,
         concurrency=(1, 2),
