@@ -194,3 +194,26 @@ def test_progressive_rejects_restart_encoding():
     with pytest.raises(ValueError, match="restart"):
         encode_jpeg(np.full((8, 8), 9, np.uint8), progressive=True,
                     restart_interval=2)
+
+
+def test_progressive_restart_interval_decode():
+    """Hand-assembled 8x16 gray SOF2 stream with DRI=1: a DC-first scan
+    split by RST0 must reset the DC predictor per restart segment (T.81
+    F.1.2.3 applies to progressive scans too). Both blocks carry diff +80
+    (category 7 -> huff '0', bits 1010000) -> 138 everywhere; a decoder
+    that failed to reset the predictor would render block 2 at 148."""
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xC2, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([0x07]))
+    out += seg(0xDD, struct.pack(">H", 1))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    unit = bytes([0b01010000])           # '0' + '1010000' (+0 pad)
+    out += unit + b"\xff\xd0" + unit     # RST0 between the two data units
+    out += b"\xff\xd9"
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (8, 16, 1)
+    assert (img == 138).all()
