@@ -340,8 +340,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if comps is None or frame_marker is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            if not progressive and ns != len(comps):
-                raise ValueError("multi-scan baseline JPEG not supported")
             scan = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
@@ -353,7 +351,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 scan.append((cid, ch, cv, tq, tt >> 4, tt & 15))
             segs, i = _split_scan(buf, i)
             if not progressive:
-                return _decode_scan(size, scan, qtabs, htabs, segs, restart)
+                if ns == len(comps) and pstate is None:
+                    return _decode_scan(size, scan, qtabs, htabs, segs,
+                                        restart)
+                # sequential frame split across non-interleaved scans
+                if pstate is None:
+                    pstate = _init_progressive(size, comps)
+                _decode_sequential_scan(pstate, scan, htabs, segs, restart)
+                continue
             if pstate is None:
                 pstate = _init_progressive(size, comps)
             ss, se, aa = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
@@ -487,6 +492,76 @@ def _init_progressive(size, comps) -> dict:
     return state
 
 
+def _scan_groups(st, comps) -> list[tuple]:
+    """Restart-interval groups for a scan over the shared coefficient
+    state: MCUs when interleaved, single data units over the component's
+    true block grid otherwise (T.81 A.2.2/A.2.3)."""
+    if len(comps) == 1:
+        c = comps[0]
+        return [((0, by, bx),)
+                for by in range(c["th"]) for bx in range(c["tw"])]
+    groups = []
+    for mcu in range(st["mcus_y"] * st["mcus_x"]):
+        my, mx = divmod(mcu, st["mcus_x"])
+        g = []
+        for ci, c in enumerate(comps):
+            for bv in range(c["v"]):
+                for bh in range(c["h"]):
+                    g.append((ci, my * c["v"] + bv, mx * c["h"] + bh))
+        groups.append(tuple(g))
+    return groups
+
+
+def _decode_sequential_scan(st, scan, htabs, segs, restart) -> None:
+    """One scan of a MULTI-scan sequential (SOF0/SOF1) frame — T.81 lets
+    a baseline frame split its components across non-interleaved scans
+    (each carrying full-band DC+AC); accumulate into the shared
+    coefficient state and reconstruct at EOI, like the progressive path."""
+    comps = []
+    for (cid, ch, cv, tq, td, ta) in scan:
+        c = st["comps"][cid]
+        if (0, td) not in htabs or (1, ta) not in htabs:
+            raise ValueError(f"JPEG component {cid} references "
+                             f"undeclared Huffman table (dc={td}, ac={ta})")
+        comps.append({"blocks": c["blocks"], "h": c["h"], "v": c["v"],
+                      "th": c["th"], "tw": c["tw"],
+                      "dc": htabs[(0, td)], "ac": htabs[(1, ta)]})
+    st["scans"] += 1
+    groups = _scan_groups(st, comps)
+    n_groups = len(groups)
+    done = 0
+    for seg in segs:
+        rd = _BitReader(seg)
+        pred = [0] * len(comps)
+        end = min(n_groups, done + restart) if restart else n_groups
+        while done < end:
+            for (ci, by, bx) in groups[done]:
+                c = comps[ci]
+                vec = c["blocks"][by, bx]
+                s = rd.huff(c["dc"])
+                pred[ci] += _extend(rd.receive(s), s)
+                vec[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = rd.huff(c["ac"])
+                    r, s2 = rs >> 4, rs & 15
+                    if s2 == 0:
+                        if rs != 0xF0:
+                            break  # EOB
+                        k += 16
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC index overflow")
+                    vec[k] = _extend(rd.receive(s2), s2)
+                    k += 1
+            done += 1
+        if done >= n_groups:
+            break
+    if done < n_groups:
+        raise ValueError("truncated JPEG scan")
+
+
 def _decode_progressive_scan(st, scan, htabs, segs, restart,
                              ss, se, ah, al) -> None:
     """Decode one progressive scan into the persistent coefficient state.
@@ -520,22 +595,7 @@ def _decode_progressive_scan(st, scan, htabs, segs, restart,
             ent["ac"] = htabs[(1, ta)]
         comps.append(ent)
     st["scans"] += 1
-
-    # restart-interval groups: MCUs when interleaved, data units otherwise
-    if len(comps) == 1:
-        c = comps[0]
-        groups = [((0, by, bx),)
-                  for by in range(c["th"]) for bx in range(c["tw"])]
-    else:
-        groups = []
-        for mcu in range(st["mcus_y"] * st["mcus_x"]):
-            my, mx = divmod(mcu, st["mcus_x"])
-            g = []
-            for ci, c in enumerate(comps):
-                for bv in range(c["v"]):
-                    for bh in range(c["h"]):
-                        g.append((ci, my * c["v"] + bv, mx * c["h"] + bh))
-            groups.append(tuple(g))
+    groups = _scan_groups(st, comps)
     n_groups = len(groups)
     done = 0
     for seg in segs:

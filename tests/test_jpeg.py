@@ -217,3 +217,62 @@ def test_progressive_restart_interval_decode():
     img = decode_jpeg(bytes(out))
     assert img.shape == (8, 16, 1)
     assert (img == 138).all()
+
+
+def test_multiscan_sequential_baseline_decode():
+    """T.81 lets a sequential (SOF0) frame split its components across
+    non-interleaved scans. Assemble a 3-scan 4:4:4 color stream from the
+    encoder's own primitives (same quantized coefficients as interleaved
+    mode) — the decode must be bit-identical to the interleaved decode."""
+    from sema_ray.jpeg import (_AC_CHROM, _AC_LUM, _BitWriter, _DC_CHROM,
+                               _DC_LUM, _ZZ, _block_quant, _canonical_codes,
+                               _encode_block, _pad_to, _quality_tables)
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(21, 34, 3), dtype=np.uint8)
+    q = 90
+    qlum, qchrom = _quality_tables(q)
+    qlum_zz, qchrom_zz = qlum[_ZZ], qchrom[_ZZ]
+    f = img.astype(np.float64)
+    r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    planes = [0.299 * r + 0.587 * g + 0.114 * b,
+              128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+              128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b]
+    qzz = [qlum_zz, qchrom_zz, qchrom_zz]
+    blocks = [_block_quant(_pad_to(p, 8, 8), z)
+              for p, z in zip(planes, qzz)]
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(qlum_zz.astype(np.uint8)))
+    out += seg(0xDB, bytes([0x01]) + bytes(qchrom_zz.astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, 21, 34, 3)
+    for ci in range(3):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    for (tc, th, spec) in ((0, 0, _DC_LUM), (1, 0, _AC_LUM),
+                           (0, 1, _DC_CHROM), (1, 1, _AC_CHROM)):
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(spec[0])
+                   + bytes(spec[1]))
+    codes = [( _canonical_codes(*_DC_LUM), _canonical_codes(*_AC_LUM)),
+             (_canonical_codes(*_DC_CHROM), _canonical_codes(*_AC_CHROM)),
+             (_canonical_codes(*_DC_CHROM), _canonical_codes(*_AC_CHROM))]
+    for ci in range(3):  # one non-interleaved scan per component
+        out += seg(0xDA, bytes([1, ci + 1,
+                                0x00 if ci == 0 else 0x11, 0, 63, 0]))
+        bw = _BitWriter()
+        pred = 0
+        by, bx, _ = blocks[ci].shape
+        for yy in range(by):
+            for xx in range(bx):
+                pred = _encode_block(bw, blocks[ci][yy, xx], pred,
+                                     *codes[ci])
+        out += bw.flush()
+    out += b"\xff\xd9"
+
+    dec = decode_jpeg(bytes(out))
+    base = decode_jpeg(encode_jpeg(img, quality=q))
+    assert dec.shape == base.shape == (21, 34, 3)
+    assert (dec == base).all()
