@@ -261,7 +261,18 @@ def _split_scan(buf: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """JPEG (baseline or progressive) -> uint8 [h, w, 3] or [h, w, 1]."""
+    """JPEG (baseline or progressive) -> uint8 [h, w, 3] or [h, w, 1].
+
+    Malformed input raises ``ValueError`` — corrupted streams can hit
+    internal index/overflow errors at any marker or entropy site, so the
+    contract is enforced here once rather than at every parse site."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, OverflowError, struct.error) as e:
+        raise ValueError(f"malformed JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     buf = payload
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -365,7 +376,36 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             _decode_progressive_scan(pstate, scan, htabs, segs, restart,
                                      ss, se, aa >> 4, aa & 15)
         # else: APPn/COM/etc — skipped
+    if pstate is not None and pstate["scans"]:
+        # every scan decoded but the trailing EOI is missing (a common
+        # partial-download shape) — the coefficients are complete
+        return _reconstruct_progressive(pstate, qtabs)
     raise ValueError("truncated JPEG (no SOS)")
+
+
+def _decode_block(rd: _BitReader, vec: np.ndarray, pred: int,
+                  dc: dict, ac: dict) -> int:
+    """Full-band sequential block decode (T.81 F.2.2): DC diff + AC runs
+    into ``vec`` (zigzag int32). Returns the updated DC predictor. Shared
+    by the interleaved fast path and the multi-scan sequential path."""
+    s = rd.huff(dc)
+    pred += _extend(rd.receive(s), s)
+    vec[0] = pred
+    k = 1
+    while k < 64:
+        rs = rd.huff(ac)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if rs != 0xF0:
+                break      # EOB
+            k += 16
+            continue
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC index overflow")
+        vec[k] = _extend(rd.receive(s), s)
+        k += 1
+    return pred
 
 
 def _decode_scan(size, scan, qtabs, htabs, segs, restart) -> np.ndarray:
@@ -410,23 +450,8 @@ def _decode_scan(size, scan, qtabs, htabs, segs, restart) -> np.ndarray:
                 for bv in range(c["v"]):
                     for bh in range(c["h"]):
                         vec = np.zeros(64, dtype=np.int32)
-                        s = rd.huff(c["dc"])
-                        pred[ci] += _extend(rd.receive(s), s)
-                        vec[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = rd.huff(c["ac"])
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if rs != 0xF0:
-                                    break      # EOB
-                                k += 16
-                                continue
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            vec[k] = _extend(rd.receive(s), s)
-                            k += 1
+                        pred[ci] = _decode_block(rd, vec, pred[ci],
+                                                 c["dc"], c["ac"])
                         c["blocks"][my * c["v"] + bv,
                                     mx * c["h"] + bh] = vec
             mcu += 1
@@ -492,17 +517,20 @@ def _init_progressive(size, comps) -> dict:
     return state
 
 
-def _scan_groups(st, comps) -> list[tuple]:
-    """Restart-interval groups for a scan over the shared coefficient
-    state: MCUs when interleaved, single data units over the component's
-    true block grid otherwise (T.81 A.2.2/A.2.3)."""
+def _scan_groups(mcus_y: int, mcus_x: int, comps) -> list[tuple]:
+    """Restart-interval groups for one scan: MCUs when interleaved,
+    single data units over the component's true block grid otherwise
+    (T.81 A.2.2/A.2.3). ``comps`` entries need keys h, v, th, tw; units
+    are labeled (scan-component-index, block_y, block_x). The SAME
+    geometry drives the decoder and the progressive encoder — one
+    implementation so they cannot desynchronize."""
     if len(comps) == 1:
         c = comps[0]
         return [((0, by, bx),)
                 for by in range(c["th"]) for bx in range(c["tw"])]
     groups = []
-    for mcu in range(st["mcus_y"] * st["mcus_x"]):
-        my, mx = divmod(mcu, st["mcus_x"])
+    for mcu in range(mcus_y * mcus_x):
+        my, mx = divmod(mcu, mcus_x)
         g = []
         for ci, c in enumerate(comps):
             for bv in range(c["v"]):
@@ -527,7 +555,7 @@ def _decode_sequential_scan(st, scan, htabs, segs, restart) -> None:
                       "th": c["th"], "tw": c["tw"],
                       "dc": htabs[(0, td)], "ac": htabs[(1, ta)]})
     st["scans"] += 1
-    groups = _scan_groups(st, comps)
+    groups = _scan_groups(st["mcus_y"], st["mcus_x"], comps)
     n_groups = len(groups)
     done = 0
     for seg in segs:
@@ -537,24 +565,8 @@ def _decode_sequential_scan(st, scan, htabs, segs, restart) -> None:
         while done < end:
             for (ci, by, bx) in groups[done]:
                 c = comps[ci]
-                vec = c["blocks"][by, bx]
-                s = rd.huff(c["dc"])
-                pred[ci] += _extend(rd.receive(s), s)
-                vec[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = rd.huff(c["ac"])
-                    r, s2 = rs >> 4, rs & 15
-                    if s2 == 0:
-                        if rs != 0xF0:
-                            break  # EOB
-                        k += 16
-                        continue
-                    k += r
-                    if k > 63:
-                        raise ValueError("JPEG AC index overflow")
-                    vec[k] = _extend(rd.receive(s2), s2)
-                    k += 1
+                pred[ci] = _decode_block(rd, c["blocks"][by, bx],
+                                         pred[ci], c["dc"], c["ac"])
             done += 1
         if done >= n_groups:
             break
@@ -595,7 +607,7 @@ def _decode_progressive_scan(st, scan, htabs, segs, restart,
             ent["ac"] = htabs[(1, ta)]
         comps.append(ent)
     st["scans"] += 1
-    groups = _scan_groups(st, comps)
+    groups = _scan_groups(st["mcus_y"], st["mcus_x"], comps)
     n_groups = len(groups)
     done = 0
     for seg in segs:
@@ -749,6 +761,8 @@ def _optimal_table(freq: list[int]) -> tuple[list[int], list[int]]:
             codesize[c2] += 1
     bits = [0] * 33
     for j in range(257):
+        if codesize[j] > 32:  # needs Fibonacci-like counts ~F(34); explicit
+            raise ValueError("JPEG Huffman code length overflow")
         if codesize[j]:
             bits[codesize[j]] += 1
     i = 32
@@ -1135,21 +1149,12 @@ def _encode_progressive(blocks, samp, h, w, gray,
 
     out = _frame_header(gray, h, w, samp, qlum_zz, qchrom_zz, 0xC2)
     for (cis, ss, se, ah, al) in (_SCRIPT_GRAY if gray else _SCRIPT_COLOR):
-        if len(cis) == 1:
-            th, tw = dims[cis[0]]
-            groups = [((cis[0], by, bx),)
-                      for by in range(th) for bx in range(tw)]
-        else:
-            groups = []
-            for mcu in range(mcus_y * mcus_x):
-                my, mx = divmod(mcu, mcus_x)
-                g = []
-                for ci in cis:
-                    sh, sv = samp[ci]
-                    for bv in range(sv):
-                        for bh in range(sh):
-                            g.append((ci, my * sv + bv, mx * sh + bh))
-                groups.append(tuple(g))
+        # the decoder's own unit geometry, with scan-local component
+        # labels mapped back to global block-array indices
+        ents = [{"h": samp[ci][0], "v": samp[ci][1],
+                 "th": dims[ci][0], "tw": dims[ci][1]} for ci in cis]
+        groups = [tuple((cis[ci], by, bx) for (ci, by, bx) in g)
+                  for g in _scan_groups(mcus_y, mcus_x, ents)]
 
         def run(em):
             if ss == 0 and ah == 0:

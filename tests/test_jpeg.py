@@ -276,3 +276,24 @@ def test_multiscan_sequential_baseline_decode():
     base = decode_jpeg(encode_jpeg(img, quality=q))
     assert dec.shape == base.shape == (21, 34, 3)
     assert (dec == base).all()
+
+
+def test_malformed_streams_raise_valueerror_and_missing_eoi_decodes():
+    """Corrupted streams must surface as the module's ValueError contract
+    (never raw IndexError/OverflowError from parse internals), and a
+    progressive stream missing only its trailing EOI — the common
+    partial-download shape — still decodes: every scan is complete."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    for prog in (False, True):
+        enc = bytearray(encode_jpeg(img, quality=80, progressive=prog))
+        for t in range(150):
+            e2 = bytearray(enc)
+            pos = int(rng.integers(2, len(e2)))
+            e2[pos] ^= 1 << int(rng.integers(0, 8))
+            try:
+                decode_jpeg(bytes(e2))
+            except ValueError:
+                pass  # the only acceptable failure type
+    full = encode_jpeg(img, quality=80, progressive=True)
+    assert (decode_jpeg(full[:-2]) == decode_jpeg(full)).all()
