@@ -664,17 +664,30 @@ _KNN_CHECK_SQL = """
            FLOOR(s * 1000000 + 0.5) / 1000000 AS kth_score,
            TRUE AS recall_ok
     FROM (
-        SELECT a.vec_id AS query_id,
-               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(b.embedding AS DOUBLE[])) AS s,
+        SELECT query_id, s,
                ROW_NUMBER() OVER (
-                   PARTITION BY a.vec_id
-                   ORDER BY list_cosine_similarity(
-                       CAST(a.embedding AS DOUBLE[]),
-                       CAST(b.embedding AS DOUBLE[])) DESC,
-                   b.vec_id) AS rn
-        FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
-        WHERE a.vec_id < 5) t
+                   PARTITION BY query_id
+                   ORDER BY s DESC, neighbor_id) AS rn
+        FROM (
+            -- zero-norm guard: the Ray side's _normalize_rows maps a
+            -- zero vector to similarity 0 everywhere; DuckDB's
+            -- list_cosine_similarity would emit NULL/NaN and desync
+            -- the k-th score (same latent-twin class as the r4
+            -- NULL-lang finding)
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   CASE WHEN list_dot_product(
+                             CAST(a.embedding AS DOUBLE[]),
+                             CAST(a.embedding AS DOUBLE[])) = 0
+                         OR list_dot_product(
+                             CAST(b.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) = 0
+                        THEN 0.0
+                        ELSE list_cosine_similarity(
+                            CAST(a.embedding AS DOUBLE[]),
+                            CAST(b.embedding AS DOUBLE[]))
+                   END AS s
+            FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+            WHERE a.vec_id < 5) p) t
     WHERE rn = 10
 """
 

@@ -314,3 +314,74 @@ def test_hostile_joins_oracles_match(ray_session, hostile_joins_dir):
             if not ok:
                 failures.append(f"{name}.{c}")
     assert not failures, failures
+
+
+EMB_QUERIES = [
+    "knn_bruteforce", "knn_lsh", "knn_ivf", "knn_sq8",
+    "embedding_near_dup", "embedding_dup_pairs",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_embeddings_dir(tmp_path_factory):
+    """Hostile embeddings table: a zero-norm vector (the real 'empty doc'
+    embedding — DuckDB's raw list_cosine_similarity yields NULL for it
+    while the Ray side's _normalize_rows maps it to similarity 0; the
+    _KNN_CHECK_SQL zero-guard must keep the twins aligned), a denormal-
+    norm vector, ±1e18 magnitudes, exact and 1e-7-perturbed duplicates,
+    and planted near-duplicates."""
+    rng = np.random.default_rng(1)
+    n, dim = 120, 16
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    vecs[0] = 0.0
+    vecs[1] = 0.0
+    vecs[1][0] = 1e-30
+    vecs[2] = 1e18
+    vecs[3] = -1e18
+    vecs[10] = vecs[11]
+    vecs[12] = vecs[13] * (1 + 1e-7)
+    for j in range(5):
+        vecs[50 + j] = (vecs[40 + j]
+                        + rng.standard_normal(dim).astype(np.float32) * 0.01)
+    d = str(tmp_path_factory.mktemp("hostile_emb"))
+    pq.write_table(pa.table({
+        "vec_id": pa.array(list(range(n)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 4 for i in range(n)], pa.int32()),
+    }), os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+def test_hostile_embeddings_oracles_match(ray_session,
+                                          hostile_embeddings_dir):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    queries, oracles = mod.queries(), mod.oracle_sql()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{hostile_embeddings_dir}/"
+                f"embeddings.parquet')")
+    failures = []
+    for name in EMB_QUERIES:
+        got = queries[name](hostile_embeddings_dir)
+        got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+        want = con.execute(oracles[name]).df()
+        g, w = _norm(got), _norm(want)
+        if len(g) == 0 and len(w) == 0:
+            continue
+        if list(g.columns) != list(w.columns) or len(g) != len(w):
+            failures.append(f"{name}: shape {g.shape} vs {w.shape}")
+            continue
+        for c in g.columns:
+            if pd.api.types.is_float_dtype(g[c]):
+                ok = all((math.isnan(a) and math.isnan(b)) or a == b
+                         for a, b in zip(g[c], w[c]))
+            else:
+                ok = g[c].equals(w[c])
+            if not ok:
+                failures.append(f"{name}.{c}")
+    assert not failures, failures
