@@ -33,6 +33,10 @@ FUZZ_QUERIES = [
     "gopher_quality_filter", "ngram_decontaminate",
     "temperature_sample_by_lang", "unigram_surprisal", "word_counts",
     "dedup_exact_clusters", "repetition_stats",
+    # round-5 additions (the NULL-lang group crashed the raw Ray groupby
+    # in token_count_by_lang before the sentinel fix)
+    "token_count_by_lang", "doc_stats", "dedup_exact", "dedup_minhash",
+    "dedup_simhash", "dedup_incremental", "curate_corpus", "bm25_search",
 ]
 
 
