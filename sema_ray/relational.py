@@ -31,7 +31,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
-from .util import collect_table, round_half_up
+from .util import (collect_table, fill_null_key, restore_null_key,
+                   round_half_up)
 
 
 def load(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -185,21 +186,27 @@ def hourly_event_stats(sf_dir: str) -> rd.Dataset:
         hour_s = pc.divide(pc.cast(hour, pa.int64()), 1_000_000)
         return pa.table({
             "hour_ts": hour_s,
-            "event_type": t["event_type"],
+            # NULL event_type forms its own group (SQL GROUP BY keeps it;
+            # the raw shuffle would crash on a None key — util.NULL_KEY)
+            "event_type": fill_null_key(t["event_type"]),
             "value": t["value"],
+            # COUNT(*) counts rows with NULL value too — a plain ones sum,
+            # not Arrow's non-null ("value", "count")
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
         })
 
     partials = partial_groupby(
         ds.map_batches(keyed, batch_format="pyarrow"),
         ["hour_ts", "event_type"],
-        [("value", "sum"), ("value", "count")],
+        [("value", "sum"), ("one", "sum")],
         ["sum_value", "n"],
     )
     out = partials.groupby(["hour_ts", "event_type"]).aggregate(
         Sum("sum_value", alias_name="sum_value"),
         Sum("n", alias_name="n_events"),
     )
-    return round_result(out, {"sum_value": 2})
+    return round_result(out, {"sum_value": 2}).map_batches(
+        lambda t: restore_null_key(t, "event_type"), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -365,17 +372,28 @@ def running_user_totals(sf_dir: str) -> rd.Dataset:
             t, "user_id", [("user_id", "ascending"), ("ts", "ascending"),
                            ("event_id", "ascending")])
         n_rows = t.num_rows
-        cents = cents64(t["value"])
+        va = t["value"]
+        if isinstance(va, pa.ChunkedArray):
+            va = va.combine_chunks()
+        # SQL window SUM skips NULL values and stays NULL until the
+        # partition's first non-null row: nulls add 0 to the cumsum, and
+        # rows whose prefix has no non-null value emit NULL
+        valid = pc.is_valid(va).to_numpy(zero_copy_only=False)
+        cents = cents64(pc.fill_null(va, 0.0))
         cs = np.cumsum(cents)
         off = np.where(starts > 0, cs[starts - 1], 0)
         run_cents = cs - np.repeat(off, seg_len)  # exact: int arithmetic
+        nn = np.cumsum(valid.astype(np.int64))
+        nn_off = np.where(starts > 0, nn[starts - 1], 0)
+        no_value_yet = (nn - np.repeat(nn_off, seg_len)) == 0
         run_n = np.arange(n_rows, dtype=np.int64) \
             - np.repeat(starts, seg_len) + 1
         return pa.table({
             "event_id": t["event_id"],
             "user_id": t["user_id"],
             "running_n": pa.array(run_n, pa.int64()),
-            "running_cents": pa.array(run_cents, pa.int64()),
+            "running_cents": pa.array(run_cents, pa.int64(),
+                                      mask=no_value_yet),
         })
 
     return keyed_part_kernel(ds, "user_id", kern)
@@ -419,7 +437,16 @@ def zscore_by_type(sf_dir: str) -> rd.Dataset:
     ds = load(sf_dir, "events", columns=["event_id", "event_type", "value"])
 
     def moments(t: pa.Table) -> pa.Table:
-        c = cents64(t["value"])
+        # rows with NULL event_type never join the stats table in the SQL
+        # twin (JOIN USING drops NULL keys) — exclude them here too; rows
+        # with NULL value count toward n (COUNT(*)) but add nothing to the
+        # moment sums (SQL SUM skips NULLs)
+        t = t.filter(pc.is_valid(t["event_type"]))
+        va = t["value"]
+        if isinstance(va, pa.ChunkedArray):
+            va = va.combine_chunks()
+        valid = pc.is_valid(va).to_numpy(zero_copy_only=False)
+        c = np.where(valid, cents64(pc.fill_null(va, 0.0)), 0)
         et = pc.dictionary_encode(t["event_type"].combine_chunks()
                                   if isinstance(t["event_type"],
                                                 pa.ChunkedArray)
@@ -476,7 +503,12 @@ def zscore_by_type(sf_dir: str) -> rd.Dataset:
              for et, a in acc.items()}
 
     def zmap(t: pa.Table) -> pa.Table:
-        c = cents64(t["value"]).astype(np.float64)
+        t = t.filter(pc.is_valid(t["event_type"]))  # JOIN USING semantics
+        va = t["value"]
+        if isinstance(va, pa.ChunkedArray):
+            va = va.combine_chunks()
+        valid = pc.is_valid(va).to_numpy(zero_copy_only=False)
+        c = cents64(pc.fill_null(va, 0.0)).astype(np.float64)
         et = pc.dictionary_encode(t["event_type"].combine_chunks()
                                   if isinstance(t["event_type"],
                                                 pa.ChunkedArray)
@@ -484,9 +516,12 @@ def zscore_by_type(sf_dir: str) -> rd.Dataset:
         mean = np.array([stats[x][0] for x in et.dictionary.to_pylist()])
         var = np.array([stats[x][1] for x in et.dictionary.to_pylist()])
         idx = et.indices.to_numpy(zero_copy_only=False)
-        z = (c - mean[idx]) / np.sqrt(var[idx])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (c - mean[idx]) / np.sqrt(var[idx])
+        # NULL value -> NULL z (the row still appears, as in the twin)
         return pa.table({"event_id": t["event_id"],
-                         "z": round_half_up(pa.array(z, pa.float64()), 6)})
+                         "z": round_half_up(
+                             pa.array(z, pa.float64(), mask=~valid), 6)})
 
     return ds.map_batches(zmap, batch_format="pyarrow")
 
@@ -999,30 +1034,40 @@ def sliding_window_counts(sf_dir: str, window_s: int = 3600,
         # windows containing ts: starts in (ts - window, ts], on slide grid
         last_start = (ts_s // slide_s) * slide_s
         starts = last_start[:, None] - np.arange(n_rep)[None, :] * slide_s
-        keep = (starts > (ts_s[:, None] - window_s))
-        etype = np.repeat(np.asarray(t["event_type"].to_pylist(), object),
-                          n_rep)[keep.reshape(-1)]
-        vals = np.repeat(t["value"].to_numpy(zero_copy_only=False),
-                         n_rep)[keep.reshape(-1)]
+        keepf = (starts > (ts_s[:, None] - window_s)).reshape(-1)
+        # NULL event_type groups (sentinel) and NULL values (validity mask
+        # survives the repeat; SQL SUM skips them, COUNT(*) doesn't) both
+        # replicate into their windows like any other row
+        etype = np.repeat(np.asarray(
+            fill_null_key(t["event_type"]).to_pylist(), object),
+            n_rep)[keepf]
+        va = t["value"]
+        if isinstance(va, pa.ChunkedArray):
+            va = va.combine_chunks()
+        valid = np.repeat(pc.is_valid(va).to_numpy(zero_copy_only=False),
+                          n_rep)[keepf]
+        vals = np.repeat(pc.fill_null(va, 0.0)
+                         .to_numpy(zero_copy_only=False), n_rep)[keepf]
         return pa.table({
-            "win_start": pa.array(starts.reshape(-1)[keep.reshape(-1)],
-                                  pa.int64()),
+            "win_start": pa.array(starts.reshape(-1)[keepf], pa.int64()),
             "event_type": pa.array(etype, pa.string()),
-            "value": pa.array(vals, pa.float64()),
+            "value": pa.array(vals, pa.float64(), mask=~valid),
+            "one": pa.array(np.ones(int(keepf.sum()), dtype=np.int64)),
         })
 
     exploded = ds.map_batches(explode, batch_format="pyarrow",
                               batch_size=None)
     partials = partial_groupby(
         exploded, ["win_start", "event_type"],
-        [("value", "sum"), ("value", "count")],
+        [("value", "sum"), ("one", "sum")],
         ["sum_value", "n"],
     )
     out = partials.groupby(["win_start", "event_type"]).aggregate(
         Sum("n", alias_name="n_events"),
         Sum("sum_value", alias_name="sum_value"),
     )
-    return round_result(out, {"sum_value": 2})
+    return round_result(out, {"sum_value": 2}).map_batches(
+        lambda t: restore_null_key(t, "event_type"), batch_format="pyarrow")
 
 
 def value_band_counts(sf_dir: str, band_width: float = 5.0,
@@ -1056,17 +1101,28 @@ def median_value_by_type(sf_dir: str) -> rd.Dataset:
     ds = load(sf_dir, "events", columns=["event_type", "value"])
 
     def kern(t: pa.Table) -> pa.Table:
+        # Arrow sort places NULL values at the end — the same order as
+        # DuckDB's list_sort, so the (n-1)//2 pick (n = COUNT(*), nulls
+        # included) lands on the identical element, NULL when more than
+        # half the group's values are NULL
         t, starts, seg_len = sorted_segments(
             t, "event_type", [("event_type", "ascending"),
                               ("value", "ascending")])
         mids = pa.array(starts + (seg_len - 1) // 2, pa.int64())
-        return pa.table({
+        return restore_null_key(pa.table({
             "event_type": t["event_type"].take(pa.array(starts, pa.int64())),
             "median_value": pc.cast(t["value"].take(mids), pa.float64()),
             "n": pa.array(seg_len.astype(np.int64), pa.int64()),
-        })
+        }), "event_type")
 
-    return keyed_part_kernel(ds, "event_type", kern)
+    def fill(t: pa.Table) -> pa.Table:
+        # NULL event_type is a real group (SQL GROUP BY); the part hash
+        # and the segment sort both need a non-null key
+        return t.set_column(t.schema.get_field_index("event_type"),
+                            "event_type", fill_null_key(t["event_type"]))
+
+    return keyed_part_kernel(ds.map_batches(fill, batch_format="pyarrow"),
+                             "event_type", kern)
 
 
 def grouped_search(sf_dir: str, pattern: str = "vector") -> rd.Dataset:
@@ -1293,7 +1349,11 @@ def event_type_hour_pivot(sf_dir: str) -> rd.Dataset:
         types = g["event_type"].to_pylist()  # <= 24*k rows: already grouped
         counts = g["count_all"].to_numpy(zero_copy_only=False)
         for h, ty, c in zip(hours, types, counts):
-            wide[row_of[int(h)], type_idx[ty]] = c
+            # NULL or unknown event_type counts in no pivot column (the
+            # twin's FILTER clauses match none) but its hour row remains
+            j = type_idx.get(ty)
+            if j is not None:
+                wide[row_of[int(h)], j] = c
         cols = {"hour": pa.array(uniq_hours, pa.int64())}
         for i, ty in enumerate(EVENT_TYPES):
             cols[f"{ty}_n"] = pa.array(wide[:, i], pa.int64())

@@ -76,14 +76,6 @@ def doc_stats(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
-# NULL-group-key sentinel: Ray's sort-based groupby shuffle cannot order a
-# string column containing None (numpy searchsorted raises on None < str),
-# while SQL GROUP BY keeps a NULL group. Encode null keys as a NUL-prefixed
-# sentinel around the shuffle and decode after — real lang/source codes
-# never contain NUL bytes.
-_NULL_KEY = "\x00\x00null"
-
-
 def token_count_by_lang(sf_dir: str) -> rd.Dataset:
     """Corpus token budget per language: lang, n_docs, n_tokens.
 
@@ -93,27 +85,24 @@ def token_count_by_lang(sf_dir: str) -> rd.Dataset:
     """
     ds = _load_docs(sf_dir, ["lang", "text"])
 
+    from .util import fill_null_key, restore_null_key
+
     def partial(t: pa.Table) -> pa.Table:
         tok = pc.cast(pc.count_substring_regex(t["text"], pattern=TOKEN_RE),
                       pa.int64())
-        g = pa.table({"lang": pc.fill_null(t["lang"], _NULL_KEY),
+        g = pa.table({"lang": fill_null_key(t["lang"]),
                       "tok": tok, "one": pa.array(
                           np.ones(t.num_rows, dtype=np.int64))})
         a = g.group_by(["lang"]).aggregate([("tok", "sum"), ("one", "sum")])
         return pa.table({"lang": a["lang"], "n_tokens": a["tok_sum"],
                          "n_docs": a["one_sum"]})
 
-    def restore(t: pa.Table) -> pa.Table:
-        lang = pc.if_else(pc.equal(t["lang"], _NULL_KEY),
-                          pa.scalar(None, pa.string()),
-                          pc.cast(t["lang"], pa.string()))
-        return t.set_column(t.schema.get_field_index("lang"), "lang", lang)
-
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("lang").aggregate(
         Sum("n_docs", alias_name="n_docs"),
         Sum("n_tokens", alias_name="n_tokens"),
-    ).map_batches(restore, batch_format="pyarrow")
+    ).map_batches(lambda t: restore_null_key(t, "lang"),
+                  batch_format="pyarrow")
 
 
 # GPT-2-style pretokenizer (the "BPE-ish" token estimate): contraction

@@ -72,3 +72,25 @@ def lower_utf8(text: str) -> str:
     import pyarrow as pa
     import pyarrow.compute as pc
     return pc.utf8_lower(pa.scalar(text)).as_py()
+
+
+# NULL-group-key sentinel: Ray's sort-based groupby shuffle cannot order a
+# string key column containing None (numpy searchsorted raises None < str
+# at shuffle-boundary computation), while SQL GROUP BY keeps a NULL group.
+# Encode null keys as a NUL-prefixed sentinel before the shuffle and decode
+# after — real categorical codes (lang, event_type, ...) never contain NUL.
+NULL_KEY = "\x00\x00null"
+
+
+def fill_null_key(col):
+    """String key column -> same column with nulls as :data:`NULL_KEY`."""
+    return pc.fill_null(col, NULL_KEY)
+
+
+def restore_null_key(t: pa.Table, col: str) -> pa.Table:
+    """Decode :data:`NULL_KEY` back to a real NULL after the shuffle."""
+    c = t[col]
+    restored = pc.if_else(pc.equal(c, NULL_KEY),
+                          pa.scalar(None, pa.string()),
+                          pc.cast(c, pa.string()))
+    return t.set_column(t.schema.get_field_index(col), col, restored)

@@ -138,16 +138,23 @@ def hostile_events_dir(tmp_path_factory):
     for j in range(0, 60, 2):
         ts[j + 1] = ts[j]
     d = str(tmp_path_factory.mktemp("hostile_ev"))
+    # real NULLs in the group key and the measure (round-5 fuzz: six
+    # event queries crashed on None keys / None values before the
+    # sentinel-key and validity-mask fixes)
+    et = rng.choice(["click", "purchase", "error", "signup"],
+                    size=n).tolist()
+    vals = rng.choice([0.0, -5.25, 1e9, 0.01, 185.22, 9.64],
+                      size=n).tolist()
+    for i in range(0, n, 37):
+        et[i] = None
+    for i in range(0, n, 41):
+        vals[i] = None
     pq.write_table(pa.table({
         "event_id": pa.array(list(range(n)), pa.int64()),
         "ts": pa.array(ts, pa.timestamp("us")),
         "user_id": pa.array(users, pa.int64()),
-        "event_type": pa.array(rng.choice(
-            ["click", "purchase", "error", "signup"], size=n).tolist(),
-            pa.string()),
-        "value": pa.array(rng.choice(
-            [0.0, -5.25, 1e9, 0.01, 185.22, 9.64], size=n).tolist(),
-            pa.float64()),
+        "event_type": pa.array(et, pa.string()),
+        "value": pa.array(vals, pa.float64()),
         "props": pa.array(["{}"] * n, pa.string()),
     }), os.path.join(d, "events.parquet"))
     return d
