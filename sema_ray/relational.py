@@ -31,8 +31,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
-from .util import (collect_table, fill_null_key, restore_null_key,
-                   round_half_up)
+from .util import (NULL_KEY, collect_table, fill_null_key,
+                   restore_null_key, round_half_up)
 
 
 def load(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -133,13 +133,15 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
             "qty": t["l_quantity"],
             "price": t["l_extendedprice"],
             "disc_price": disc_price,
+            # COUNT(*) counts NULL-measure rows too (SUMs skip them)
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
         })
 
     derived = ds.map_batches(derive, batch_format="pyarrow")
     partials = partial_groupby(
         derived, ["l_returnflag", "l_linestatus"],
         [("qty", "sum"), ("price", "sum"), ("disc_price", "sum"),
-         ("qty", "count")],
+         ("one", "sum")],
         ["sum_qty", "sum_price", "sum_disc_price", "n"],
     )
     out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -542,24 +544,46 @@ def compile_int_lookup(keys: pa.ChunkedArray | pa.Array, vals):
     string dim column ships as one small dictionary, not a per-row copy.
     """
     k = pa.chunked_array([keys]) if isinstance(keys, pa.Array) else keys
-    knp = k.combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-    enc = pc.dictionary_encode(
-        vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals)
+    k = k.combine_chunks()
+    v = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+    if k.null_count:  # a NULL join key matches nothing (ANSI) — drop it
+        ok = pc.is_valid(k)
+        k, v = k.filter(ok), v.filter(ok)
+    knp = k.to_numpy(zero_copy_only=False).astype(np.int64)
+    enc = pc.dictionary_encode(v)
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
-    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+    dictionary = enc.dictionary
+    idx = enc.indices
+    if idx.null_count:
+        # NULL dim VALUES get a real dictionary slot so decoders emit a
+        # real NULL (SQL: the joined row exists, its projected column is
+        # NULL) instead of crashing on a null index
+        idx = pc.fill_null(idx, len(dictionary))
+        dictionary = pa.concat_arrays(
+            [dictionary, pa.array([None], dictionary.type)])
+    codes = idx.to_numpy(zero_copy_only=False).astype(np.int32)
     order = np.argsort(knp, kind="stable")
     knp, codes = knp[order], codes[order]
-    dictionary = enc.dictionary
 
     def gather(fact_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        fk = fact_keys.astype(np.int64, copy=False)
+        fk = np.asarray(fact_keys)
+        if fk.dtype.kind == "f":
+            # Arrow's to_numpy surfaces NULL int keys as NaN floats; a
+            # NULL fact key never matches (ANSI join semantics)
+            okm = ~np.isnan(fk)
+            fk = np.where(okm, fk, 0).astype(np.int64)
+        else:
+            okm = None
+            fk = fk.astype(np.int64, copy=False)
         if len(knp) == 0:
             return (np.full(len(fk), -1, np.int32),
                     np.zeros(len(fk), dtype=bool))
         pos = np.searchsorted(knp, fk)
         pos[pos == len(knp)] = 0
         hit = knp[pos] == fk
+        if okm is not None:
+            hit &= okm
         out = np.where(hit, codes[pos], np.int32(-1)).astype(np.int32)
         return out, hit
 
@@ -582,11 +606,14 @@ def orders_per_segment(sf_dir: str) -> rd.Dataset:
 
     def join_partial(t: pa.Table) -> pa.Table:
         codes, hit = gather(t["o_custkey"].to_numpy(zero_copy_only=False))
-        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        hm = pa.array(hit)
         part = pa.table({"code": pa.array(codes[hit], pa.int32()),
-                         "price": pa.array(price[hit], pa.float64())})
+                         "price": pc.cast(t["o_totalprice"],
+                                          pa.float64()).filter(hm),
+                         "one": pa.array(np.ones(int(hit.sum()),
+                                                 dtype=np.int64))})
         g = part.group_by(["code"]).aggregate(
-            [("price", "sum"), ("price", "count")])
+            [("price", "sum"), ("one", "sum")])
         return g.rename_columns(["code", "sum_price", "n"])
 
     partials = load(sf_dir, "orders",
@@ -782,14 +809,20 @@ def _revenue_by_priority_shuffle(li: rd.Dataset, sf_dir: str,
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         enc = pc.dictionary_encode(col)
-        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        k = len(enc.dictionary)
+        idx = enc.indices
+        dictionary = enc.dictionary
+        if idx.null_count:  # GROUP BY keeps the NULL priority group
+            idx = pc.fill_null(idx, len(dictionary))
+            dictionary = pa.concat_arrays(
+                [dictionary, pa.array([None], dictionary.type)])
+        code = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(dictionary)
         n = np.bincount(code, minlength=k).astype(np.int64)
         sints = _exact_prio_sums(code, c, d100, k)
         keep = np.nonzero(n)[0]
         return pa.table({
             "o_orderpriority": pc.cast(
-                enc.dictionary.take(pa.array(keep, pa.int64())),
+                dictionary.take(pa.array(keep, pa.int64())),
                 pa.string()),
             "n": pa.array(n[keep], pa.int64()),
             "s_hi": pa.array([sints[i] >> 62 for i in keep], pa.int64()),
@@ -813,7 +846,7 @@ def _revenue_by_priority_shuffle(li: rd.Dataset, sf_dir: str,
             a = acc.setdefault(p, [0, 0])
             a[0] += n_
             a[1] += (hi << 62) + lo
-    prios = sorted(acc)
+    prios = sorted(acc, key=lambda x: (x is None, x))  # None sorts last
     out_tbl = pa.table({
         "o_orderpriority": pa.array(prios, pa.string()),
         "n_items": pa.array([acc[p][0] for p in prios], pa.int64()),
@@ -825,14 +858,19 @@ def _revenue_by_priority_shuffle(li: rd.Dataset, sf_dir: str,
 
 def union_key_counts(sf_dir: str) -> rd.Dataset:
     """UNION ALL of two projections + groupby count."""
+    def proj(col):
+        # the ones column makes the count COUNT(*): Arrow's ("key",
+        # "count") would count a NULL key group as zero
+        return lambda t: pa.table({
+            "key": pc.cast(t[col], pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
     o = load(sf_dir, "orders", columns=["o_custkey"]).map_batches(
-        lambda t: pa.table({"key": pc.cast(t["o_custkey"], pa.int64())}),
-        batch_format="pyarrow")
+        proj("o_custkey"), batch_format="pyarrow")
     c = load(sf_dir, "customer", columns=["c_custkey"]).map_batches(
-        lambda t: pa.table({"key": pc.cast(t["c_custkey"], pa.int64())}),
-        batch_format="pyarrow")
+        proj("c_custkey"), batch_format="pyarrow")
     u = o.union(c)
-    partials = partial_groupby(u, ["key"], [("key", "count")], ["n"])
+    partials = partial_groupby(u, ["key"], [("one", "sum")], ["n"])
     return partials.groupby("key").aggregate(Sum("n", alias_name="n"))
 
 
@@ -1190,6 +1228,25 @@ def top3_orders_per_customer(sf_dir: str, k: int = 3) -> rd.Dataset:
     """
     ds = load(sf_dir, "orders",
               columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    # SQL PARTITION BY puts all NULL custkeys in ONE partition; numpy key
+    # scans would see NaN != NaN and split every null row into its own
+    # segment — sentinel-encode through the kernel, restore at output
+    null_int = np.iinfo(np.int64).min
+
+    def fill(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("o_custkey"), "o_custkey",
+            pc.fill_null(pc.cast(t["o_custkey"], pa.int64()), null_int))
+
+    def restore(t: pa.Table) -> pa.Table:
+        col = t["o_custkey"]
+        return t.set_column(
+            t.schema.get_field_index("o_custkey"), "o_custkey",
+            pc.if_else(pc.equal(col, null_int),
+                       pa.scalar(None, pa.int64()),
+                       pc.cast(col, pa.int64())))
+
+    ds = ds.map_batches(fill, batch_format="pyarrow")
 
     def local_topk(t: pa.Table) -> pa.Table:
         t = t.sort_by([("o_custkey", "ascending"),
@@ -1211,7 +1268,7 @@ def top3_orders_per_customer(sf_dir: str, k: int = 3) -> rd.Dataset:
                              ("o_orderkey", "ascending")])
         rank = (np.arange(t.num_rows, dtype=np.int64)
                 - np.repeat(starts, seg_len))
-        return t.filter(pa.array(rank < k))
+        return restore(t.filter(pa.array(rank < k)))
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow")
     return keyed_part_kernel(partials, "o_custkey", merge)
@@ -1235,15 +1292,22 @@ def orders_segment_left_outer(sf_dir: str,
                                           min_acctbal))
     gather, seg_dict = compile_int_lookup(cust_tbl["c_custkey"],
                                           cust_tbl["c_mktsegment"])
+    # a matched customer whose segment is NULL shares the '(none)' COALESCE
+    # bucket with unmatched orders (the twin groups by the coalesced label)
+    # — fold its dictionary slot into the miss code before the shuffle
+    null_code = (len(seg_dict) - 1
+                 if len(seg_dict) and not seg_dict[-1].is_valid else -2)
 
     def join_partial(t: pa.Table) -> pa.Table:
         codes, _hit = gather(t["o_custkey"].to_numpy(zero_copy_only=False))
+        codes = np.where(codes == null_code, np.int32(-1), codes)
         part = pa.table({
             "code": pa.array(codes, pa.int32()),  # -1 == outer (no match)
             "price": pc.cast(t["o_totalprice"], pa.float64()),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
         })
         g = part.group_by(["code"]).aggregate(
-            [("price", "sum"), ("price", "count")])
+            [("price", "sum"), ("one", "sum")])
         return g.rename_columns(["code", "sum_price", "n"])
 
     partials = load(sf_dir, "orders",
@@ -1256,7 +1320,11 @@ def orders_segment_left_outer(sf_dir: str,
 
     def decode(t: pa.Table) -> pa.Table:
         codes = t["code"].to_numpy(zero_copy_only=False)
-        seg = np.asarray(seg_dict.to_pylist(), dtype=object)
+        # a matched customer whose segment is NULL lands in the same
+        # COALESCE bucket as an unmatched order (twin: COALESCE(..,
+        # '(none)') cannot tell the two apart)
+        seg = np.asarray([s if s is not None else "(none)"
+                          for s in seg_dict.to_pylist()], dtype=object)
         names = np.where(codes >= 0, seg[np.clip(codes, 0, None)], "(none)")
         return pa.table({"c_mktsegment": pa.array(names, pa.string()),
                          "n_orders": t["n_orders"],
@@ -1383,15 +1451,19 @@ def segment_priority_rollup(sf_dir: str) -> rd.Dataset:
 
     def join_partial(t: pa.Table) -> pa.Table:
         codes, hit = gather(t["o_custkey"].to_numpy(zero_copy_only=False))
+        hm = pa.array(hit)
         part = pa.table({
             "code": pa.array(codes[hit], pa.int32()),
-            "prio": pc.cast(t["o_orderpriority"], pa.string())
-                      .filter(pa.array(hit)),
-            "price": pc.cast(t["o_totalprice"], pa.float64())
-                       .filter(pa.array(hit)),
+            # sentinel-encode NULL priorities: a real GROUP BY value (the
+            # twin labels it '(all)' via COALESCE), but the distributed
+            # groupby cannot sort a None key
+            "prio": fill_null_key(pc.cast(t["o_orderpriority"],
+                                          pa.string())).filter(hm),
+            "price": pc.cast(t["o_totalprice"], pa.float64()).filter(hm),
+            "one": pa.array(np.ones(int(hit.sum()), dtype=np.int64)),
         })
         g = part.group_by(["code", "prio"]).aggregate(
-            [("price", "sum"), ("price", "count")])
+            [("price", "sum"), ("one", "sum")])
         return g.rename_columns(["code", "prio", "sum_price", "n"])
 
     partials = load(sf_dir, "orders",
@@ -1401,10 +1473,19 @@ def segment_priority_rollup(sf_dir: str) -> rd.Dataset:
 
     def decode(t: pa.Table, with_prio: bool) -> pa.Table:
         codes = t["code"].to_numpy(zero_copy_only=False)
-        seg = pa.array(seg_names[codes], pa.string())
-        prio = t["prio"] if with_prio \
-            else pa.array(np.full(t.num_rows, "(all)", dtype=object),
-                          pa.string())
+        # data-NULL segments/priorities take the same '(all)' COALESCE
+        # label as rollup subtotal rows — they remain SEPARATE rows, as in
+        # GROUP BY ROLLUP (grouping is on the raw values)
+        labels = np.asarray([s if s is not None else "(all)"
+                             for s in seg_names], dtype=object)
+        seg = pa.array(labels[codes], pa.string())
+        if with_prio:
+            prio = pc.if_else(pc.equal(t["prio"], NULL_KEY),
+                              pa.scalar("(all)"),
+                              pc.cast(t["prio"], pa.string()))
+        else:
+            prio = pa.array(np.full(t.num_rows, "(all)", dtype=object),
+                            pa.string())
         return pa.table({"c_mktsegment": seg, "o_orderpriority": prio,
                          "n_orders": t["n_orders"],
                          "sum_totalprice": t["sum_totalprice"]})

@@ -70,6 +70,13 @@ def hostile_dir(tmp_path_factory):
 def _norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
+        if df[c].dtype == object:
+            # nullable int64 arrives as object ints+None from Ray's
+            # to_pandas but float64+NaN from DuckDB's — coerce numeric
+            # object columns so the two spellings compare equal
+            coerced = pd.to_numeric(df[c], errors="coerce")
+            if coerced.notna().equals(df[c].notna()):
+                df[c] = coerced
         if pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_float_dtype(df[c]):
@@ -212,33 +219,45 @@ def hostile_joins_dir(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("hostile_j"))
     nc, no, nl, npart = 60, 200, 500, 40
     base = datetime(1995, 1, 1)
+    # NULLs everywhere SQL allows them (round-5 fuzz: NULL join keys must
+    # match nothing, NULL group columns form real groups, COUNT(*) counts
+    # NULL-measure rows, matched-NULL segments share the left-outer
+    # COALESCE bucket, window partitions keep one NULL-key group)
+    seg = [["AUTOMOBILE", "BUILDING", "MACHINERY",
+            "HOUSEHOLD", "FURNITURE"][i % 5] for i in range(nc)]
+    for i in range(0, nc, 13):
+        seg[i] = None
     pq.write_table(pa.table({
         "c_custkey": pa.array(list(range(nc)), pa.int64()),
         "c_name": pa.array([f"cust{i}" for i in range(nc)], pa.string()),
         "c_nationkey": pa.array([i % 5 for i in range(nc)], pa.int32()),
         "c_acctbal": pa.array(rng.choice([0.0, -999.99, 1e8, 10.5],
                                          nc).tolist(), pa.float64()),
-        "c_mktsegment": pa.array([["AUTOMOBILE", "BUILDING", "MACHINERY",
-                                   "HOUSEHOLD", "FURNITURE"][i % 5]
-                                  for i in range(nc)], pa.string()),
+        "c_mktsegment": pa.array(seg, pa.string()),
     }), os.path.join(d, "customer.parquet"))
-    cust = rng.integers(0, nc + 10, no)
-    cust[:20] = 7
+    cust = rng.integers(0, nc + 10, no).astype("int64").tolist()
+    cust[:20] = [7] * 20
+    for i in range(0, no, 17):
+        cust[i] = None
     dates = [base + timedelta(days=int(rng.integers(0, 1000)))
              for _ in range(no)]
     for j in range(10):
         dates[j] = dates[0]
+    prio = rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                       "5-LOW"], no).tolist()
+    for i in range(0, no, 23):
+        prio[i] = None
+    tp = rng.choice([0.01, 1e9, 144449.04, 5.0], no).tolist()
+    for i in range(0, no, 29):
+        tp[i] = None
     pq.write_table(pa.table({
         "o_orderkey": pa.array(list(range(no)), pa.int64()),
-        "o_custkey": pa.array(cust.astype("int64"), pa.int64()),
+        "o_custkey": pa.array(cust, pa.int64()),
         "o_orderstatus": pa.array(rng.choice(["F", "O", "P"], no).tolist(),
                                   pa.string()),
-        "o_totalprice": pa.array(rng.choice([0.01, 1e9, 144449.04, 5.0],
-                                            no).tolist(), pa.float64()),
+        "o_totalprice": pa.array(tp, pa.float64()),
         "o_orderdate": pa.array(dates, pa.timestamp("us")),
-        "o_orderpriority": pa.array(rng.choice(
-            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
-            no).tolist(), pa.string()),
+        "o_orderpriority": pa.array(prio, pa.string()),
     }), os.path.join(d, "orders.parquet"))
     pq.write_table(pa.table({
         "l_orderkey": pa.array(rng.integers(0, no + 20, nl)
@@ -249,8 +268,10 @@ def hostile_joins_dir(tmp_path_factory):
                               pa.int64()),
         "l_linenumber": pa.array((np.arange(nl) % 7 + 1).astype("int64"),
                                  pa.int64()),
-        "l_quantity": pa.array(rng.choice([0.0, 1.0, 50.0, 49.99],
-                                          nl).tolist(), pa.float64()),
+        "l_quantity": pa.array(
+            [None if i % 31 == 0 else q for i, q in enumerate(
+                rng.choice([0.0, 1.0, 50.0, 49.99], nl).tolist())],
+            pa.float64()),
         "l_extendedprice": pa.array(rng.choice([0.01, 1e9, 44473.56],
                                                nl).tolist(), pa.float64()),
         "l_discount": pa.array(rng.choice([0.0, 0.05, 0.1], nl).tolist(),
