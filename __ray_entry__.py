@@ -1369,11 +1369,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY key
         """,
         "asof_latest_order": """
+            -- NULL timestamps never match (the engine's documented ANSI
+            -- semantics); DuckDB's ASOF JOIN would otherwise pair a NULL
+            -- event ts with a NULL orderdate (both sort as greatest — an
+            -- implementation quirk found by the NULL fuzz), so both sides
+            -- filter nulls explicitly
             WITH o AS (SELECT o_custkey, o_orderdate,
                               MAX(o_orderkey) AS o_orderkey
-                       FROM orders GROUP BY 1, 2)
+                       FROM orders WHERE o_orderdate IS NOT NULL
+                       GROUP BY 1, 2)
             SELECT e.event_id, o.o_orderkey
-            FROM events e ASOF JOIN o
+            FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
+            ASOF JOIN o
               ON e.user_id + 1 = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "value_band_counts": """

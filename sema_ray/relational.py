@@ -413,11 +413,21 @@ def event_gaps(sf_dir: str) -> rd.Dataset:
         t, starts, _seg_len = sorted_segments(
             t, "user_id", [("user_id", "ascending"), ("ts", "ascending"),
                            ("event_id", "ascending")])
-        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        arr = pc.cast(t["ts"], pa.int64())
+        us = pc.fill_null(arr, 0).to_numpy(zero_copy_only=False)
         gap = np.empty(len(us), dtype=np.int64)
         if len(us):
             gap[1:] = us[1:] - us[:-1]
             gap[starts] = -1
+            if arr.null_count:
+                # LAG arithmetic over a NULL ts is NULL on either side of
+                # the pair; the twin's COALESCE maps it to the -1 sentinel
+                # (NULL ts rows sort last within the partition on both
+                # engines, so the pairing is identical)
+                nn = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+                bad = ~nn
+                bad[1:] |= ~nn[:-1]
+                gap[bad] = -1
         return pa.table({
             "event_id": t["event_id"],
             "gap_us": pa.array(gap, pa.int64()),
@@ -1407,7 +1417,9 @@ def event_type_hour_pivot(sf_dir: str) -> rd.Dataset:
     k = len(EVENT_TYPES)
 
     def partial(t: pa.Table) -> pa.Table:
-        hour = pc.cast(pc.hour(t["ts"]), pa.int64())
+        # a NULL ts groups as a NULL hour in SQL; -1 is the shuffle-safe
+        # stand-in (real hours are 0..23), decoded after the aggregate
+        hour = pc.fill_null(pc.cast(pc.hour(t["ts"]), pa.int64()), -1)
         g = pa.table({"hour": hour, "event_type": t["event_type"]}) \
             .group_by(["hour", "event_type"]).aggregate([([], "count_all")])
         hours = g["hour"].to_numpy(zero_copy_only=False)
@@ -1427,10 +1439,18 @@ def event_type_hour_pivot(sf_dir: str) -> rd.Dataset:
             cols[f"{ty}_n"] = pa.array(wide[:, i], pa.int64())
         return pa.table(cols)
 
+    def restore_hour(t: pa.Table) -> pa.Table:
+        col = t["hour"]
+        return t.set_column(
+            t.schema.get_field_index("hour"), "hour",
+            pc.if_else(pc.equal(col, -1), pa.scalar(None, pa.int64()),
+                       pc.cast(col, pa.int64())))
+
     aggs = [Sum(f"{ty}_n", alias_name=f"{ty}_n") for ty in EVENT_TYPES]
     return load(sf_dir, "events", columns=["ts", "event_type"]) \
         .map_batches(partial, batch_format="pyarrow") \
-        .groupby("hour").aggregate(*aggs)
+        .groupby("hour").aggregate(*aggs) \
+        .map_batches(restore_hour, batch_format="pyarrow")
 
 
 def segment_priority_rollup(sf_dir: str) -> rd.Dataset:

@@ -144,6 +144,12 @@ def hostile_events_dir(tmp_path_factory):
           for _ in range(n)]
     for j in range(0, 60, 2):
         ts[j + 1] = ts[j]
+    # NULL timestamps (LAG/window/hour arithmetic must coalesce exactly
+    # like the twins) and epoch extremes
+    for j in range(63, n, 53):
+        ts[j] = None
+    ts[61] = datetime(1970, 1, 1)
+    ts[62] = datetime(2200, 1, 1)
     d = str(tmp_path_factory.mktemp("hostile_ev"))
     # real NULLs in the group key and the measure (round-5 fuzz: six
     # event queries crashed on None keys / None values before the
