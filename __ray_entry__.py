@@ -995,14 +995,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
         "q1_pricing_summary": """
+            -- exact integer-cents folds (the revenue_by_priority shape):
+            -- float SUMs at 1e9 magnitudes are association-dependent, so
+            -- both engines sum exact ints and do ONE float op per output
+            WITH c AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+                     CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                          AS BIGINT) AS pc,
+                     CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT)
+                       * (100 - CAST(FLOOR(l_discount * 100 + 0.5)
+                                     AS BIGINT)) AS dn
+              FROM lineitem
+            )
             SELECT l_returnflag, l_linestatus,
-                   FLOOR(SUM(l_quantity) * 100 + 0.5) / 100                            AS sum_qty,
-                   FLOOR(SUM(l_extendedprice) * 100 + 0.5) / 100                       AS sum_base_price,
-                   FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100    AS sum_disc_price,
-                   COUNT(*)                                             AS count_order,
-                   FLOOR(SUM(l_quantity) / COUNT(*) * 10000 + 0.5) / 10000                 AS avg_qty,
-                   FLOOR(SUM(l_extendedprice) / COUNT(*) * 10000 + 0.5) / 10000            AS avg_price
-            FROM lineitem GROUP BY l_returnflag, l_linestatus
+                   CAST(SUM(qc) AS DOUBLE) / 100.0 AS sum_qty,
+                   CAST(SUM(pc) AS DOUBLE) / 100.0 AS sum_base_price,
+                   FLOOR(CAST(SUM(dn) AS DOUBLE) / 10000.0 * 100 + 0.5)
+                       / 100 AS sum_disc_price,
+                   COUNT(*) AS count_order,
+                   FLOOR(CAST(SUM(qc) AS DOUBLE) / 100.0 / COUNT(*)
+                         * 10000 + 0.5) / 10000 AS avg_qty,
+                   FLOOR(CAST(SUM(pc) AS DOUBLE) / 100.0 / COUNT(*)
+                         * 10000 + 0.5) / 10000 AS avg_price
+            FROM c GROUP BY l_returnflag, l_linestatus
         """,
         "brand_price_stats": """
             SELECT p_brand,
@@ -1561,17 +1577,24 @@ def oracle_sql() -> dict[str, str]:
         # snapshot-over-snapshot dedup: odd-id docs checked against even-id
         # docs; Ray side is Bloom-prefiltered but exact (128-bit verify)
         "dedup_incremental": """
+            -- IS NOT DISTINCT FROM: NULL text is ONE identity group across
+            -- the whole dedup family (matching dedup_exact's GROUP BY
+            -- semantics), so a NULL new doc IS a dup of a NULL prior doc
             SELECT d.doc_id,
                    EXISTS (SELECT 1 FROM documents p
-                           WHERE p.doc_id % 2 = 0 AND p.text = d.text)
+                           WHERE p.doc_id % 2 = 0
+                             AND p.text IS NOT DISTINCT FROM d.text)
                        AS is_dup
             FROM documents d WHERE d.doc_id % 2 = 1
         """,
         "dedup_ngram_jaccard": """
+            -- NULL-text docs have no shingles and no candidacy (raw NULL
+            -- propagation would pair NULL docs with empty docs but not
+            -- with each other — not a usable dedup semantic)
             WITH t AS (SELECT doc_id,
                               regexp_extract_all(lower(text), '[a-z0-9]+')
                                   AS toks
-                       FROM documents),
+                       FROM documents WHERE text IS NOT NULL),
             s AS (SELECT doc_id,
                      CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
                           WHEN len(toks) < 3
@@ -1595,10 +1618,13 @@ def oracle_sql() -> dict[str, str]:
         # with every doc (isolated -> self); Ray side runs distributed
         # alternating star rounds instead of the driver union-find
         "dup_components": """
+            -- edges exclude NULL-text docs (no shingles, no candidacy —
+            -- the ngram_jaccard semantics); the reach seed keeps every
+            -- document, so NULL docs stay singleton components
             WITH RECURSIVE t AS (SELECT doc_id,
                               regexp_extract_all(lower(text), '[a-z0-9]+')
                                   AS toks
-                       FROM documents),
+                       FROM documents WHERE text IS NOT NULL),
             s AS (SELECT doc_id,
                      CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
                           WHEN len(toks) < 3

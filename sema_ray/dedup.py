@@ -144,8 +144,11 @@ def word_shingles(text: str, k: int = 3) -> np.ndarray:
     position-dependent odd multipliers, then a splitmix64 finalizer — no
     per-shingle digest calls (VERDICT r1 "What's wrong" #7). Lowercasing
     uses Arrow (utf8proc) semantics so tokenization matches _word_stream
-    and the DuckDB twins on non-ASCII text.
+    and the DuckDB twins on non-ASCII text. NULL text has no shingles,
+    like '' (near-dup blocking only — exact identity stays distinct via
+    _content_h).
     """
+    text = text or ""
     toks = _TOKEN_RE.findall(lower_utf8(text))
     if not toks:
         return np.empty(0, dtype=np.uint64)
@@ -168,8 +171,9 @@ def minhash_sig(shingles: np.ndarray) -> np.ndarray:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over token hashes (unweighted tokens, deterministic)."""
-    toks = _TOKEN_RE.findall(lower_utf8(text))
+    """64-bit SimHash over token hashes (unweighted tokens, deterministic;
+    NULL text hashes like '')."""
+    toks = _TOKEN_RE.findall(lower_utf8(text or ""))
     if not toks:
         return 0
     hs = _token_ids(toks)
@@ -217,7 +221,7 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
             b = _text_bucket64(t["text"]).view(np.int64)
             keep = np.isin(b, ray.get(hot_ref))
             t = t.filter(pa.array(keep))
-            h = pa.array([content_hash(x or "")
+            h = pa.array([_content_h(x)
                           for x in t["text"].to_pylist()], pa.string())
             g = pa.table({"h": h,
                           "doc_id": pc.cast(t["doc_id"], pa.int64()),
@@ -281,6 +285,17 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
     return uniques_ds.union(rd.from_arrow(fam))
 
 
+# NULL text carries its own content identity: the twins' GROUP BY /
+# PARTITION BY text keep one NULL group, distinct from '' (SQL NULL is not
+# the empty string). The sentinel cannot collide with content_hash's hex
+# output alphabet.
+_NULL_TEXT_H = "\x00null"
+
+
+def _content_h(x) -> str:
+    return content_hash(x) if x is not None else _NULL_TEXT_H
+
+
 def _text_bucket64(col) -> np.ndarray:
     """Vectorized 64-bit text bucket (polars xxhash — Rust kernel, no
     per-row Python). Only a BLOCKING key: full 128-bit blake2b identity is
@@ -299,7 +314,8 @@ def _text_bucket64(col) -> np.ndarray:
         # silently split duplicate families.)
         out = np.empty(len(col), dtype=np.uint64)
         for i, t in enumerate(col.to_pylist()):
-            out[i] = np.uint64(int(content_hash(t or "")[:16], 16))
+            out[i] = np.uint64(int(content_hash(
+                t if t is not None else _NULL_TEXT_H)[:16], 16))
         return out
     except AttributeError:
         # transient half-initialized polars in a freshly forked worker
@@ -331,7 +347,7 @@ def exact_rep_map(sf_dir: str) -> dict[int, int]:
                 return pa.table({"bucket": pa.array(b, pa.int64())})
             keep = np.isin(b, self.hot)
             t = t.filter(pa.array(keep))
-            h = pa.array([content_hash(x or "")
+            h = pa.array([_content_h(x)
                           for x in t["text"].to_pylist()], pa.string())
             return pa.table({"bucket": pa.array(b[keep], pa.int64()),
                              "doc_id": pc.cast(t["doc_id"], pa.int64()),
@@ -420,7 +436,9 @@ class MinHashBandStage:
         ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         sigs = np.empty((n, NUM_PERMS), dtype=np.uint64)
         for i, text in enumerate(texts):
-            sigs[i] = minhash_sig(word_shingles(text))
+            # NULL text has no shingles, like '' (near-dup blocking only;
+            # exact-dedup identity keeps NULL distinct via _content_h)
+            sigs[i] = minhash_sig(word_shingles(text or ""))
         # bucket per (doc, band): vectorized fold of the band's signature
         # segment + the band index, one _mix64 pass for the whole batch
         seg = sigs.reshape(n, BANDS, ROWS_PER_BAND)
@@ -852,7 +870,8 @@ def _simhash_rep_map(sf_dir: str, max_hamming: int = 3) -> dict[int, int]:
                     cols["simhash"] = pa.array([], pa.int64())
                 return pa.table(cols)
             ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            hs = np.fromiter((simhash64(x) for x in texts), dtype=np.uint64,
+            hs = np.fromiter((simhash64(x or "") for x in texts),
+                             dtype=np.uint64,
                              count=n)
             flat_bucket = _band_buckets(hs).reshape(-1).view(np.int64)
             flat_doc = np.repeat(ids, n_bands)
@@ -1208,9 +1227,14 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
       pass and verified on the driver (fastest at bench scale).
 
     Output: a, b, jac (rounded half-up to 4, same IEEE ops as the DuckDB
-    oracle).
+    oracle). NULL-text documents have no shingles and no candidacy — they
+    are excluded outright (the twin filters them the same way; raw SQL
+    NULL propagation would pair NULL docs with empty docs but not with
+    each other, which is not a usable dedup semantic).
     """
-    ds = _load_docs(sf_dir, ["doc_id", "text"])
+    ds = _load_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.is_valid(t["text"])),
+        batch_format="pyarrow")
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       "jac": pa.array([], pa.float64())})
@@ -1350,7 +1374,7 @@ def incremental_dedup(sf_dir: str) -> rd.Dataset:
         return pa.table({
             "doc_id": pc.cast(t["doc_id"], pa.int64()),
             "h64": pa.array(h64[keep].view(np.int64), pa.int64()),
-            "h128": pa.array([content_hash(x or "")
+            "h128": pa.array([_content_h(x)
                               for x in t["text"].to_pylist()], pa.string()),
         })
 
@@ -1366,7 +1390,7 @@ def incremental_dedup(sf_dir: str) -> rd.Dataset:
                           ray.get(cand_ref))
             t = t.filter(pa.array(hit))
             return pa.table({"h128": pa.array(
-                [content_hash(x or "") for x in t["text"].to_pylist()],
+                [_content_h(x) for x in t["text"].to_pylist()],
                 pa.string())})
 
         vt = collect_table(prior.map_batches(verify_rows,

@@ -112,55 +112,151 @@ def distinct_segments(sf_dir: str) -> rd.Dataset:
 # Aggregations
 # ---------------------------------------------------------------------------
 
+def _exact_cents_sums(code: np.ndarray, c: np.ndarray,
+                      k: int) -> list[int]:
+    """Per-code EXACT sums of int64 cents as Python ints (factor-guarded:
+    the vectorized path only runs when the block sum provably fits int64,
+    else a bigint fold over distinct (code, value) pairs)."""
+    if len(c) == 0:
+        return [0] * k
+    if int(np.abs(c).max()) * len(c) < (1 << 62):
+        s = np.zeros(k, np.int64)
+        np.add.at(s, code, c)
+        return [int(x) for x in s]
+    out = [0] * k
+    pairs, cnt = np.unique(np.stack([code, c]), axis=1, return_counts=True)
+    for ki, ci, n_ in zip(pairs[0].tolist(), pairs[1].tolist(),
+                          cnt.tolist()):
+        out[int(ki)] += int(n_) * int(ci)
+    return out
+
+
 def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
     """TPC-H Q1-shaped groupby aggregate over lineitem.
 
-    Derived measures are computed vectorized per batch, partially aggregated
-    per batch, then shuffled as partials (4 groups => the global groupby moves
-    one row per group per batch).
+    All three money sums fold EXACT integer cents (the revenue_by_priority
+    shape; hostile fuzz: a plain float SUM at 1e9 magnitudes is
+    association-dependent, so the two engines' summation orders disagree by
+    an ULP and the 2-digit rounding lands on different cents). Per-block
+    partials carry Python-bigint totals as (hi, lo) int64 limbs; one float
+    op per OUTPUT value at the end — identical IEEE ops on both engines.
+    NULL measures are skipped by the sums but counted by COUNT(*); an
+    all-NULL group's sum is NULL like SQL's.
     """
     ds = load(sf_dir, "lineitem",
               columns=["l_returnflag", "l_linestatus", "l_quantity",
                        "l_extendedprice", "l_discount"])
 
-    def derive(t: pa.Table) -> pa.Table:
-        disc_price = pc.multiply(
-            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
-        )
-        return pa.table({
-            "l_returnflag": t["l_returnflag"],
-            "l_linestatus": t["l_linestatus"],
-            "qty": t["l_quantity"],
-            "price": t["l_extendedprice"],
-            "disc_price": disc_price,
-            # COUNT(*) counts NULL-measure rows too (SUMs skip them)
-            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
-        })
+    def _vc(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray,
+                                                      np.ndarray]:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        return valid, np.where(valid, cents64(pc.fill_null(col, 0.0)), 0)
 
-    derived = ds.map_batches(derive, batch_format="pyarrow")
-    partials = partial_groupby(
-        derived, ["l_returnflag", "l_linestatus"],
-        [("qty", "sum"), ("price", "sum"), ("disc_price", "sum"),
-         ("one", "sum")],
-        ["sum_qty", "sum_price", "sum_disc_price", "n"],
-    )
-    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_price", alias_name="sum_base_price"),
-        Sum("sum_disc_price", alias_name="sum_disc_price"),
-        Sum("n", alias_name="count_order"),
-    )
+    def partial(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["l_returnflag"], pa.string()),
+            pc.cast(t["l_linestatus"], pa.string()), "\x1f")
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        enc = pc.dictionary_encode(key)
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        n = np.bincount(code, minlength=k).astype(np.int64)
+        vq, qc = _vc(t["l_quantity"])
+        vp, pcent = _vc(t["l_extendedprice"])
+        vd, d100 = _vc(t["l_discount"])
+        # disc product is NULL if either factor is — zeroed terms drop out
+        vpd = vp & vd
+        qs = _exact_cents_sums(code, qc, k)
+        ps = _exact_cents_sums(code, pcent, k)
+        dn = _exact_prio_sums(code, np.where(vpd, pcent, 0),
+                              np.where(vpd, d100, 0), k)
+        cols = {"key": enc.dictionary,
+                "n": pa.array(n, pa.int64())}
+        for nm, v in (("nq", vq), ("np", vp), ("nd", vpd)):
+            cnt = np.zeros(k, np.int64)
+            np.add.at(cnt, code[v], 1)
+            cols[nm] = pa.array(cnt, pa.int64())
+        for nm, sints in (("q", qs), ("p", ps), ("d", dn)):
+            cols[f"{nm}_hi"] = pa.array([x >> 62 for x in sints],
+                                        pa.int64())
+            cols[f"{nm}_lo"] = pa.array([x & ((1 << 62) - 1)
+                                         for x in sints], pa.int64())
+        return pa.table(cols)
 
-    def finish(t: pa.Table) -> pa.Table:
-        avg_qty = pc.divide(t["sum_qty"], pc.cast(t["count_order"], pa.float64()))
-        avg_price = pc.divide(t["sum_base_price"],
-                              pc.cast(t["count_order"], pa.float64()))
-        t = t.append_column("avg_qty", round_half_up(avg_qty, 4))
-        t = t.append_column("avg_price", round_half_up(avg_price, 4))
-        return _round_cols(t, {"sum_qty": 2, "sum_base_price": 2,
-                               "sum_disc_price": 2})
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
 
-    return out.map_batches(finish, batch_format="pyarrow")
+    def _fold(t: pa.Table) -> dict[str, list[int]]:
+        acc: dict[str, list[int]] = {}
+        cols = [t[c].to_pylist() for c in
+                ("key", "n", "nq", "np", "nd", "q_hi", "q_lo",
+                 "p_hi", "p_lo", "d_hi", "d_lo")]
+        for key, n, nq, np_, nd, qh, ql, ph, pl, dh, dl in zip(*cols):
+            a = acc.setdefault(key, [0] * 7)
+            a[0] += n
+            a[1] += nq
+            a[2] += np_
+            a[3] += nd
+            a[4] += (qh << 62) + ql
+            a[5] += (ph << 62) + pl
+            a[6] += (dh << 62) + dl
+        return acc
+
+    def recombine(t: pa.Table) -> pa.Table:
+        acc = _fold(t)  # <= a handful of (flag, status) groups
+        keys = sorted(acc)
+        cols = {"key": pa.array(keys, pa.string()),
+                "n": pa.array([acc[x][0] for x in keys], pa.int64()),
+                "nq": pa.array([acc[x][1] for x in keys], pa.int64()),
+                "np": pa.array([acc[x][2] for x in keys], pa.int64()),
+                "nd": pa.array([acc[x][3] for x in keys], pa.int64())}
+        for i, nm in ((4, "q"), (5, "p"), (6, "d")):
+            cols[f"{nm}_hi"] = pa.array([acc[x][i] >> 62 for x in keys],
+                                        pa.int64())
+            cols[f"{nm}_lo"] = pa.array(
+                [acc[x][i] & ((1 << 62) - 1) for x in keys], pa.int64())
+        return pa.table(cols)
+
+    import math
+    final = _fold(collect_table(
+        partials.map_batches(recombine, batch_format="pyarrow",
+                             batch_size=1 << 21)))
+    keys = sorted(final)
+
+    def rh(x: float, digits: int) -> float:
+        p = float(10 ** digits)
+        return math.floor(x * p + 0.5) / p
+
+    rows = {"l_returnflag": [], "l_linestatus": [], "sum_qty": [],
+            "sum_base_price": [], "sum_disc_price": [], "count_order": [],
+            "avg_qty": [], "avg_price": []}
+    for key in keys:
+        n, nq, np_, nd, q, p, dn = final[key]
+        flag, status = key.split("\x1f")
+        rows["l_returnflag"].append(flag)
+        rows["l_linestatus"].append(status)
+        rows["sum_qty"].append(float(q) / 100.0 if nq else None)
+        rows["sum_base_price"].append(float(p) / 100.0 if np_ else None)
+        rows["sum_disc_price"].append(
+            rh(float(dn) / 10000.0, 2) if nd else None)
+        rows["count_order"].append(n)
+        rows["avg_qty"].append(
+            rh(float(q) / 100.0 / n, 4) if nq else None)
+        rows["avg_price"].append(
+            rh(float(p) / 100.0 / n, 4) if np_ else None)
+    return rd.from_arrow(pa.table({
+        "l_returnflag": pa.array(rows["l_returnflag"], pa.string()),
+        "l_linestatus": pa.array(rows["l_linestatus"], pa.string()),
+        "sum_qty": pa.array(rows["sum_qty"], pa.float64()),
+        "sum_base_price": pa.array(rows["sum_base_price"], pa.float64()),
+        "sum_disc_price": pa.array(rows["sum_disc_price"], pa.float64()),
+        "count_order": pa.array(rows["count_order"], pa.int64()),
+        "avg_qty": pa.array(rows["avg_qty"], pa.float64()),
+        "avg_price": pa.array(rows["avg_price"], pa.float64()),
+    }))
 
 
 def brand_price_stats(sf_dir: str) -> rd.Dataset:

@@ -930,8 +930,10 @@ def bm25_search(sf_dir: str, query: str = "vector table scan", k: int = 20,
         """Tokenization as string normalization, fully in (C++) Arrow kernels:
         lowercase, collapse non-alnum runs to TWO spaces, pad with spaces —
         a term w then occurs as the literal ``" w "`` exactly tf(w) times
-        (double separators keep adjacent matches from overlapping)."""
-        low = pc.utf8_lower(t["text"])
+        (double separators keep adjacent matches from overlapping). NULL
+        text normalizes like '' (no tokens, dl 0 — the twin's SUM skips
+        its NULL dl, which a 0 contribution equals)."""
+        low = pc.utf8_lower(pc.fill_null(t["text"], ""))
         norm = pc.binary_join_element_wise(
             " ", pc.replace_substring_regex(low, pattern="[^a-z0-9]+",
                                             replacement="  "), " ", "")

@@ -310,8 +310,13 @@ def lang_id(sf_dir: str) -> rd.Dataset:
     ds = _load_docs(sf_dir, ["doc_id", "text"])
 
     def batch(t: pa.Table) -> pa.Table:
+        # NULL text -> NULL prediction (the twin's NULL propagation);
+        # '' -> 'und' like any other token-free text
+        valid = pc.is_valid(t["text"])
+        preds = classify_langs_batch(pc.fill_null(t["text"], ""))
         return pa.table({"doc_id": t["doc_id"],
-                         "pred_lang": classify_langs_batch(t["text"])})
+                         "pred_lang": pc.if_else(
+                             valid, preds, pa.scalar(None, pa.string()))})
 
     return ds.map_batches(batch, batch_format="pyarrow")
 
@@ -407,17 +412,19 @@ def doc_fingerprints(sf_dir: str, window: int = 8) -> rd.Dataset:
             min_comb = np.minimum.reduceat(combined, starts_all)
             short = seg_len < window  # all-masked: fall back to min token
             fp[docs_with_toks] = np.where(short, min_hs, min_comb)
-        # tokenless docs: whole-text hash (non-empty) or 0 (empty)
+        # tokenless docs: whole-text hash (non-empty) or 0 (empty);
+        # NULL text -> NULL fingerprint (the twin's NULL propagation)
         no_tok = tok_counts == 0
         if no_tok.any():
             texts = text.to_pylist()
             for i in np.nonzero(no_tok)[0]:
                 s = texts[i]
                 fp[i] = np.uint64(md5_u64(s)) if s else np.uint64(0)
+        nullm = pc.invert(pc.is_valid(text)).to_numpy(zero_copy_only=False)
         return pa.table({
             "doc_id": t["doc_id"],
             "fingerprint": pa.array((fp & mask).astype(np.int64),
-                                    pa.int64()),
+                                    pa.int64(), mask=nullm),
         })
 
     return ds.map_batches(batch_fp, batch_format="pyarrow")
@@ -971,12 +978,16 @@ def repetition_stats(sf_dir: str) -> rd.Dataset:
                 big = (codes[left] << np.int64(32)) | codes[left + 1]
                 np.add.at(n_big, par[left], 1)
                 n_dbig = distinct_per_row(big, par[left])
+        # NULL text: the twin's list kernels propagate NULL into every
+        # count except n_bigrams, whose GREATEST(len-1, 0) ignores the
+        # NULL operand and yields 0
+        nt = pc.invert(pc.is_valid(t["text"])).to_numpy(zero_copy_only=False)
         return pa.table({
             "doc_id": t["doc_id"],
-            "n_tokens": pa.array(n_tok, pa.int64()),
-            "n_distinct_tokens": pa.array(n_dtok, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64(), mask=nt),
+            "n_distinct_tokens": pa.array(n_dtok, pa.int64(), mask=nt),
             "n_bigrams": pa.array(n_big, pa.int64()),
-            "n_distinct_bigrams": pa.array(n_dbig, pa.int64()),
+            "n_distinct_bigrams": pa.array(n_dbig, pa.int64(), mask=nt),
         })
 
     return ds.map_batches(stats, batch_format="pyarrow")
@@ -1086,6 +1097,11 @@ def _gopher_rules_batch(t: pa.Table, min_words: int,
     """Per-batch kernel of :func:`gopher_quality_filter` (module-level so
     the hypothesis property test can drive it directly)."""
     text = t["text"]
+    # NULL text: counts run over '' but the twin's NULL propagation marks
+    # the metric columns NULL; ok_stopwords and pass stay 0 (n_stop is 0
+    # and NULL AND FALSE = FALSE in SQL)
+    tvalid = pc.is_valid(text).to_numpy(zero_copy_only=False)
+    text = pc.fill_null(text, "")
     low = pc.utf8_lower(text)
     n_hash = pc.count_substring(text, pattern="#") \
         .to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1124,13 +1140,16 @@ def _gopher_rules_batch(t: pa.Table, min_words: int,
     def i64(a):
         return pa.array(a.astype(np.int64), pa.int64())
 
+    def i64m(a):  # NULL for NULL-text rows (twin NULL propagation)
+        return pa.array(a.astype(np.int64), pa.int64(), mask=~tvalid)
+
     return pa.table({
         "doc_id": t["doc_id"],
-        "n_words": pa.array(n_words, pa.int64()),
-        "ok_word_count": i64(ok_wc),
-        "ok_mean_word_len": i64(ok_mean),
-        "ok_symbol_ratio": i64(ok_sym),
-        "ok_alpha_words": i64(ok_alpha),
+        "n_words": i64m(n_words),
+        "ok_word_count": i64m(ok_wc),
+        "ok_mean_word_len": i64m(ok_mean),
+        "ok_symbol_ratio": i64m(ok_sym),
+        "ok_alpha_words": i64m(ok_alpha),
         "ok_stopwords": i64(ok_stop),
-        "pass": i64(ok),
+        "pass": i64(ok & tvalid),
     })

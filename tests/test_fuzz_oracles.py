@@ -51,6 +51,11 @@ def hostile_dir(tmp_path_factory):
                               for _ in range(k)))
     for j in range(8):  # planted exact copies
         texts[100 + j] = texts[j]
+    # real NULL texts (round-5 fuzz: SQL NULL is not '' — NULL docs form
+    # their own dedup group, get NULL fingerprints/predictions/metrics,
+    # and have no near-dup candidacy)
+    for j in range(5, n, 43):
+        texts[j] = None
     d = str(tmp_path_factory.mktemp("hostile"))
     pq.write_table(pa.table({
         "doc_id": pa.array(list(range(n)), pa.int64()),
@@ -62,7 +67,8 @@ def hostile_dir(tmp_path_factory):
                           else ["en", "de", "fr", "xx", ""][i % 5]
                           for i in range(n)], pa.string()),
         "source": pa.array([f"s{i % 3}" for i in range(n)], pa.string()),
-        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        "n_chars": pa.array([len(x) if x is not None else 0
+                             for x in texts], pa.int64()),
     }), os.path.join(d, "documents.parquet"))
     return d
 
