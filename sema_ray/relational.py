@@ -97,15 +97,20 @@ def topk_orders(sf_dir: str, k: int = 10) -> rd.Dataset:
 
 
 def distinct_segments(sf_dir: str) -> rd.Dataset:
-    """DISTINCT via groupby (exact dedup of a key column)."""
+    """DISTINCT via groupby (exact dedup of a key column). A NULL segment
+    is a distinct value (SQL DISTINCT keeps it; sentinel-encoded around
+    the shuffle)."""
     ds = load(sf_dir, "customer", columns=["c_mktsegment"])
     # pre-combine per batch: distinct inside the batch, then global groupby
     partials = ds.map_batches(
-        lambda t: t.group_by(["c_mktsegment"]).aggregate([]),
+        lambda t: pa.table({"c_mktsegment": fill_null_key(t["c_mktsegment"])}
+                           ).group_by(["c_mktsegment"]).aggregate([]),
         batch_format="pyarrow",
     )
     return partials.groupby("c_mktsegment").aggregate(Count(alias_name="_n")) \
-        .select_columns(["c_mktsegment"])
+        .select_columns(["c_mktsegment"]) \
+        .map_batches(lambda t: restore_null_key(t, "c_mktsegment"),
+                     batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -155,9 +160,12 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
         return valid, np.where(valid, cents64(pc.fill_null(col, 0.0)), 0)
 
     def partial(t: pa.Table) -> pa.Table:
+        # per-column NULL sentinels BEFORE the composite join: a null in
+        # either flag would otherwise null the whole key and merge
+        # distinct groups
         key = pc.binary_join_element_wise(
-            pc.cast(t["l_returnflag"], pa.string()),
-            pc.cast(t["l_linestatus"], pa.string()), "\x1f")
+            fill_null_key(pc.cast(t["l_returnflag"], pa.string())),
+            fill_null_key(pc.cast(t["l_linestatus"], pa.string())), "\x1f")
         if isinstance(key, pa.ChunkedArray):
             key = key.combine_chunks()
         enc = pc.dictionary_encode(key)
@@ -236,8 +244,8 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
     for key in keys:
         n, nq, np_, nd, q, p, dn = final[key]
         flag, status = key.split("\x1f")
-        rows["l_returnflag"].append(flag)
-        rows["l_linestatus"].append(status)
+        rows["l_returnflag"].append(None if flag == NULL_KEY else flag)
+        rows["l_linestatus"].append(None if status == NULL_KEY else status)
         rows["sum_qty"].append(float(q) / 100.0 if nq else None)
         rows["sum_base_price"].append(float(p) / 100.0 if np_ else None)
         rows["sum_disc_price"].append(
@@ -260,15 +268,21 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
 
 
 def brand_price_stats(sf_dir: str) -> rd.Dataset:
-    """Min/max/mean/count per group (native Ray Data aggregate path)."""
-    ds = load(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+    """Min/max/mean/count per group (native Ray Data aggregate path).
+    A NULL brand is a real group (SQL GROUP BY; sentinel-encoded)."""
+    ds = load(sf_dir, "part", columns=["p_brand", "p_retailprice"]) \
+        .map_batches(lambda t: t.set_column(
+            t.schema.get_field_index("p_brand"), "p_brand",
+            fill_null_key(t["p_brand"])), batch_format="pyarrow")
     out = ds.groupby("p_brand").aggregate(
         Min("p_retailprice", alias_name="min_price"),
         Max("p_retailprice", alias_name="max_price"),
         Mean("p_retailprice", alias_name="avg_price"),
         Count(alias_name="n_parts"),
     )
-    return round_result(out, {"avg_price": 4, "min_price": 2, "max_price": 2})
+    return round_result(out, {"avg_price": 4, "min_price": 2,
+                              "max_price": 2}).map_batches(
+        lambda t: restore_null_key(t, "p_brand"), batch_format="pyarrow")
 
 
 def hourly_event_stats(sf_dir: str) -> rd.Dataset:
@@ -1279,8 +1293,11 @@ def grouped_search(sf_dir: str, pattern: str = "vector") -> rd.Dataset:
     ds = load(sf_dir, "documents", columns=["doc_id", "source", "text"])
 
     def scan(t: pa.Table) -> pa.Table:
-        n = pc.cast(pc.count_substring(t["text"], pattern=pattern), pa.int64())
-        out = pa.table({"doc_id": t["doc_id"], "source": t["source"],
+        n = pc.cast(pc.count_substring(pc.fill_null(t["text"], ""),
+                                       pattern=pattern), pa.int64())
+        # NULL source is a real group (SQL PARTITION BY; sentinel-encoded)
+        out = pa.table({"doc_id": t["doc_id"],
+                        "source": fill_null_key(t["source"]),
                         "score": n})
         return out.filter(pc.greater(out["score"], 0))
 
@@ -1289,12 +1306,12 @@ def grouped_search(sf_dir: str, pattern: str = "vector") -> rd.Dataset:
             t, "source", [("source", "ascending"), ("score", "descending"),
                           ("doc_id", "ascending")])
         idx = pa.array(starts, pa.int64())
-        return pa.table({
+        return restore_null_key(pa.table({
             "source": t["source"].take(idx),
             "doc_id": t["doc_id"].take(idx),
             "score": t["score"].take(idx),
             "n_docs_matched": pa.array(seg_len.astype(np.int64), pa.int64()),
-        })
+        }), "source")
 
     hits = ds.map_batches(scan, batch_format="pyarrow")
     return keyed_part_kernel(hits, "source", top1)

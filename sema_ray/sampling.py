@@ -92,9 +92,15 @@ def docs_per_source_cap(sf_dir: str, cap: int = 20) -> rd.Dataset:
     per-source Python call (millions of domains at web scale).
     """
     from .relational import keyed_part_kernel, _segment_starts
+    from .util import fill_null_key, restore_null_key
 
+    # NULL source is ONE partition (SQL PARTITION BY; sentinel-encoded —
+    # the part hash cannot take a None key)
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "source"])
+                         columns=["doc_id", "source"]) \
+        .map_batches(lambda t: t.set_column(
+            t.schema.get_field_index("source"), "source",
+            fill_null_key(t["source"])), batch_format="pyarrow")
 
     def kern(t: pa.Table) -> pa.Table:
         t = t.sort_by([("source", "ascending"), ("doc_id", "ascending")])
@@ -103,7 +109,7 @@ def docs_per_source_cap(sf_dir: str, cap: int = 20) -> rd.Dataset:
         seg_len = np.diff(np.r_[starts, len(src)])
         rank = np.arange(len(src), dtype=np.int64) \
             - np.repeat(starts, seg_len)
-        return t.filter(pa.array(rank < cap))
+        return restore_null_key(t.filter(pa.array(rank < cap)), "source")
 
     return keyed_part_kernel(ds, "source", kern)
 

@@ -25,6 +25,7 @@ FRAGS = [
     "\t\n\r  \x0b", "ΣΙΣΥΦΟΣ σίσυφος", "🎉 emoji 🎊 text",
     "the quick brown fox of note with have be to and that",
     "'s 't 're n123n456", "a0b1c2 d3e4f5", "MiXeD CaSe ToKeNs",
+    "table hash scan vector index merge join",
 ]
 
 FUZZ_QUERIES = [
@@ -37,6 +38,7 @@ FUZZ_QUERIES = [
     # in token_count_by_lang before the sentinel fix)
     "token_count_by_lang", "doc_stats", "dedup_exact", "dedup_minhash",
     "dedup_simhash", "dedup_incremental", "curate_corpus", "bm25_search",
+    "grouped_search", "docs_per_source_cap", "sample_docs_by_lang",
 ]
 
 
@@ -66,7 +68,8 @@ def hostile_dir(tmp_path_factory):
         "lang": pa.array([None if i % 29 == 7
                           else ["en", "de", "fr", "xx", ""][i % 5]
                           for i in range(n)], pa.string()),
-        "source": pa.array([f"s{i % 3}" for i in range(n)], pa.string()),
+        "source": pa.array([None if i % 31 == 3 else f"s{i % 3}"
+                            for i in range(n)], pa.string()),
         "n_chars": pa.array([len(x) if x is not None else 0
                              for x in texts], pa.int64()),
     }), os.path.join(d, "documents.parquet"))
@@ -218,6 +221,7 @@ JOIN_QUERIES = [
     "customers_without_orders", "asof_latest_order", "value_band_counts",
     "top3_orders_per_customer", "union_key_counts",
     "active_customer_keys", "inactive_customer_keys",
+    "brand_price_stats", "distinct_segments",
 ]
 
 
@@ -290,10 +294,12 @@ def hostile_joins_dir(tmp_path_factory):
                                pa.float64()),
         "l_tax": pa.array(rng.choice([0.0, 0.08], nl).tolist(),
                           pa.float64()),
-        "l_returnflag": pa.array(rng.choice(["A", "N", "R"], nl).tolist(),
-                                 pa.string()),
-        "l_linestatus": pa.array(rng.choice(["F", "O"], nl).tolist(),
-                                 pa.string()),
+        "l_returnflag": pa.array(
+            [None if i % 37 == 2 else f for i, f in enumerate(
+                rng.choice(["A", "N", "R"], nl).tolist())], pa.string()),
+        "l_linestatus": pa.array(
+            [None if i % 41 == 3 else f for i, f in enumerate(
+                rng.choice(["F", "O"], nl).tolist())], pa.string()),
         "l_shipdate": pa.array(
             [base + timedelta(days=int(rng.integers(0, 2000)))
              for _ in range(nl)], pa.timestamp("us")),
@@ -302,8 +308,8 @@ def hostile_joins_dir(tmp_path_factory):
         "p_partkey": pa.array(list(range(npart)), pa.int64()),
         "p_name": pa.array([f"part {i}" for i in range(npart)],
                            pa.string()),
-        "p_brand": pa.array([f"Brand#{i % 4}" for i in range(npart)],
-                            pa.string()),
+        "p_brand": pa.array([None if i % 9 == 4 else f"Brand#{i % 4}"
+                             for i in range(npart)], pa.string()),
         "p_type": pa.array([f"TYPE {i % 3}" for i in range(npart)],
                            pa.string()),
         "p_size": pa.array([(i % 9) + 1 for i in range(npart)],
