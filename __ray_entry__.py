@@ -367,8 +367,10 @@ def _kg_normalized(sf_dir: str):
     """Normalize stage (derived cols only).
 
     Projects (conv_id, turn_idx, n_bytes) for the DuckDB hash check;
-    text_hash is blake2b (not SQL-expressible) and is covered by the
-    kill/resume manifest tests instead.
+    text_hash is the vectorized polars-xxhash kernel (not SQL-expressible,
+    and not stable across polars versions — see ``normalize_batch``) and is
+    covered by determinism tests instead; durable resume state hashes with
+    version-stable blake2b (``hashing.py``), not this column.
     """
     from sema_ray.extract import normalize_batch
     from sema_ray.pipelines.kg import read_transcripts

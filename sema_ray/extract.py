@@ -67,8 +67,12 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
 
     The fingerprint is the vectorized 64-bit xxhash kernel shared with the
     dedup family (``dedup._text_bucket64`` — one Rust call per column, no
-    per-row Python digests; VERDICT r4 weak #4), hex-encoded. It feeds
-    resume fingerprints and tests only, never an oracle.
+    per-row Python digests; VERDICT r4 weak #4), hex-encoded. Like that
+    kernel it is NOT stable across polars versions/absence, so it is
+    in-session-only (tests, in-flight dedup keys) — anything persisted
+    across sessions (the resume manifests) fingerprints with
+    version-stable blake2b via ``hashing.py`` instead; a polars upgrade
+    therefore never invalidates or corrupts durable state.
     """
     from .dedup import _text_bucket64
     n_bytes = pc.fill_null(

@@ -96,6 +96,30 @@ def _larger_keyed(t: pa.Table) -> pa.Table:
                      "v": pa.array(ov, pa.int64())})
 
 
+def _sum64_signed(h: np.ndarray) -> int:
+    """Σh mod 2^64, reinterpreted signed so the partial rides an int64
+    Arrow column losslessly. The driver fold re-wraps in Python-int
+    arithmetic, so the combined sum is exactly Σhashes mod 2^64 under ANY
+    blocking (round-5 review: the old per-block ``>>1`` dropped one low
+    bit per block, making the 'partition-independent' sum depend on how
+    rows were blocked)."""
+    sv = int(h.sum(dtype=np.uint64))
+    return sv - (1 << 64) if sv >= (1 << 63) else sv
+
+
+def _sig_from_partials(tbl: pa.Table) -> tuple[int, int, int]:
+    """Fold per-block (n, s, x) signature partials exactly: count sum,
+    mod-2^64 hash sum (shifted once HERE, not per block), xor."""
+    if tbl.num_rows == 0 or "n" not in tbl.column_names:
+        return (0, 0, 0)
+    xs = tbl["x"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    s = 0
+    for v in tbl["s"].to_pylist():
+        s = (s + (int(v) & 0xFFFF_FFFF_FFFF_FFFF)) & 0xFFFF_FFFF_FFFF_FFFF
+    return (int(pc.sum(tbl["n"]).as_py() or 0), s >> 1,
+            int(np.bitwise_xor.reduce(xs)) if len(xs) else 0)
+
+
 def _signature(edges: rd.Dataset) -> tuple[int, int, int]:
     """Order/partition-independent edge-set signature from per-block
     partials: (count, sum, xor) of canonical per-edge hashes. Edges are
@@ -116,8 +140,7 @@ def _signature(edges: rd.Dataset) -> tuple[int, int, int]:
         h = splitmix64(splitmix64(lo) + hi)
         return pa.table({
             "n": pa.array([len(h)], pa.int64()),
-            "s": pa.array([int(h.sum(dtype=np.uint64) >> np.uint64(1))],
-                          pa.int64()),
+            "s": pa.array([_sum64_signed(h)], pa.int64()),
             "x": pa.array([int(np.bitwise_xor.reduce(h)
                                & np.uint64(0x7FFF_FFFF_FFFF_FFFF))],
                           pa.int64()),
@@ -126,12 +149,7 @@ def _signature(edges: rd.Dataset) -> tuple[int, int, int]:
     from .util import collect_table
     tbl = collect_table(edges.map_batches(partial, batch_format="pyarrow",
                                           batch_size=None))
-    if tbl.num_rows == 0 or "n" not in tbl.column_names:
-        return (0, 0, 0)
-    xs = tbl["x"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    return (int(pc.sum(tbl["n"]).as_py() or 0),
-            int(pc.sum(tbl["s"]).as_py() or 0) & 0x7FFF_FFFF_FFFF_FFFF,
-            int(np.bitwise_xor.reduce(xs)) if len(xs) else 0)
+    return _sig_from_partials(tbl)
 
 
 def _fresh(ds: rd.Dataset, n_parts: int) -> rd.Dataset:
@@ -1300,8 +1318,7 @@ def _labels_signature(labels: rd.Dataset) -> tuple[int, int, int]:
         h = splitmix64(splitmix64(k) + v)
         return pa.table({
             "n": pa.array([len(h)], pa.int64()),
-            "s": pa.array([int(h.sum(dtype=np.uint64) >> np.uint64(1))],
-                          pa.int64()),
+            "s": pa.array([_sum64_signed(h)], pa.int64()),
             "x": pa.array([int(np.bitwise_xor.reduce(h)
                                & np.uint64(0x7FFF_FFFF_FFFF_FFFF))],
                           pa.int64()),
@@ -1309,12 +1326,7 @@ def _labels_signature(labels: rd.Dataset) -> tuple[int, int, int]:
 
     tbl = collect_table(labels.map_batches(partial, batch_format="pyarrow",
                                            batch_size=None))
-    if tbl.num_rows == 0 or "n" not in tbl.column_names:
-        return (0, 0, 0)
-    xs = tbl["x"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    return (int(pc.sum(tbl["n"]).as_py() or 0),
-            int(pc.sum(tbl["s"]).as_py() or 0) & 0x7FFF_FFFF_FFFF_FFFF,
-            int(np.bitwise_xor.reduce(xs)) if len(xs) else 0)
+    return _sig_from_partials(tbl)
 
 
 def _lpa_distributed(e: rd.Dataset, n_iter: int,

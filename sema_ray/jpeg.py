@@ -503,7 +503,12 @@ def _init_progressive(size, comps) -> dict:
     mcus_y = -(-h // (8 * vmax))
     state = {"size": size, "hmax": hmax, "vmax": vmax,
              "mcus_x": mcus_x, "mcus_y": mcus_y,
-             "comps": {}, "order": [c[0] for c in comps], "scans": 0}
+             "comps": {}, "order": [c[0] for c in comps], "scans": 0,
+             # component ids whose coefficient DATA actually arrived
+             # (sequential: any scan; progressive: the mandatory first
+             # DC scan, T.81 G.1.1.1.1) — reconstruction refuses to
+             # fabricate a plane for an uncovered component
+             "covered": set()}
     for (cid, ch, cv, tq) in comps:
         state["comps"][cid] = {
             "h": ch, "v": cv, "tq": tq,
@@ -554,6 +559,7 @@ def _decode_sequential_scan(st, scan, htabs, segs, restart) -> None:
         comps.append({"blocks": c["blocks"], "h": c["h"], "v": c["v"],
                       "th": c["th"], "tw": c["tw"],
                       "dc": htabs[(0, td)], "ac": htabs[(1, ta)]})
+        st["covered"].add(cid)
     st["scans"] += 1
     groups = _scan_groups(st["mcus_y"], st["mcus_x"], comps)
     n_groups = len(groups)
@@ -600,6 +606,7 @@ def _decode_progressive_scan(st, scan, htabs, segs, restart,
                 raise ValueError(f"JPEG component {cid} references "
                                  f"undeclared Huffman table (dc={td})")
             ent["dc"] = htabs[(0, td)]
+            st["covered"].add(cid)
         if ss > 0:
             if (1, ta) not in htabs:
                 raise ValueError(f"JPEG component {cid} references "
@@ -706,6 +713,13 @@ def _ac_refine(rd, vec, ss, se, al, ac, eobrun) -> int:
 
 def _reconstruct_progressive(st, qtabs) -> np.ndarray:
     h, w = st["size"]
+    missing = [cid for cid in st["order"] if cid not in st["covered"]]
+    if missing:
+        # a frame component no scan ever carried (sequential) or whose
+        # mandatory first DC scan is absent (progressive): its plane would
+        # be fabricated neutral gray — malformed, not merely coarse
+        raise ValueError("JPEG scans never covered frame component(s) "
+                         f"{missing}")
     per_comp = []
     for cid in st["order"]:
         c = st["comps"][cid]

@@ -825,17 +825,30 @@ def revenue_by_priority(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
                 # magnitudes the two engines' summation orders disagree by
                 # an ULP and the 2-digit rounding lands on different
                 # cents): num = cents(ext) * (100 - cents(disc)); value =
-                # Σnum / 10000, divided ONCE at the end on both engines
-                c = cents64(t["l_extendedprice"])[hit]
-                d100 = cents64(t["l_discount"])[hit]
+                # Σnum / 10000, divided ONCE at the end on both engines.
+                # SQL SUM skips rows where EITHER factor is NULL (the
+                # product is NULL) while COUNT(*) keeps them — zeroed
+                # terms drop out of the sum, and nv tracks the valid count
+                # so an all-NULL group emits a NULL revenue like SQL's
+                v = (pc.is_valid(t["l_extendedprice"]).to_numpy(
+                        zero_copy_only=False)
+                     & pc.is_valid(t["l_discount"]).to_numpy(
+                        zero_copy_only=False))[hit]
+                c = np.where(
+                    v, cents64(pc.fill_null(t["l_extendedprice"], 0.0))[hit],
+                    0)
+                d100 = np.where(
+                    v, cents64(pc.fill_null(t["l_discount"], 0.0))[hit], 0)
                 code_hit = codes[hit]
                 k = int(code_hit.max()) + 1 if len(code_hit) else 0
                 n = np.bincount(code_hit, minlength=k).astype(np.int64)
+                nv = np.bincount(code_hit[v], minlength=k).astype(np.int64)
                 sints = _exact_prio_sums(code_hit, c, d100, k)
                 keep = np.nonzero(n)[0]
                 return pa.table({
                     "code": pa.array(keep.astype(np.int32), pa.int32()),
                     "n": pa.array(n[keep], pa.int64()),
+                    "nv": pa.array(nv[keep], pa.int64()),
                     "s_hi": pa.array([sints[i] >> 62 for i in keep],
                                      pa.int64()),
                     "s_lo": pa.array([sints[i] & ((1 << 62) - 1)
@@ -868,13 +881,15 @@ def revenue_by_priority(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
 
         def _fold(t: pa.Table) -> dict[int, list[int]]:
             acc: dict[int, list[int]] = {}
-            for code, n, hi, lo in zip(t["code"].to_pylist(),
-                                       t["n"].to_pylist(),
-                                       t["s_hi"].to_pylist(),
-                                       t["s_lo"].to_pylist()):
-                a = acc.setdefault(int(code), [0, 0])
+            for code, n, nv, hi, lo in zip(t["code"].to_pylist(),
+                                           t["n"].to_pylist(),
+                                           t["nv"].to_pylist(),
+                                           t["s_hi"].to_pylist(),
+                                           t["s_lo"].to_pylist()):
+                a = acc.setdefault(int(code), [0, 0, 0])
                 a[0] += n
-                a[1] += (hi << 62) + lo  # Python ints: exact at any scale
+                a[1] += nv
+                a[2] += (hi << 62) + lo  # Python ints: exact at any scale
             return acc
 
         def recombine(t: pa.Table) -> pa.Table:
@@ -883,9 +898,10 @@ def revenue_by_priority(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
             return pa.table({
                 "code": pa.array(codes, pa.int32()),
                 "n": pa.array([acc[c][0] for c in codes], pa.int64()),
-                "s_hi": pa.array([acc[c][1] >> 62 for c in codes],
+                "nv": pa.array([acc[c][1] for c in codes], pa.int64()),
+                "s_hi": pa.array([acc[c][2] >> 62 for c in codes],
                                  pa.int64()),
-                "s_lo": pa.array([acc[c][1] & ((1 << 62) - 1)
+                "s_lo": pa.array([acc[c][2] & ((1 << 62) - 1)
                                   for c in codes], pa.int64()),
             })
 
@@ -900,8 +916,10 @@ def revenue_by_priority(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
                 prio_dict, pa.array(codes, pa.int32())),
             "n_items": pa.array([final[c][0] for c in codes], pa.int64()),
             # ONE float op from the exact integer total — identical on
-            # both engines regardless of summation order
-            "revenue": pa.array([float(final[c][1]) / 10000.0
+            # both engines regardless of summation order; a group with no
+            # valid (ext, disc) pair sums to SQL NULL
+            "revenue": pa.array([float(final[c][2]) / 10000.0
+                                 if final[c][1] else None
                                  for c in codes], pa.float64()),
         })
         return round_result(rd.from_arrow(out_tbl), {"revenue": 2})
@@ -922,9 +940,13 @@ def _revenue_by_priority_shuffle(li: rd.Dataset, sf_dir: str,
         # factor-guarded bigint sums as the broadcast path (ADVICE r4: a
         # per-row int64 `num` column wraps silently past |price| ~ $4.6e14
         # while the HUGEINT oracle stays exact), split hi/lo so the partial
-        # rides an int64 Arrow column
-        c = cents64(t["l_extendedprice"])
-        d100 = cents64(t["l_discount"])
+        # rides an int64 Arrow column. NULL-measure rows count in n but
+        # contribute a zeroed term to the sum (SQL SUM skips them); nv
+        # tracks valid pairs so all-NULL groups emit NULL revenue
+        v = (pc.is_valid(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+             & pc.is_valid(t["l_discount"]).to_numpy(zero_copy_only=False))
+        c = np.where(v, cents64(pc.fill_null(t["l_extendedprice"], 0.0)), 0)
+        d100 = np.where(v, cents64(pc.fill_null(t["l_discount"], 0.0)), 0)
         col = t["o_orderpriority"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -938,6 +960,7 @@ def _revenue_by_priority_shuffle(li: rd.Dataset, sf_dir: str,
         code = idx.to_numpy(zero_copy_only=False).astype(np.int64)
         k = len(dictionary)
         n = np.bincount(code, minlength=k).astype(np.int64)
+        nv = np.bincount(code[v], minlength=k).astype(np.int64)
         sints = _exact_prio_sums(code, c, d100, k)
         keep = np.nonzero(n)[0]
         return pa.table({
@@ -945,6 +968,7 @@ def _revenue_by_priority_shuffle(li: rd.Dataset, sf_dir: str,
                 dictionary.take(pa.array(keep, pa.int64())),
                 pa.string()),
             "n": pa.array(n[keep], pa.int64()),
+            "nv": pa.array(nv[keep], pa.int64()),
             "s_hi": pa.array([sints[i] >> 62 for i in keep], pa.int64()),
             "s_lo": pa.array([sints[i] & ((1 << 62) - 1) for i in keep],
                              pa.int64()),
@@ -959,18 +983,21 @@ def _revenue_by_priority_shuffle(li: rd.Dataset, sf_dir: str,
     acc: dict[str, list[int]] = {}
     tbl = collect_table(partials)
     if tbl.num_rows:
-        for p, n_, hi, lo in zip(tbl["o_orderpriority"].to_pylist(),
-                                 tbl["n"].to_pylist(),
-                                 tbl["s_hi"].to_pylist(),
-                                 tbl["s_lo"].to_pylist()):
-            a = acc.setdefault(p, [0, 0])
+        for p, n_, nv_, hi, lo in zip(tbl["o_orderpriority"].to_pylist(),
+                                      tbl["n"].to_pylist(),
+                                      tbl["nv"].to_pylist(),
+                                      tbl["s_hi"].to_pylist(),
+                                      tbl["s_lo"].to_pylist()):
+            a = acc.setdefault(p, [0, 0, 0])
             a[0] += n_
-            a[1] += (hi << 62) + lo
+            a[1] += nv_
+            a[2] += (hi << 62) + lo
     prios = sorted(acc, key=lambda x: (x is None, x))  # None sorts last
     out_tbl = pa.table({
         "o_orderpriority": pa.array(prios, pa.string()),
         "n_items": pa.array([acc[p][0] for p in prios], pa.int64()),
-        "revenue": pa.array([float(acc[p][1]) / 10000.0 for p in prios],
+        "revenue": pa.array([float(acc[p][2]) / 10000.0
+                             if acc[p][1] else None for p in prios],
                             pa.float64()),
     })
     return round_result(rd.from_arrow(out_tbl), {"revenue": 2})

@@ -396,3 +396,36 @@ def test_fresh_bounds_blocks_and_preserves_rows(ray_session):
     g = _fresh(small, 64)
     assert g.num_blocks() <= 3  # coalesce-only: never split upward
     assert sorted(g.to_pandas()["k"]) == [1, 2, 3]
+
+
+def test_signature_blocking_invariant(ray_session):
+    """The 3-int signatures must not depend on how rows are blocked
+    (round-5 review: the per-block >>1 dropped one low bit per block, so
+    the same assignment under different blockings compared unequal and
+    convergence detection could miss or over-run)."""
+    from sema_ray.graph import _labels_signature, _signature
+
+    nodes = list(range(40))
+    labels = [n * 7 + 3 for n in nodes]
+    one = rd.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "label": pa.array(labels, pa.int64())}))
+    many = rd.from_arrow([
+        pa.table({"node": pa.array([n], pa.int64()),
+                  "label": pa.array([l], pa.int64())})
+        for n, l in zip(nodes, labels)])
+    assert _labels_signature(one) == _labels_signature(many)
+    # a different assignment must still be told apart
+    other = rd.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "label": pa.array([l + 1 for l in labels], pa.int64())}))
+    assert _labels_signature(one) != _labels_signature(other)
+
+    edges_one = rd.from_arrow(pa.table({
+        "u": pa.array(nodes, pa.int64()),
+        "v": pa.array(labels, pa.int64())}))
+    edges_many = rd.from_arrow([
+        pa.table({"u": pa.array([n], pa.int64()),
+                  "v": pa.array([l], pa.int64())})
+        for n, l in zip(nodes, labels)])
+    assert _signature(edges_one) == _signature(edges_many)

@@ -219,18 +219,14 @@ def test_progressive_restart_interval_decode():
     assert (img == 138).all()
 
 
-def test_multiscan_sequential_baseline_decode():
-    """T.81 lets a sequential (SOF0) frame split its components across
-    non-interleaved scans. Assemble a 3-scan 4:4:4 color stream from the
-    encoder's own primitives (same quantized coefficients as interleaved
-    mode) — the decode must be bit-identical to the interleaved decode."""
+def _build_multiscan_sequential(img, q, scan_comps):
+    """Assemble a non-interleaved multi-scan SOF0 stream from the encoder's
+    own primitives, emitting one scan per component index in
+    ``scan_comps`` (the full stream is ``(0, 1, 2)``)."""
     from sema_ray.jpeg import (_AC_CHROM, _AC_LUM, _BitWriter, _DC_CHROM,
                                _DC_LUM, _ZZ, _block_quant, _canonical_codes,
                                _encode_block, _pad_to, _quality_tables)
 
-    rng = np.random.default_rng(11)
-    img = rng.integers(0, 256, size=(21, 34, 3), dtype=np.uint8)
-    q = 90
     qlum, qchrom = _quality_tables(q)
     qlum_zz, qchrom_zz = qlum[_ZZ], qchrom[_ZZ]
     f = img.astype(np.float64)
@@ -248,7 +244,7 @@ def test_multiscan_sequential_baseline_decode():
     out = bytearray(b"\xff\xd8")
     out += seg(0xDB, bytes([0x00]) + bytes(qlum_zz.astype(np.uint8)))
     out += seg(0xDB, bytes([0x01]) + bytes(qchrom_zz.astype(np.uint8)))
-    sof = struct.pack(">BHHB", 8, 21, 34, 3)
+    sof = struct.pack(">BHHB", 8, img.shape[0], img.shape[1], 3)
     for ci in range(3):
         sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
     out += seg(0xC0, sof)
@@ -259,7 +255,7 @@ def test_multiscan_sequential_baseline_decode():
     codes = [( _canonical_codes(*_DC_LUM), _canonical_codes(*_AC_LUM)),
              (_canonical_codes(*_DC_CHROM), _canonical_codes(*_AC_CHROM)),
              (_canonical_codes(*_DC_CHROM), _canonical_codes(*_AC_CHROM))]
-    for ci in range(3):  # one non-interleaved scan per component
+    for ci in scan_comps:  # one non-interleaved scan per component
         out += seg(0xDA, bytes([1, ci + 1,
                                 0x00 if ci == 0 else 0x11, 0, 63, 0]))
         bw = _BitWriter()
@@ -271,11 +267,43 @@ def test_multiscan_sequential_baseline_decode():
                                      *codes[ci])
         out += bw.flush()
     out += b"\xff\xd9"
+    return bytes(out)
 
-    dec = decode_jpeg(bytes(out))
+
+def test_multiscan_sequential_baseline_decode():
+    """T.81 lets a sequential (SOF0) frame split its components across
+    non-interleaved scans; the decode must be bit-identical to the
+    interleaved decode of the same quantized coefficients."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(21, 34, 3), dtype=np.uint8)
+    q = 90
+    dec = decode_jpeg(_build_multiscan_sequential(img, q, (0, 1, 2)))
     base = decode_jpeg(encode_jpeg(img, quality=q))
     assert dec.shape == base.shape == (21, 34, 3)
     assert (dec == base).all()
+
+
+def test_multiscan_missing_component_rejected():
+    """A sequential frame whose scans never cover some component must raise
+    (round-5 review: it previously decoded with the missing planes silently
+    defaulted to neutral gray — fabricated color, not a coarse preview).
+    Same for a progressive stream whose DC scan is absent for a component."""
+    import pytest
+    from sema_ray.jpeg import _split_scan
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(21, 34, 3), dtype=np.uint8)
+    for comps in ((0,), (0, 1), (1, 2)):
+        with pytest.raises(ValueError, match="never covered"):
+            decode_jpeg(_build_multiscan_sequential(img, 90, comps))
+    # progressive: drop the first (DC, all-components) scan so only AC
+    # scans remain — every component then lacks its mandatory DC scan
+    enc = encode_jpeg(img, quality=80, progressive=True)
+    first_sos = enc.index(b"\xff\xda")
+    seglen = struct.unpack(">H", enc[first_sos + 2:first_sos + 4])[0]
+    _, after_scan = _split_scan(enc, first_sos + 2 + seglen)
+    with pytest.raises(ValueError, match="never covered"):
+        decode_jpeg(enc[:first_sos] + enc[after_scan:])
 
 
 def test_malformed_streams_raise_valueerror_and_missing_eoi_decodes():

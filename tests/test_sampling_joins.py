@@ -79,6 +79,58 @@ def test_revenue_join_paths_agree(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(closure, shuffle)
 
 
+def test_revenue_null_measures_match_sql(ray_session, tmp_path, monkeypatch):
+    """SUM(ext*(1-disc)) skips rows where EITHER factor is NULL while
+    COUNT(*) keeps them, and a group whose every pair is NULL emits a NULL
+    revenue — on BOTH join placements (round-5 review: the broadcast and
+    shuffle paths fed NaN cents into the exact-sum fold and crashed)."""
+    import duckdb
+    import sema_ray.relational as rel
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([10, 10, 11, 11], pa.int64()),
+        "o_orderpriority": pa.array(
+            ["1-URGENT", "2-HIGH", "2-HIGH", "3-MEDIUM"], pa.string()),
+        "o_totalprice": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3, 4, 4], pa.int64()),
+        # priority 3-MEDIUM (orderkey 4): every pair has a NULL factor ->
+        # SQL SUM is NULL; 1-URGENT mixes one valid and one NULL-ext row
+        "l_extendedprice": pa.array(
+            [100.0, None, 50.0, 60.0, None, 70.0], pa.float64()),
+        "l_discount": pa.array(
+            [0.1, 0.05, 0.0, None, 0.2, None], pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+
+    con = duckdb.connect()
+    for tname in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {tname} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{tname}.parquet')")
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    want = (con.execute(mod.oracle_sql()["revenue_by_priority"]).df()
+            .sort_values("o_orderpriority").reset_index(drop=True))
+    assert want["revenue"].isna().any()  # the corpus exercises NULL SUM
+
+    def run():
+        df = rel.revenue_by_priority(str(tmp_path)).to_pandas()
+        return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+    broadcast = run()
+    monkeypatch.setattr(rel, "BROADCAST_JOIN_MAX_ROWS", 0)
+    shuffle = run()
+    for got in (broadcast, shuffle):
+        pd.testing.assert_frame_equal(
+            got[["o_orderpriority", "n_items", "revenue"]],
+            want[["o_orderpriority", "n_items", "revenue"]],
+            check_dtype=False)
+
+
 def test_compile_int_lookup_misses_and_dictionary():
     from sema_ray.relational import compile_int_lookup
     keys = pa.chunked_array([pa.array([7, 3, 11], pa.int64())])
