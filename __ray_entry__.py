@@ -657,11 +657,25 @@ def _embedding_dup_pairs(sf_dir: str):
     return tbl
 
 
+# SQL mirror of sema_ray.util.valid_vector_mask: rows whose embedding is
+# NULL or contains a non-finite element are excluded from vector search on
+# BOTH engines (a NULL row crashes the [n, d] reshape; a NaN poisons every
+# cosine it touches with engine-divergent NaN ordering).
+def _emb_valid_sql(col: str = "embedding") -> str:
+    return (f"{col} IS NOT NULL AND COALESCE(list_aggregate(list_transform("
+            f"CAST({col} AS DOUBLE[]), x -> CAST(isfinite(x) AS INT)), "
+            f"'min'), 1) = 1")
+
+
+_EMB_VALID_SQL = _emb_valid_sql()
+
 # Exact k-th cosine per query (score desc, vec_id asc tie-break — the same
 # ordering as simsearch._gather_topk) with the recall flag as a constant:
 # the Ray side sets recall_ok=False when the ANN path misses its threshold,
 # which then hash-mismatches against this TRUE.
-_KNN_CHECK_SQL = """
+_KNN_CHECK_SQL = f"""
+    WITH emb AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE {_EMB_VALID_SQL})
     SELECT query_id,
            FLOOR(s * 1000000 + 0.5) / 1000000 AS kth_score,
            TRUE AS recall_ok
@@ -688,7 +702,7 @@ _KNN_CHECK_SQL = """
                             CAST(a.embedding AS DOUBLE[]),
                             CAST(b.embedding AS DOUBLE[]))
                    END AS s
-            FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+            FROM emb a JOIN emb b ON b.vec_id != a.vec_id
             WHERE a.vec_id < 5) p) t
     WHERE rn = 10
 """
@@ -1573,8 +1587,9 @@ def oracle_sql() -> dict[str, str]:
         # SemDeDup validity (same pinned-TRUE shape): the Ray side
         # recomputes, via an independent exact brute-force cosine pass,
         # that every dropped vector has a smaller-id near-duplicate
-        "semdedup": """
+        "semdedup": f"""
             SELECT vec_id, CAST(1 AS BIGINT) AS dedup_ok FROM embeddings
+            WHERE {_EMB_VALID_SQL}
         """,
         # snapshot-over-snapshot dedup: odd-id docs checked against even-id
         # docs; Ray side is Bloom-prefiltered but exact (128-bit verify)
@@ -1752,7 +1767,9 @@ def oracle_sql() -> dict[str, str]:
                                   '[PHONE]', 'g') AS text_clean
             FROM e
         """,
-        "knn_bruteforce": """
+        "knn_bruteforce": f"""
+            WITH emb AS (SELECT vec_id, embedding FROM embeddings
+                         WHERE {_EMB_VALID_SQL})
             SELECT query_id, neighbor_id FROM (
                 SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                        ROW_NUMBER() OVER (
@@ -1761,7 +1778,7 @@ def oracle_sql() -> dict[str, str]:
                                CAST(a.embedding AS DOUBLE[]),
                                CAST(b.embedding AS DOUBLE[])) DESC,
                            b.vec_id) AS rn
-                FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+                FROM emb a JOIN emb b ON b.vec_id != a.vec_id
                 WHERE a.vec_id < 5) t
             WHERE rn <= 10
         """,
@@ -1846,7 +1863,11 @@ def oracle_sql() -> dict[str, str]:
                            b.vec_id) AS r
                 FROM embeddings b,
                      (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-                WHERE b.vec_id <> 0) t
+                WHERE b.vec_id <> 0
+                  AND b.embedding IS NOT NULL
+                  AND COALESCE(list_aggregate(list_transform(
+                      CAST(b.embedding AS DOUBLE[]),
+                      x -> CAST(isfinite(x) AS INT)), 'min'), 1) = 1) t
               WHERE r <= 50
             ), f AS (
               SELECT COALESCE(bm.doc_id, vs.doc_id) AS doc_id,

@@ -52,8 +52,17 @@ DEFAULT_ITERS = 8
 
 def _load_embeddings(sf_dir: str, columns=("vec_id", "embedding")
                      ) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                           columns=list(columns))
+    """Rows whose embedding is NULL or contains a non-finite element are
+    excluded whenever the vector column is read (the simsearch loader
+    contract — see :func:`sema_ray.util.valid_vector_mask`)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=list(columns))
+    if "embedding" in columns:
+        from .util import valid_vector_mask
+        ds = ds.map_batches(
+            lambda t: t.filter(valid_vector_mask(t["embedding"])),
+            batch_format="pyarrow")
+    return ds
 
 
 INIT_SAMPLE = 4096

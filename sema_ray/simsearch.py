@@ -35,8 +35,16 @@ _TOKEN_RE = re.compile("[a-z0-9]+")
 
 
 def _load_embeddings(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                           columns=["vec_id", "embedding"])
+    """Embedding reader shared by every vector operator. Rows whose
+    embedding is NULL or contains a non-finite element are EXCLUDED here
+    (see :func:`sema_ray.util.valid_vector_mask` for the contract and the
+    matching oracle-twin predicate)."""
+    from .util import valid_vector_mask
+    return rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).map_batches(lambda t: t.filter(valid_vector_mask(t["embedding"])),
+                  batch_format="pyarrow")
 
 
 def _batch_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:

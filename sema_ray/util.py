@@ -94,3 +94,34 @@ def restore_null_key(t: pa.Table, col: str) -> pa.Table:
                           pa.scalar(None, pa.string()),
                           pc.cast(c, pa.string()))
     return t.set_column(t.schema.get_field_index(col), col, restored)
+
+
+def valid_vector_mask(arr) -> "np.ndarray":
+    """Per-row validity of a ``list<float>`` column: non-NULL and every
+    element finite.
+
+    A row without a usable vector cannot participate in vector search —
+    NULL rows crash the flattened ``[n, d]`` reshape (fewer values than
+    rows x dim) and a single NaN/inf element poisons every cosine it
+    touches with engine-divergent NaN ordering (numpy sorts NaN last,
+    DuckDB first). Both engines therefore EXCLUDE such rows: this mask in
+    every embedding loader, and the matching SQL predicate
+    ``embedding IS NOT NULL AND COALESCE(list_aggregate(list_transform(
+    CAST(embedding AS DOUBLE[]), x -> CAST(isfinite(x) AS INT)), 'min'),
+    1) = 1`` in the oracle twins. Vectorized: one ``np.isfinite`` over the
+    flat values + a cumsum segment fold; no per-row Python.
+    """
+    import numpy as np
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    lens = pc.fill_null(pc.list_value_length(arr), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if len(flat) == 0:
+        return valid  # no elements anywhere -> nothing non-finite
+    bad = (~np.isfinite(flat)).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(bad)])
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    return valid & ((cs[ends] - cs[starts]) == 0)

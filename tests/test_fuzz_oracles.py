@@ -387,7 +387,11 @@ def hostile_embeddings_dir(tmp_path_factory):
     while the Ray side's _normalize_rows maps it to similarity 0; the
     _KNN_CHECK_SQL zero-guard must keep the twins aligned), a denormal-
     norm vector, ±1e18 magnitudes, exact and 1e-7-perturbed duplicates,
-    and planted near-duplicates."""
+    and planted near-duplicates. Round-5 additions: whole-row NULL
+    embeddings (one of them a QUERY id — every vector operator crashed on
+    the short flattened reshape before the valid_vector_mask loader
+    filter) and a NaN element (engine-divergent NaN ordering — excluded
+    on both engines by the same mask / SQL predicate)."""
     rng = np.random.default_rng(1)
     n, dim = 120, 16
     vecs = rng.standard_normal((n, dim)).astype(np.float32)
@@ -401,11 +405,14 @@ def hostile_embeddings_dir(tmp_path_factory):
     for j in range(5):
         vecs[50 + j] = (vecs[40 + j]
                         + rng.standard_normal(dim).astype(np.float32) * 0.01)
+    rows = [list(map(float, v)) for v in vecs]
+    for i in (4, 17, 63):  # 4 is a query id (vec_id < 5)
+        rows[i] = None
+    rows[29][3] = float("nan")
     d = str(tmp_path_factory.mktemp("hostile_emb"))
     pq.write_table(pa.table({
         "vec_id": pa.array(list(range(n)), pa.int64()),
-        "embedding": pa.array([list(map(float, v)) for v in vecs],
-                              pa.list_(pa.float32())),
+        "embedding": pa.array(rows, pa.list_(pa.float32())),
         "label": pa.array([i % 4 for i in range(n)], pa.int32()),
     }), os.path.join(d, "embeddings.parquet"))
     return d
