@@ -757,10 +757,14 @@ def _contamination_sql() -> str:
     hits = " + ".join(
         f"CASE WHEN contains(lower(text), '{p}') THEN 1 ELSE 0 END"
         for p in DEFAULT_PROBES)
+    # NULL text -> NULL hits/flag (the Ray side's match_substring(NULL)
+    # propagation; the bare CASE would coerce NULL contains() to 0)
     return f"""
         SELECT doc_id,
-               CAST({hits} AS BIGINT) AS n_probe_hits,
-               CAST(CASE WHEN ({hits}) > 0 THEN 1 ELSE 0 END AS BIGINT)
+               CAST(CASE WHEN text IS NULL THEN NULL ELSE {hits} END
+                    AS BIGINT) AS n_probe_hits,
+               CAST(CASE WHEN text IS NULL THEN NULL
+                         WHEN ({hits}) > 0 THEN 1 ELSE 0 END AS BIGINT)
                    AS contaminated
         FROM documents
     """
@@ -1120,7 +1124,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+'))
                           AS BIGINT) AS n_tokens,
                      CAST(doc_id // 4096 AS BIGINT) AS bucket
-              FROM documents
+              FROM documents WHERE text IS NOT NULL
             ), c AS (
               SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
                                            ORDER BY doc_id) AS rn
@@ -1856,13 +1860,30 @@ def oracle_sql() -> dict[str, str]:
               FROM ({bm_inner})
             ), vs AS (
               SELECT doc_id, r FROM (
+                -- zero-norm guard: the Ray side's _normalize_rows maps a
+                -- zero vector to similarity 0; DuckDB's raw
+                -- list_cosine_similarity emits -1 for it (the
+                -- _KNN_CHECK_SQL guard, same latent-twin class)
                 SELECT b.vec_id AS doc_id,
-                       ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(
-                           CAST(q.embedding AS DOUBLE[]),
-                           CAST(b.embedding AS DOUBLE[])) DESC,
+                       ROW_NUMBER() OVER (ORDER BY
+                           CASE WHEN list_dot_product(
+                                    CAST(b.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) = 0
+                                 OR list_dot_product(
+                                    CAST(q.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])) = 0
+                                THEN 0.0
+                                ELSE list_cosine_similarity(
+                                    CAST(q.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[]))
+                           END DESC,
                            b.vec_id) AS r
-                FROM embeddings b,
-                     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                -- q must be the FIRST table of the cross product: with b
+                -- first, DuckDB 1.0's cross-product executor runs the
+                -- cosine's NULL-element scan over b's unfiltered chunk
+                -- slots and rejects rows the WHERE already excluded
+                FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) q,
+                     embeddings b
                 WHERE b.vec_id <> 0
                   AND b.embedding IS NOT NULL
                   AND COALESCE(list_aggregate(list_transform(

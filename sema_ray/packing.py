@@ -90,6 +90,10 @@ def pack_sequences(sf_dir: str, budget: int = 512,
                          columns=["doc_id", "text"])
 
     def counted(t: pa.Table) -> pa.Table:
+        # NULL text is untokenizable -> excluded from packing on both
+        # engines (the SQL twin's WHERE text IS NOT NULL; a NULL n_tokens
+        # would otherwise poison the recursive fold's running room)
+        t = t.filter(pc.is_valid(t["text"]))
         n = pc.cast(pc.count_substring_regex(t["text"], pattern=TOKEN_RE),
                     pa.int64())
         bucket = pc.cast(

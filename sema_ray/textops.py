@@ -129,11 +129,13 @@ def bpe_token_counts(sf_dir: str) -> rd.Dataset:
     ds = _load_docs(sf_dir, ["doc_id", "text"])
 
     def count(t: pa.Table) -> pa.Table:
+        # NULL text -> NULL count (the twin's regexp_extract_all(NULL)
+        # propagation; fill_null(0) would claim an empty doc)
         n = pc.cast(pc.count_substring_regex(t["text"],
                                              pattern=BPE_TOKEN_RE),
                     pa.int64())
         return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
-                         "n_tokens_bpe": pc.fill_null(n, 0)})
+                         "n_tokens_bpe": n})
 
     return ds.map_batches(count, batch_format="pyarrow", batch_size=None)
 

@@ -39,6 +39,14 @@ FUZZ_QUERIES = [
     "token_count_by_lang", "doc_stats", "dedup_exact", "dedup_minhash",
     "dedup_simhash", "dedup_incremental", "curate_corpus", "bm25_search",
     "grouped_search", "docs_per_source_cap", "sample_docs_by_lang",
+    # round-5 session-2 additions: every remaining documents-family
+    # oracle pair, incl. the stored-index and phrase/range query paths
+    # and the two operators that join documents with embeddings
+    "exact_text_search", "pii_scrub", "benchmark_contamination",
+    "assign_splits", "ngram_counts", "tfidf_top_terms", "quality_scores",
+    "quality_gate", "bpe_token_counts", "cms_heavy_hitters",
+    "pack_sequences", "bm25_phrase_search", "bm25_range_search",
+    "bm25_indexed", "hybrid_search_rrf", "semdedup",
 ]
 
 
@@ -73,6 +81,24 @@ def hostile_dir(tmp_path_factory):
         "n_chars": pa.array([len(x) if x is not None else 0
                              for x in texts], pa.int64()),
     }), os.path.join(d, "documents.parquet"))
+    # a small hostile embeddings table so the doc↔vector operators
+    # (hybrid_search_rrf, semdedup) fuzz too: planted near-dup pairs, a
+    # zero vector, and whole-row NULLs
+    nv, dim = 60, 16
+    vecs = rng.standard_normal((nv, dim)).astype(np.float32)
+    vecs[7] = 0.0
+    for j in range(4):
+        vecs[30 + j] = (vecs[20 + j]
+                        + rng.standard_normal(dim).astype(np.float32)
+                        * 0.005)
+    vrows = [list(map(float, v)) for v in vecs]
+    vrows[11] = None
+    vrows[41] = None
+    pq.write_table(pa.table({
+        "vec_id": pa.array(list(range(nv)), pa.int64()),
+        "embedding": pa.array(vrows, pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in range(nv)], pa.int32()),
+    }), os.path.join(d, "embeddings.parquet"))
     return d
 
 
@@ -103,6 +129,8 @@ def test_hostile_corpus_oracles_match(ray_session, hostile_dir):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{hostile_dir}/documents.parquet')")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{hostile_dir}/embeddings.parquet')")
     failures = []
     for name in FUZZ_QUERIES:
         got = queries[name](hostile_dir)
@@ -377,6 +405,9 @@ def test_hostile_joins_oracles_match(ray_session, hostile_joins_dir):
 EMB_QUERIES = [
     "knn_bruteforce", "knn_lsh", "knn_ivf", "knn_sq8",
     "embedding_near_dup", "embedding_dup_pairs",
+    # round-5 session-2 additions: the PQ-ADC path and the stored-IVF
+    # artifact's pruned-read query path
+    "knn_ivfpq", "knn_ivf_stored",
 ]
 
 
