@@ -790,7 +790,10 @@ def _source_oracle_sqls() -> dict[str, str]:
             SELECT event_type,
                    (ts_us // 3600000000) % 24 AS hour,
                    CAST(COUNT(*) AS BIGINT) AS n
-            FROM read_csv('{cr}/*.csv')
+            -- allow_quoted_nulls=false: quoted empty is '', unquoted
+            -- empty is NULL — the writer's convention and Arrow's
+            -- strings_can_be_null/quoted_strings_can_be_null pairing
+            FROM read_csv('{cr}/*.csv', allow_quoted_nulls=false)
             GROUP BY 1, 2
         """,
     }

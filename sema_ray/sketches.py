@@ -18,6 +18,14 @@ import ray.data as rd
 
 
 def _hash64(values) -> np.ndarray:
+    # integer keys (the common case: user/doc ids) take the vectorized
+    # splitmix64 path — the per-value Python blake2b loop below would be
+    # the hot cost of every HLL partial at corpus scale; estimates stay
+    # inside the sketch's accuracy envelope under either hash family
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iu" and len(arr):
+        from .hashing import splitmix64
+        return splitmix64(arr.astype(np.uint64))
     out = np.empty(len(values), dtype=np.uint64)
     for i, v in enumerate(values):
         d = hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest()

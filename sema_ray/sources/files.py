@@ -59,12 +59,31 @@ def ensure_jsonl(sf_dir: str, num_shards: int = 8) -> str:
     return root
 
 
+def _csv_field(v) -> str:
+    """RFC-4180 field with a NULL convention both engines share: None ->
+    UNQUOTED empty, '' -> QUOTED empty, specials (comma/quote/newline)
+    quoted with doubled quotes. Round-trips exactly under Arrow
+    ``strings_can_be_null=True, quoted_strings_can_be_null=False`` and
+    DuckDB ``allow_quoted_nulls=false`` (pinned by experiment — the two
+    defaults DISAGREE on quoted empties)."""
+    if v is None:
+        return ""
+    s = str(v)
+    if s == "" or any(c in s for c in (",", '"', "\n", "\r")):
+        return '"' + s.replace('"', '""') + '"'
+    return s
+
+
 def ensure_csv(sf_dir: str, num_shards: int = 8) -> str:
     """events.parquet -> sharded ``part-K.csv`` fixture (event_id, user_id,
-    event_type, ts_us as int64 microseconds), deterministic by id mod."""
+    event_type, ts_us as int64 microseconds), deterministic by id mod.
+    Fields are RFC-4180 quoted (``_csv_field``) so NULLs, empty strings,
+    and embedded commas/quotes/newlines survive the round trip."""
     import pyarrow.parquet as pq
 
-    root = _cache_dir(sf_dir, "events", f"csv-sh{num_shards}")
+    # kind bumped csv->csvq when quoting landed (cache dirs are content-
+    # addressed by SOURCE size+mtime only, not writer version)
+    root = _cache_dir(sf_dir, "events", f"csvq-sh{num_shards}")
     marker = os.path.join(root, "_COMPLETE")
     if os.path.exists(marker):
         return root
@@ -80,7 +99,8 @@ def ensure_csv(sf_dir: str, num_shards: int = 8) -> str:
         for eid, uid, et, ts in zip(t["event_id"].to_pylist(),
                                     t["user_id"].to_pylist(),
                                     t["event_type"].to_pylist(), ts_us):
-            shards[eid % num_shards].write(f"{eid},{uid},{et},{ts}\n")
+            shards[eid % num_shards].write(
+                ",".join(_csv_field(x) for x in (eid, uid, et, ts)) + "\n")
     finally:
         for f in shards:
             f.close()
@@ -102,10 +122,12 @@ def read_jsonl(path: str, columns: list[str] | None = None) -> rd.Dataset:
 
 def read_csv_dir(path: str, columns: list[str] | None = None) -> rd.Dataset:
     """Streaming CSV read; Arrow's CSV reader DOES support true column
-    projection, so ``columns`` never materializes the rest."""
+    projection, so ``columns`` never materializes the rest. NULL policy
+    matches the writer: unquoted empty -> NULL, quoted empty -> ''."""
     import pyarrow.csv as pacsv
 
-    convert = (pacsv.ConvertOptions(include_columns=columns)
-               if columns else None)
+    convert = pacsv.ConvertOptions(
+        include_columns=columns or None,
+        strings_can_be_null=True, quoted_strings_can_be_null=False)
     return rd.read_csv(path, convert_options=convert,
                        file_extensions=["csv"])

@@ -181,7 +181,9 @@ def _doc_conversation(doc_id: int, text: str, v: int):
     (doc_id, v) only — independent of batching/partitioning)."""
     rng = np.random.default_rng(100_000 * (v + 1) + int(doc_id))
     cid = f"doc-{int(doc_id):08d}-v{v}"
-    words = text.split()
+    # a NULL-text document still yields one (synthetic) turn, like an
+    # empty one — the derived corpus itself never carries NULL turns
+    words = text.split() if text is not None else []
     turns: list[str] = []
     for w0 in range(0, len(words), 12):
         turns.append(" ".join(words[w0 : w0 + 12]))

@@ -47,6 +47,10 @@ FUZZ_QUERIES = [
     "quality_gate", "bpe_token_counts", "cms_heavy_hitters",
     "pack_sequences", "bm25_phrase_search", "bm25_range_search",
     "bm25_indexed", "hybrid_search_rrf", "semdedup",
+    # the full source-file parse paths: hostile documents become hostile
+    # JSONL shards; hostile events (commas/quotes/newlines/NULL/'' in
+    # event_type, NULL ts) become hostile CSV shards
+    "jsonl_lang_stats", "csv_event_type_hours",
 ]
 
 
@@ -99,6 +103,26 @@ def hostile_dir(tmp_path_factory):
         "embedding": pa.array(vrows, pa.list_(pa.float32())),
         "label": pa.array([i % 3 for i in range(nv)], pa.int32()),
     }), os.path.join(d, "embeddings.parquet"))
+    # hostile events for the CSV source path: every value class the
+    # RFC-4180 writer must round-trip (embedded comma/quote/newline,
+    # quoted-empty vs NULL distinction, NULL ts)
+    from datetime import datetime, timedelta
+    ne = 120
+    et = ["click", "a,b", 'say "hi"', "line1\nline2", "", None,
+          "tab\there", "ÄÖÜ, ß"] * (ne // 8)
+    ev_ts = [datetime(2024, 1, 1) + timedelta(hours=int(rng.integers(0, 72)))
+             for _ in range(ne)]
+    ev_ts[0] = datetime(1970, 1, 1)  # epoch zero (ts_us == 0)
+    for j in range(9, ne, 31):
+        ev_ts[j] = None
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(ne)), pa.int64()),
+        "ts": pa.array(ev_ts, pa.timestamp("us")),
+        "user_id": pa.array([i % 11 for i in range(ne)], pa.int64()),
+        "event_type": pa.array(et, pa.string()),
+        "value": pa.array([1.5] * ne, pa.float64()),
+        "props": pa.array(["{}"] * ne, pa.string()),
+    }), os.path.join(d, "events.parquet"))
     return d
 
 
@@ -119,12 +143,16 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def test_hostile_corpus_oracles_match(ray_session, hostile_dir):
+def test_hostile_corpus_oracles_match(ray_session, hostile_dir,
+                                      monkeypatch):
     import importlib.util
     spec = importlib.util.spec_from_file_location(
         "__ray_entry__", "/root/repo/__ray_entry__.py")
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    # the source twins bake their fixture-file paths in at oracle_sql()
+    # time — point them at the hostile tables
+    monkeypatch.setenv("SEMA_RAY_ORACLE_SF", hostile_dir)
     queries, oracles = mod.queries(), mod.oracle_sql()
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
