@@ -51,6 +51,19 @@ FUZZ_QUERIES = [
     # JSONL shards; hostile events (commas/quotes/newlines/NULL/'' in
     # event_type, NULL ts) become hostile CSV shards
     "jsonl_lang_stats", "csv_event_type_hours",
+    # the flagship KG stage oracles over a corpus DERIVED from the
+    # hostile documents (NUL bytes, 5000-char runs, unicode İ/ß, NULL
+    # text -> synthetic turn): queries take sf_dir, the twins follow via
+    # SEMA_RAY_ORACLE_SF. kg_chunks is absent on purpose: its twin is
+    # regime-guarded (single-chunk texts only) and the hostile corpus has
+    # a 5000-byte turn; multi-chunk arithmetic is golden-tested instead.
+    "kg_normalized", "kg_mentions", "kg_triples",
+    "conv_stats", "assistant_latency", "tool_usage",
+    "kg_entities_valid", "kg_linked_valid",
+    # opaque-binary metadata over the hostile documents (NULL payloads);
+    # frame_sample_meta is left out because its fixture is self-
+    # synthesized — input-independent, nothing for a fuzzer to vary
+    "binary_meta",
 ]
 
 
