@@ -57,9 +57,8 @@ def curate_corpus(sf_dir: str,
             .to_numpy(zero_copy_only=False)
         keep &= ar >= min_alpha_ratio                    # quality gate
         buckets = ((ids.astype(np.uint64) % _MOD32) * _KNUTH) % _MOD32
-        limits = np.fromiter(
-            (thr.get(lang, other) for lang in t["lang"].to_pylist()),
-            dtype=np.uint64, count=t.num_rows)
+        from .sampling import _per_lang_values
+        limits = _per_lang_values(t["lang"], thr, other)
         keep &= buckets < limits                         # stratified sample
         sel = pa.array(np.nonzero(keep)[0], pa.int64())
         return pa.table({"doc_id": pa.array(ids, pa.int64()).take(sel),

@@ -81,7 +81,11 @@ class HashEmbedder:
     def embed_batch(self, texts: list[str] | np.ndarray) -> np.ndarray:
         out = np.empty((len(texts), self.dim), dtype=np.float32)
         for i, t in enumerate(texts):
-            out[i] = self.embed_one(t if isinstance(t, str) else str(t))
+            if t is None:
+                out[i] = 0.0  # NULL text = no content -> zero vector,
+                # like empty text (str(None) would embed the WORD "none")
+            else:
+                out[i] = self.embed_one(t if isinstance(t, str) else str(t))
         return out
 
 
@@ -127,8 +131,9 @@ class OnnxEmbedder:
     def embed_batch(self, texts: list[str]) -> np.ndarray:
         if not len(texts):
             return np.zeros((0, self.dim), dtype=np.float32)
-        enc = self.tokenizer.encode_batch([t if isinstance(t, str) else str(t)
-                                           for t in texts])
+        enc = self.tokenizer.encode_batch(
+            ["" if t is None else (t if isinstance(t, str) else str(t))
+             for t in texts])
         ids = np.array([e.ids for e in enc], dtype=np.int64)
         mask = np.array([e.attention_mask for e in enc], dtype=np.int64)
         out = self.session.run(None, {

@@ -74,12 +74,26 @@ def sample_docs_by_lang(sf_dir: str,
     def keep(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         buckets = ((ids % _MOD32) * _KNUTH) % _MOD32
-        limits = np.fromiter(
-            (thr.get(lang, other) for lang in t["lang"].to_pylist()),
-            dtype=np.uint64, count=t.num_rows)
+        limits = _per_lang_values(t["lang"], thr, other)
         return t.filter(pa.array(buckets < limits))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _per_lang_values(col, table: dict[str, np.uint64],
+                     default: np.uint64) -> np.ndarray:
+    """Per-row threshold lookup, one Python dict get per DISTINCT lang
+    (dictionary-encode + gather), not per row — the fromiter loop this
+    replaces was the whole cost of the filter stage."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = pc.dictionary_encode(col)
+    codes = pc.fill_null(enc.indices, len(enc.dictionary)) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    langs = enc.dictionary.to_pylist() + [None]
+    per_code = np.fromiter((table.get(g, default) for g in langs),
+                           dtype=np.uint64, count=len(langs))
+    return per_code[codes]
 
 
 def docs_per_source_cap(sf_dir: str, cap: int = 20) -> rd.Dataset:

@@ -23,14 +23,16 @@ import time
 
 
 def shard_fingerprint(path: str) -> str:
-    """Cheap input fingerprint: (basename, size) — no full read.
+    """Cheap input fingerprint: (basename, size, mtime_ns) — no full read.
 
-    At 100 TB a content hash per resume check would re-read the corpus; size
-    + name catches regeneration in practice. ``content=True`` callers can use
-    :func:`sema_ray.hashing.file_hash` instead.
+    At 100 TB a content hash per resume check would re-read the corpus;
+    size+mtime is the same key every /tmp cache in this repo uses and
+    catches a same-size regeneration (size alone missed it). A copied
+    file with fresh mtime recomputes spuriously — the safe direction.
+    Callers needing content identity use :func:`sema_ray.hashing.file_hash`.
     """
     st = os.stat(path)
-    return f"{os.path.basename(path)}:{st.st_size}"
+    return f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}"
 
 
 def _manifest_dir(out_dir: str) -> str:

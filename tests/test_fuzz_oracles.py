@@ -17,6 +17,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+# widen the sweep without editing the file: every fixture offsets its rng
+# seed by this (CI default 0 keeps the checked-in corpora byte-stable)
+_SEED = int(os.environ.get("SEMA_RAY_FUZZ_SEED", "0"))
+
 FRAGS = [
     "", " ", "the of and that", "#### ### ##", "... .. ....",
     "ALPHA Beta gamma", "123 456 7890 00", "ÄÖÜ ß İstanbul ĲĳǱǲǳ",
@@ -69,7 +73,7 @@ FUZZ_QUERIES = [
 
 @pytest.fixture(scope="module")
 def hostile_dir(tmp_path_factory):
-    rng = np.random.default_rng(1)
+    rng = np.random.default_rng(1 + _SEED)
     n = 150
     texts = []
     for _ in range(n):
@@ -209,7 +213,7 @@ def hostile_events_dir(tmp_path_factory):
     users, and extreme values (1e9 overflows int64 cents-squared — the
     zscore_by_type regression)."""
     from datetime import datetime, timedelta
-    rng = np.random.default_rng(1)
+    rng = np.random.default_rng(1 + _SEED)
     n = 400
     base = datetime(2024, 1, 1)
     users = np.concatenate([
@@ -300,7 +304,7 @@ def hostile_joins_dir(tmp_path_factory):
     heavy customer with duplicate orderdates, extreme prices (1e9 — the
     revenue_by_priority float-association regression), zero quantities."""
     from datetime import datetime, timedelta
-    rng = np.random.default_rng(3)
+    rng = np.random.default_rng(3 + _SEED)
     d = str(tmp_path_factory.mktemp("hostile_j"))
     nc, no, nl, npart = 60, 200, 500, 40
     base = datetime(1995, 1, 1)
@@ -464,7 +468,7 @@ def hostile_embeddings_dir(tmp_path_factory):
     the short flattened reshape before the valid_vector_mask loader
     filter) and a NaN element (engine-divergent NaN ordering — excluded
     on both engines by the same mask / SQL predicate)."""
-    rng = np.random.default_rng(1)
+    rng = np.random.default_rng(1 + _SEED)
     n, dim = 120, 16
     vecs = rng.standard_normal((n, dim)).astype(np.float32)
     vecs[0] = 0.0
