@@ -770,6 +770,44 @@ def _contamination_sql() -> str:
     """
 
 
+def _pagerank_exact_sql(n_iter: int = 5, scale: int = 10**12) -> str:
+    """Unrolled per-round CTEs for :func:`sema_ray.graph.pagerank_exact`
+    over the purchase co-occurrence graph — every op is int64 floor
+    arithmetic (``//``), so the ranks match the Ray side bit-exactly (the
+    float pagerank's sums are association-dependent and can never have
+    this twin; CLAUDE.md cross-engine trap #2). Recursive CTEs can't
+    aggregate over their own recursive reference, hence the unroll."""
+    base = f"(15 * {scale}) // (100 * nn.n)"
+    parts = [f"""
+        WITH ed AS (
+          SELECT DISTINCT LEAST(a.user_id, b.user_id) AS lo,
+                          GREATEST(a.user_id, b.user_id) AS hi
+          FROM events a JOIN events b
+            ON a.event_type = b.event_type
+           AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+           AND a.user_id < b.user_id
+          WHERE a.event_type = 'purchase'),
+        e AS (SELECT lo AS u, hi AS v FROM ed
+              UNION ALL SELECT hi, lo FROM ed),
+        deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u),
+        nn AS (SELECT COUNT(*) AS n FROM deg),
+        r0 AS (SELECT u AS node, CAST({scale} // nn.n AS BIGINT) AS r
+               FROM deg, nn)"""]
+    for k in range(1, n_iter + 1):
+        parts.append(f""",
+        c{k} AS (SELECT e.v AS node,
+                        SUM((r{k - 1}.r * 85) // (100 * d.d)) AS s
+                 FROM e JOIN r{k - 1} ON r{k - 1}.node = e.u
+                        JOIN deg d ON d.u = e.u
+                 GROUP BY e.v),
+        r{k} AS (SELECT r{k - 1}.node,
+                        CAST({base} + COALESCE(c{k}.s, 0) AS BIGINT) AS r
+                 FROM r{k - 1} LEFT JOIN c{k} USING (node), nn)""")
+    parts.append(f"""
+        SELECT node, r AS rank_units FROM r{n_iter}""")
+    return "".join(parts)
+
+
 def _source_oracle_sqls() -> dict[str, str]:
     """Twins for the JSONL/CSV source queries: DuckDB reads the SAME
     fixture files the Ray pipelines stream (generated on demand, cached
@@ -999,6 +1037,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pure-Python synchronous-LPA oracle in pytest)
         "user_cooccurrence_communities":
             graph.purchase_cooccurrence_communities,
+        # integer-exact PageRank over the same graph: int64 fixed-point
+        # makes the per-round sums associative, so unlike the float
+        # pagerank this one has a BIT-EXACT DuckDB twin (unrolled
+        # per-round CTEs, identical floor divisions)
+        "user_cooccurrence_pagerank": graph.user_cooccurrence_pagerank,
         # Tantivy term-range query: [sa TO sz] is constant-scored
         # (Lucene range rewrite — every matching doc scores 1.0)
         "bm25_range_search": lambda sf: simsearch.bm25_search(
@@ -1218,6 +1261,10 @@ def oracle_sql() -> dict[str, str]:
             JOIN ed e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
             JOIN ed e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
         """,
+        # bit-exact integer PageRank over the same co-occurrence edges
+        # (unrolled rounds; associativity of int64 sums is what makes a
+        # value-hash twin possible at all — see _pagerank_exact_sql)
+        "user_cooccurrence_pagerank": _pagerank_exact_sql(),
         # exact integer numerator cents(ext)*(100-cents(disc)): the float
         # SUM form was association-dependent (oracle fuzz found a 1-cent
         # divergence at extreme magnitudes); ONE double division from the

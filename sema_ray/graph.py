@@ -1458,3 +1458,291 @@ def purchase_cooccurrence_communities(sf_dir: str) -> rd.Dataset:
     edges = cooccurrence_edges(
         ds.map_batches(purchases, batch_format="pyarrow"), "bucket", "id")
     return label_propagation(edges, a_col="a", b_col="b")
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact PageRank: fixed-point arithmetic makes the per-round sums
+# associative, so a DuckDB twin can reproduce the ranks BIT-EXACTLY — the
+# oracle the float pagerank above structurally cannot have (float sums are
+# association-dependent; CLAUDE.md cross-engine trap #2).
+# ---------------------------------------------------------------------------
+
+PR_EXACT_SCALE = 10**12
+
+
+def pagerank_exact(edges: rd.Dataset, src_col: str = "u",
+                   dst_col: str = "v", n_iter: int = 5,
+                   scale: int = PR_EXACT_SCALE, n_parts: int = 64,
+                   local_max_edges: int | None = None) -> rd.Dataset:
+    """PageRank in int64 fixed-point over a deduped DIRECTED edge list.
+
+    Spec (identical integer ops on both engines; damping 0.85 as 85/100):
+
+    - ``r_0(x) = scale // n`` for every node (n = |distinct endpoints|);
+    - ``r_k(x) = base + sum over in-edges (u, x) of
+      (r_{k-1}(u) * 85) // (100 * deg(u))`` with
+      ``base = (15 * scale) // (100 * n)`` — nodes without in-edges keep
+      ``base``; nodes without out-edges contribute nothing (their mass
+      leaks, identically on both engines);
+    - exactly ``n_iter`` rounds, no tolerance check (determinism).
+
+    All intermediates fit int64: ``r <= scale = 1e12``, ``r * 85 ~ 8.5e13
+    << 2^63``; sums of nonnegative int64 are order-independent, so any
+    partitioning, shuffle, or SQL GROUP BY order gives the same ranks.
+    Size-adaptive like :func:`pagerank`: below ``PR_LOCAL_MAX_EDGES`` the
+    node vocabulary folds on the driver and each round is one distributed
+    partial-sums pass over the (never-collected) edges; above it, rounds
+    run as two bounded-part keyed shuffles with ranks as a (node, rank,
+    deg) dataset — no node-sized driver state.
+
+    Output: (node, rank_units) int64 — no floats anywhere.
+    """
+    def to_uv(t: pa.Table) -> pa.Table:
+        return pa.table({"u": pc.cast(t[src_col], pa.int64()),
+                         "v": pc.cast(t[dst_col], pa.int64())})
+
+    e = edges.map_batches(to_uv, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    limit = PR_LOCAL_MAX_EDGES if local_max_edges is None \
+        else local_max_edges
+    if e.count() > limit:
+        return _pagerank_exact_distributed(e, n_iter, scale, n_parts)
+    return _pagerank_exact_local(e, n_iter, scale)
+
+
+def _pagerank_exact_local(e: rd.Dataset, n_iter: int,
+                          scale: int) -> rd.Dataset:
+    """Driver-vector fast path (int64 twin of :func:`_pagerank_local`)."""
+    from .util import collect_table
+
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "rank_units": pa.array([], pa.int64())})
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        uniq = np.unique(np.concatenate(
+            [t["u"].to_numpy(zero_copy_only=False),
+             t["v"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"n": pa.array(uniq, pa.int64())})
+
+    nt = collect_table(e.map_batches(node_partial, batch_format="pyarrow",
+                                     batch_size=None))
+    if nt.num_rows == 0 or "n" not in nt.column_names:
+        return rd.from_arrow(empty)
+    nodes = np.unique(nt["n"].to_numpy(zero_copy_only=False))
+    n = len(nodes)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        idx = np.searchsorted(nodes, t["u"].to_numpy(zero_copy_only=False))
+        d = np.zeros(n, dtype=np.int64)
+        np.add.at(d, idx, 1)
+        nz = np.nonzero(d)[0]
+        return pa.table({"i": pa.array(nz, pa.int64()),
+                         "d": pa.array(d[nz], pa.int64())})
+
+    dt = collect_table(e.map_batches(deg_partial, batch_format="pyarrow",
+                                     batch_size=None))
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, dt["i"].to_numpy(zero_copy_only=False),
+              dt["d"].to_numpy(zero_copy_only=False))
+
+    rank = np.full(n, scale // n, dtype=np.int64)
+    base = (15 * scale) // (100 * n)
+    safe_deg = np.maximum(deg, 1)
+    for _ in range(n_iter):
+        contrib = (rank * 85) // (100 * safe_deg)  # exact per-node share
+
+        class Contrib:
+            def __init__(self, c: np.ndarray):
+                self.c = c
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                ui = np.searchsorted(nodes, t["u"]
+                                     .to_numpy(zero_copy_only=False))
+                vi = np.searchsorted(nodes, t["v"]
+                                     .to_numpy(zero_copy_only=False))
+                acc = np.zeros(n, dtype=np.int64)
+                np.add.at(acc, vi, self.c[ui])
+                nz = np.nonzero(acc)[0]
+                return pa.table({"i": pa.array(nz, pa.int64()),
+                                 "s": pa.array(acc[nz], pa.int64())})
+
+        ct = collect_table(e.map_batches(Contrib(contrib),
+                                         batch_format="pyarrow",
+                                         batch_size=None))
+        inbound = np.zeros(n, dtype=np.int64)
+        if ct.num_rows and "i" in ct.column_names:
+            np.add.at(inbound, ct["i"].to_numpy(zero_copy_only=False),
+                      ct["s"].to_numpy(zero_copy_only=False))
+        rank = base + inbound
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "rank_units": pa.array(rank, pa.int64())}))
+
+
+def _pagerank_exact_distributed(e: rd.Dataset, n_iter: int, scale: int,
+                                n_parts: int) -> rd.Dataset:
+    """Past-driver-memory rounds (int64 twin of
+    :func:`_pagerank_distributed`, simpler by construction: integer sums
+    need no fixed fold order, fixed ``n_iter`` needs no delta scalar, and
+    leaked dangling mass needs no redistribution pass).
+
+    Per round, two bounded-part keyed shuffles over tagged unions: edges
+    keyed by src against (node, rank, deg) state -> per-part (dst, sum)
+    int64 partials; partials keyed by dst against state -> new state.
+    """
+    from .util import collect_table
+
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "rank_units": pa.array([], pa.int64())})
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        un, uc = np.unique(u, return_counts=True)
+        vn = np.unique(v)
+        return pa.table({
+            "k": pa.array(np.concatenate([un, vn]), pa.int64()),
+            "d": pa.array(np.concatenate([uc.astype(np.int64),
+                                          np.zeros(len(vn), np.int64)]),
+                          pa.int64())})
+
+    def fold_deg(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(k, return_inverse=True)
+        deg = np.zeros(len(nodes), np.int64)
+        np.add.at(deg, inv, d)
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "deg": pa.array(deg, pa.int64())})
+
+    state = keyed_part_kernel(
+        e.map_batches(endpoints, batch_format="pyarrow", batch_size=None),
+        "k", fold_deg, n_parts=n_parts).materialize()
+    n = state.count()
+    if n == 0:
+        return rd.from_arrow(empty)
+    r0 = scale // n
+    base = (15 * scale) // (100 * n)
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rank", pa.array(np.full(t.num_rows, r0, np.int64), pa.int64()))
+
+    state = _fresh(state.map_batches(add_rank, batch_format="pyarrow",
+                                     batch_size=None), n_parts)
+
+    p_schema = pa.schema([("k", pa.int64()), ("v", pa.int64()),
+                          ("rank", pa.int64()), ("deg", pa.int64())])
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["u"], "v": t["v"],
+                         "rank": pa.nulls(t.num_rows, pa.int64()),
+                         "deg": pa.nulls(t.num_rows, pa.int64())},
+                        schema=p_schema)
+
+    def tag_state(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["node"],
+                         "v": pa.nulls(t.num_rows, pa.int64()),
+                         "rank": t["rank"], "deg": t["deg"]},
+                        schema=p_schema)
+
+    def contrib_kernel(g: pa.Table) -> pa.Table:
+        stm = pc.is_valid(g["rank"])
+        st = g.filter(stm)
+        ed = g.filter(pc.invert(stm))
+        sk = st["k"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sk, kind="stable")
+        sk = sk[order]
+        sr = st["rank"].to_numpy(zero_copy_only=False)[order]
+        sd = st["deg"].to_numpy(zero_copy_only=False)[order]
+        if ed.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        eu = ed["k"].to_numpy(zero_copy_only=False)
+        ev = ed["v"].to_numpy(zero_copy_only=False)
+        share = (sr * 85) // (100 * np.maximum(sd, 1))
+        contrib = share[np.searchsorted(sk, eu)]
+        vals, inv = np.unique(ev, return_inverse=True)
+        sums = np.zeros(len(vals), np.int64)
+        np.add.at(sums, inv, contrib)
+        return pa.table({"k": pa.array(vals, pa.int64()),
+                         "s": pa.array(sums, pa.int64())})
+
+    c_schema = pa.schema([("k", pa.int64()), ("s", pa.int64()),
+                          ("rank", pa.int64()), ("deg", pa.int64())])
+
+    def tag_contrib(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["k"], "s": t["s"],
+                         "rank": pa.nulls(t.num_rows, pa.int64()),
+                         "deg": pa.nulls(t.num_rows, pa.int64())},
+                        schema=c_schema)
+
+    def tag_state2(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["node"],
+                         "s": pa.nulls(t.num_rows, pa.int64()),
+                         "rank": t["rank"], "deg": t["deg"]},
+                        schema=c_schema)
+
+    def apply_kernel(g: pa.Table) -> pa.Table:
+        stm = pc.is_valid(g["rank"])
+        st = g.filter(stm)
+        cb = g.filter(pc.invert(stm))
+        sk = st["k"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sk, kind="stable")
+        sk = sk[order]
+        sd = st["deg"].to_numpy(zero_copy_only=False)[order]
+        inbound = np.zeros(len(sk), np.int64)
+        if cb.num_rows:
+            ck = cb["k"].to_numpy(zero_copy_only=False)
+            cs = cb["s"].to_numpy(zero_copy_only=False)
+            np.add.at(inbound, np.searchsorted(sk, ck), cs)
+        return pa.table({
+            "node": pa.array(sk, pa.int64()),
+            "rank": pa.array(base + inbound, pa.int64()),
+            "deg": pa.array(sd, pa.int64())})
+
+    tagged_edges = e.map_batches(tag_edges, batch_format="pyarrow",
+                                 batch_size=None).materialize()
+    for _ in range(n_iter):
+        st1 = state.map_batches(tag_state, batch_format="pyarrow",
+                                batch_size=None)
+        contribs = keyed_part_kernel(tagged_edges.union(st1), "k",
+                                     contrib_kernel, n_parts=n_parts)
+        ct = contribs.map_batches(tag_contrib, batch_format="pyarrow",
+                                  batch_size=None)
+        st2 = state.map_batches(tag_state2, batch_format="pyarrow",
+                                batch_size=None)
+        state = _fresh(keyed_part_kernel(ct.union(st2), "k", apply_kernel,
+                                         n_parts=n_parts), n_parts)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"],
+                         "rank_units": pc.cast(t["rank"], pa.int64())})
+
+    return state.map_batches(project, batch_format="pyarrow",
+                             batch_size=None)
+
+
+def user_cooccurrence_pagerank(sf_dir: str) -> rd.Dataset:
+    """Integer-exact PageRank over the purchase co-occurrence graph (the
+    same edges as :func:`purchase_cooccurrence_triangles`, both directions
+    of each deduped undirected pair): (node, rank_units) int64 — the
+    activity-centrality score of each co-purchasing user, bit-exact
+    against the DuckDB recursive twin."""
+    import os
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "user_id", "event_type"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        hour = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64())
+        return pa.table({"bucket": hour,
+                         "id": pc.cast(t["user_id"], pa.int64())})
+
+    pairs = cooccurrence_edges(
+        ds.map_batches(purchases, batch_format="pyarrow"), "bucket", "id")
+    canon = _canonical_edges(pairs, "a", "b", n_parts=64)
+    directed = canon.map_batches(_both_directions, batch_format="pyarrow",
+                                 batch_size=None)
+    return pagerank_exact(directed, src_col="u", dst_col="v")

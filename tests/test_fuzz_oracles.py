@@ -204,6 +204,9 @@ EV_QUERIES = [
     "sliding_window_counts", "zscore_by_type", "median_value_by_type",
     "value_quantiles", "sample_events", "approx_distinct_users",
     "user_cooccurrence_triangles",
+    # integer-exact PageRank over the co-occurrence graph (bit-exact
+    # int64 fixed-point twin; round-5 session-2)
+    "user_cooccurrence_pagerank",
 ]
 
 

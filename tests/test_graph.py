@@ -429,3 +429,63 @@ def test_signature_blocking_invariant(ray_session):
                   "v": pa.array([l], pa.int64())})
         for n, l in zip(nodes, labels)])
     assert _signature(edges_one) == _signature(edges_many)
+
+
+def test_pagerank_exact_matches_python_reference(ray_session):
+    """Integer fixed-point PageRank: local and forced-distributed paths
+    must BOTH equal the pure-Python fold bit-exactly (int64 sums are
+    associative — the property that gives this variant its SQL twin)."""
+    from sema_ray.graph import PR_EXACT_SCALE, pagerank_exact
+
+    rng = np.random.default_rng(7)
+    edges = sorted({(int(a), int(b))
+                    for a, b in rng.integers(0, 60, (400, 2)) if a != b})
+
+    def ref(E, K=5, S=PR_EXACT_SCALE):
+        nodes = sorted({x for e in E for x in e})
+        n = len(nodes)
+        deg = {x: 0 for x in nodes}
+        for a, _ in E:
+            deg[a] += 1
+        r = {x: S // n for x in nodes}
+        base = (15 * S) // (100 * n)
+        for _ in range(K):
+            nr = {x: base for x in nodes}
+            for a, b in E:
+                nr[b] += (r[a] * 85) // (100 * deg[a])
+            r = nr
+        return r
+
+    want = ref(edges)
+    tbl = pa.table({"u": pa.array([a for a, _ in edges], pa.int64()),
+                    "v": pa.array([b for _, b in edges], pa.int64())})
+    got_local = {r["node"]: r["rank_units"]
+                 for r in pagerank_exact(rd.from_arrow(tbl)).take_all()}
+    got_dist = {r["node"]: r["rank_units"]
+                for r in pagerank_exact(rd.from_arrow(tbl),
+                                        local_max_edges=0,
+                                        n_parts=8).take_all()}
+    assert got_local == want
+    assert got_dist == want
+    # total mass never exceeds the scale (leak-only floor arithmetic)
+    assert 0 < sum(want.values()) <= PR_EXACT_SCALE
+
+
+def test_pagerank_exact_distributed_on_testdata_graph(ray_session):
+    """Both size-adaptive paths agree on a REAL co-occurrence graph (the
+    verify-skill probe that caught the core-number round-cap truncation:
+    random test graphs never hit what real testdata hits)."""
+    from sema_ray.graph import user_cooccurrence_pagerank
+    import sema_ray.graph as G
+
+    sf = "/root/testdata/sf0.001"
+    a = {r["node"]: r["rank_units"]
+         for r in user_cooccurrence_pagerank(sf).take_all()}
+    old = G.PR_LOCAL_MAX_EDGES
+    G.PR_LOCAL_MAX_EDGES = 0
+    try:
+        b = {r["node"]: r["rank_units"]
+             for r in user_cooccurrence_pagerank(sf).take_all()}
+    finally:
+        G.PR_LOCAL_MAX_EDGES = old
+    assert a and a == b
