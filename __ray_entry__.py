@@ -808,6 +808,45 @@ def _pagerank_exact_sql(n_iter: int = 5, scale: int = 10**12) -> str:
     return "".join(parts)
 
 
+def _lpa_exact_sql(n_iter: int = 5) -> str:
+    """Unrolled per-round CTEs for fixed-round label propagation
+    (:func:`sema_ray.graph.user_cooccurrence_communities_exact`) over the
+    purchase co-occurrence graph. LPA is all-integer by construction —
+    labels are node ids, each round every node adopts the most frequent
+    label among its neighbors with smallest-label tie-break — so a fixed
+    round count (``early_stop=False``) makes the assignment bit-exact
+    across engines; only the early-stop oscillation detection of the
+    default variant is SQL-inexpressible, not the update itself."""
+    parts = ["""
+        WITH ed AS (
+          SELECT DISTINCT LEAST(a.user_id, b.user_id) AS lo,
+                          GREATEST(a.user_id, b.user_id) AS hi
+          FROM events a JOIN events b
+            ON a.event_type = b.event_type
+           AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+           AND a.user_id < b.user_id
+          WHERE a.event_type = 'purchase'),
+        e AS (SELECT lo AS u, hi AS v FROM ed
+              UNION ALL SELECT hi, lo FROM ed),
+        l0 AS (SELECT DISTINCT u AS node, u AS lab FROM e)"""]
+    for k in range(1, n_iter + 1):
+        parts.append(f""",
+        v{k} AS (SELECT e.u AS node, l{k - 1}.lab AS lab,
+                        COUNT(*) AS c
+                 FROM e JOIN l{k - 1} ON l{k - 1}.node = e.v
+                 GROUP BY 1, 2),
+        l{k} AS (SELECT node, lab FROM (
+                   SELECT node, lab,
+                          ROW_NUMBER() OVER (PARTITION BY node
+                                             ORDER BY c DESC, lab ASC)
+                              AS rn
+                   FROM v{k}) WHERE rn = 1)""")
+    parts.append(f"""
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(lab AS BIGINT) AS community FROM l{n_iter}""")
+    return "".join(parts)
+
+
 def _source_oracle_sqls() -> dict[str, str]:
     """Twins for the JSONL/CSV source queries: DuckDB reads the SAME
     fixture files the Ray pipelines stream (generated on demand, cached
@@ -1042,6 +1081,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pagerank this one has a BIT-EXACT DuckDB twin (unrolled
         # per-round CTEs, identical floor divisions)
         "user_cooccurrence_pagerank": graph.user_cooccurrence_pagerank,
+        # fixed-round label propagation over the same graph: LPA's update
+        # (neighbor-label vote counts, max count then smallest label) is
+        # all-integer, so with early_stop=False it too has a bit-exact
+        # unrolled-CTE twin — see _lpa_exact_sql
+        "user_cooccurrence_communities_exact":
+            graph.user_cooccurrence_communities_exact,
         # Tantivy term-range query: [sa TO sz] is constant-scored
         # (Lucene range rewrite — every matching doc scores 1.0)
         "bm25_range_search": lambda sf: simsearch.bm25_search(
@@ -1265,6 +1310,9 @@ def oracle_sql() -> dict[str, str]:
         # (unrolled rounds; associativity of int64 sums is what makes a
         # value-hash twin possible at all — see _pagerank_exact_sql)
         "user_cooccurrence_pagerank": _pagerank_exact_sql(),
+        # fixed-round LPA over the same edges (all-integer update; only
+        # early stopping is SQL-inexpressible — see _lpa_exact_sql)
+        "user_cooccurrence_communities_exact": _lpa_exact_sql(),
         # exact integer numerator cents(ext)*(100-cents(disc)): the float
         # SUM form was association-dependent (oracle fuzz found a 1-cent
         # divergence at extreme magnitudes); ONE double division from the

@@ -207,6 +207,9 @@ EV_QUERIES = [
     # integer-exact PageRank over the co-occurrence graph (bit-exact
     # int64 fixed-point twin; round-5 session-2)
     "user_cooccurrence_pagerank",
+    # fixed-round LPA over the co-occurrence graph (all-integer update,
+    # bit-exact unrolled-CTE twin; round-5 session-3)
+    "user_cooccurrence_communities_exact",
 ]
 
 

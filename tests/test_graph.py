@@ -471,6 +471,67 @@ def test_pagerank_exact_matches_python_reference(ray_session):
     assert 0 < sum(want.values()) <= PR_EXACT_SCALE
 
 
+def test_lpa_fixed_rounds_match_python_reference(ray_session):
+    """Fixed-round LPA (early_stop=False): local and forced-distributed
+    paths must BOTH equal the pure-Python synchronous fold exactly — the
+    all-integer property that gives the variant its unrolled-CTE SQL
+    twin."""
+    from sema_ray.graph import label_propagation
+
+    rng = np.random.default_rng(11)
+    edges = sorted({(int(min(a, b)), int(max(a, b)))
+                    for a, b in rng.integers(0, 50, (300, 2)) if a != b})
+
+    def ref(E, K=5):
+        nbr: dict[int, list[int]] = {}
+        for a, b in E:
+            nbr.setdefault(a, []).append(b)
+            nbr.setdefault(b, []).append(a)
+        lab = {x: x for x in nbr}
+        for _ in range(K):
+            new = {}
+            for x, ns in nbr.items():
+                cnt: dict[int, int] = {}
+                for y in ns:
+                    cnt[lab[y]] = cnt.get(lab[y], 0) + 1
+                new[x] = min(cnt, key=lambda l: (-cnt[l], l))
+            lab = new
+        return lab
+
+    want = ref(edges)
+    tbl = pa.table({"a": pa.array([a for a, _ in edges], pa.int64()),
+                    "b": pa.array([b for _, b in edges], pa.int64())})
+    got_local = {r["node"]: r["community"]
+                 for r in label_propagation(
+                     rd.from_arrow(tbl), n_iter=5,
+                     early_stop=False).take_all()}
+    got_dist = {r["node"]: r["community"]
+                for r in label_propagation(
+                    rd.from_arrow(tbl), n_iter=5, early_stop=False,
+                    local_max_edges=0, n_parts=8).take_all()}
+    assert got_local == want
+    assert got_dist == want
+
+
+def test_lpa_exact_query_both_paths_agree_on_testdata(ray_session):
+    """user_cooccurrence_communities_exact: the size-adaptive paths agree
+    on a REAL co-occurrence graph (the pagerank_exact probe shape)."""
+    from sema_ray.graph import user_cooccurrence_communities_exact
+    import sema_ray.graph as G
+
+    sf = "/root/testdata/sf0.001"
+    a = {r["node"]: r["community"]
+         for r in user_cooccurrence_communities_exact(sf).take_all()}
+    old = G.LPA_LOCAL_MAX_EDGES
+    G.LPA_LOCAL_MAX_EDGES = 0
+    try:
+        b = {r["node"]: r["community"]
+             for r in user_cooccurrence_communities_exact(sf).take_all()}
+    finally:
+        G.LPA_LOCAL_MAX_EDGES = old
+    assert a and a == b
+
+
 def test_pagerank_exact_distributed_on_testdata_graph(ray_session):
     """Both size-adaptive paths agree on a REAL co-occurrence graph (the
     verify-skill probe that caught the core-number round-cap truncation:
