@@ -237,6 +237,41 @@ def _kg_oracle_sqls() -> dict[str, str]:
         f"WITH t AS ({triples}) SELECT DISTINCT conv_id, turn_idx, subj, "
         f"pred, obj, CAST(1 AS BIGINT) AS link_ok FROM t")
 
+    # Integer-exact PageRank over the surface-level triple graph: PageRank
+    # is invariant under node relabeling, so the twin assigns its own dense
+    # ids (ROW_NUMBER over sorted surfaces) while the Ray side uses the
+    # sorted-vocabulary index — the per-surface ranks agree bit-exactly
+    # (the _pagerank_exact_sql shape over a directed string-keyed graph).
+    pr_scale = 10**12
+    pr_parts = [f"""
+        WITH t AS ({triples}),
+        ed AS (SELECT DISTINCT subj AS su, obj AS ov FROM t),
+        nodes AS (SELECT su AS surface FROM ed UNION SELECT ov FROM ed),
+        ids AS (SELECT surface, ROW_NUMBER() OVER (ORDER BY surface) AS nid
+                FROM nodes),
+        e AS (SELECT a.nid AS u, b.nid AS v FROM ed
+              JOIN ids a ON a.surface = ed.su
+              JOIN ids b ON b.surface = ed.ov),
+        deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u),
+        nn AS (SELECT COUNT(*) AS n FROM ids),
+        r0 AS (SELECT nid AS node, CAST({pr_scale} // nn.n AS BIGINT) AS r
+               FROM ids, nn)"""]
+    for k in range(1, 6):
+        pr_parts.append(f""",
+        c{k} AS (SELECT e.v AS node,
+                        SUM((r{k - 1}.r * 85) // (100 * d.d)) AS s
+                 FROM e JOIN r{k - 1} ON r{k - 1}.node = e.u
+                        JOIN deg d ON d.u = e.u
+                 GROUP BY e.v),
+        r{k} AS (SELECT r{k - 1}.node,
+                        CAST((15 * {pr_scale}) // (100 * nn.n)
+                             + COALESCE(c{k}.s, 0) AS BIGINT) AS r
+                 FROM r{k - 1} LEFT JOIN c{k} USING (node), nn)""")
+    pr_parts.append("""
+        SELECT ids.surface, r5.r AS rank_units
+        FROM r5 JOIN ids ON ids.nid = r5.node""")
+    out["kg_surface_pagerank"] = "".join(pr_parts)
+
     # The chunker (chunker.py, bit-exact reference port) emits exactly one
     # whole-text chunk per turn when every text is under OVERLAP_SIZE+1
     # bytes (no window split, no tail-overlap quirk, no mid-text newline
@@ -326,6 +361,21 @@ def _kg_adjacency(sf_dir: str):
 def _kg_entity_degrees(sf_dir: str):
     from sema_ray.pipelines.kg import adjacency, entity_degrees, kg_flagship
     return entity_degrees(adjacency(kg_flagship(_kg_corpus(sf_dir))))
+
+
+def _kg_surface_pagerank(sf_dir: str):
+    """Integer-exact PageRank over the SURFACE-level triple graph
+    (distinct (subj, obj) pairs from the extraction stage). Unlike
+    kg_entity_pagerank — whose entity ids are permutation-dependent —
+    this is keyed by surface, and PageRank is invariant under node
+    relabeling, so the query has a bit-exact unrolled-CTE twin built on
+    the kg_triples SQL (each engine assigns its own dense ids; see
+    sema_ray.graph.surface_pagerank_exact)."""
+    from sema_ray.graph import surface_pagerank_exact
+    from sema_ray.pipelines.kg import read_transcripts, triples_dataset
+    t = triples_dataset(read_transcripts(
+        _kg_corpus(sf_dir), columns=["conv_id", "turn_idx", "text"]))
+    return surface_pagerank_exact(t, src_col="subj", dst_col="obj")
 
 
 def _kg_entity_pagerank(sf_dir: str):
@@ -1068,6 +1118,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PageRank over the entity adjacency (iterative; dense-matrix
         # power-iteration oracle in pytest)
         "kg_entity_pagerank": _kg_entity_pagerank,
+        # surface-keyed integer-exact PageRank over the triple graph —
+        # relabeling invariance gives it the bit-exact twin the
+        # permutation-dependent entity-id variant can't have
+        "kg_surface_pagerank": _kg_surface_pagerank,
         "kg_triangle_count": _kg_triangle_count,
         # k-core decomposition of the purchase co-occurrence graph
         # (iterative peel — pure-Python Seidman oracle in pytest)

@@ -1751,6 +1751,92 @@ def user_cooccurrence_pagerank(sf_dir: str) -> rd.Dataset:
     return pagerank_exact(directed, src_col="u", dst_col="v")
 
 
+def surface_pagerank_exact(edges: rd.Dataset, src_col: str = "subj",
+                           dst_col: str = "obj", n_iter: int = 5,
+                           scale: int = PR_EXACT_SCALE,
+                           n_parts: int = 64) -> rd.Dataset:
+    """Integer-exact PageRank over a STRING-keyed directed edge list,
+    output keyed by surface: (surface, rank_units) int64.
+
+    PageRank is invariant under node relabeling — the rank of a node
+    depends only on the graph structure, never on the id values — so
+    each engine can assign its OWN dense integer ids to the distinct
+    surfaces and the per-surface ranks still agree bit-exactly (the SQL
+    twin uses ``ROW_NUMBER() OVER (ORDER BY surface)``; this side uses
+    the sorted-vocabulary index — no cross-engine hash or collation
+    agreement is needed). A 64-bit text hash would NOT be exact here: at
+    10^9 surfaces the birthday collision odds are percent-level and a
+    collision merges two nodes (the dedup-family blocking-key caveat,
+    ``dedup._text_bucket64``), so ids come from the vocabulary instead.
+
+    Scale boundary: edges dedup in one keyed shuffle (whole ``src``
+    groups co-locate, so per-part distinct IS global distinct); the
+    surface vocabulary is collected to the driver for id assignment —
+    the same documented small side as ``canonical_entities``
+    (vocabulary ≪ corpus). Past driver memory the id step would become
+    a distributed dense rank (sort + per-block offset prefix sums);
+    the rounds themselves already run via :func:`pagerank_exact`'s
+    size-adaptive paths.
+    """
+    from .util import collect_table
+
+    def project(t: pa.Table) -> pa.Table:
+        s, o = t[src_col], t[dst_col]
+        m = pc.and_(pc.is_valid(s), pc.is_valid(o))
+        t = pa.table({"s": s, "o": o}).filter(m)
+        # per-block pre-distinct: the shuffle ships distinct pairs only
+        return t.group_by(["s", "o"]).aggregate([])
+
+    def distinct_kernel(g: pa.Table) -> pa.Table:
+        return g.group_by(["s", "o"]).aggregate([])
+
+    ed = keyed_part_kernel(
+        edges.map_batches(project, batch_format="pyarrow",
+                          batch_size=None),
+        "s", distinct_kernel, n_parts=n_parts).materialize()
+
+    empty = pa.table({"surface": pa.array([], pa.string()),
+                      "rank_units": pa.array([], pa.int64())})
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate(
+            [np.asarray(t["s"].to_pylist(), dtype=object),
+             np.asarray(t["o"].to_pylist(), dtype=object)]))
+        return pa.table({"v": pa.array(u, pa.string())})
+
+    vt = collect_table(ed.map_batches(vocab_partial, batch_format="pyarrow",
+                                      batch_size=None))
+    if vt.num_rows == 0 or "v" not in vt.column_names:
+        return rd.from_arrow(empty)
+    vocab = np.unique(np.asarray(vt["v"].to_pylist(), dtype=object))
+
+    class Encode:
+        # task-pool callable instance: the sorted vocabulary deserializes
+        # once per worker (CLAUDE.md: the cheapest small-broadcast ship)
+        def __init__(self, vocab_: np.ndarray):
+            self.vocab = vocab_
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            s = np.asarray(t["s"].to_pylist(), dtype=object)
+            o = np.asarray(t["o"].to_pylist(), dtype=object)
+            return pa.table({
+                "u": pa.array(np.searchsorted(self.vocab, s), pa.int64()),
+                "v": pa.array(np.searchsorted(self.vocab, o), pa.int64())})
+
+    ranks = pagerank_exact(
+        ed.map_batches(Encode(vocab), batch_format="pyarrow",
+                       batch_size=None),
+        src_col="u", dst_col="v", n_iter=n_iter, scale=scale,
+        n_parts=n_parts)
+    rt = collect_table(ranks)  # vocabulary-sized (documented small side)
+    if rt.num_rows == 0 or "node" not in rt.column_names:
+        return rd.from_arrow(empty)
+    node = rt["node"].to_numpy(zero_copy_only=False)
+    return rd.from_arrow(pa.table({
+        "surface": pa.array(vocab[node], pa.string()),
+        "rank_units": rt["rank_units"]}))
+
+
 LPA_EXACT_ROUNDS = 5
 
 

@@ -471,6 +471,54 @@ def test_pagerank_exact_matches_python_reference(ray_session):
     assert 0 < sum(want.values()) <= PR_EXACT_SCALE
 
 
+def test_surface_pagerank_exact_matches_python_reference(ray_session):
+    """String-keyed exact PageRank: ranks must equal the pure-Python
+    int64 fold over the surface graph regardless of id assignment
+    (relabeling invariance — the property that lets each engine use its
+    own dense ids), with duplicate edges deduped and the inner rounds
+    forced through BOTH size-adaptive paths."""
+    from sema_ray.graph import PR_EXACT_SCALE, surface_pagerank_exact
+    import sema_ray.graph as G
+
+    rng = np.random.default_rng(23)
+    names = [f"Ent{i:02d}" for i in range(40)]
+    raw = [(names[a], names[b])
+           for a, b in rng.integers(0, 40, (300, 2)) if a != b]
+    edges = raw + raw[:50]  # duplicates must not double-count
+
+    def ref(E, K=5, S=PR_EXACT_SCALE):
+        E = sorted(set(E))
+        nodes = sorted({x for e in E for x in e})
+        n = len(nodes)
+        deg = {x: 0 for x in nodes}
+        for a, _ in E:
+            deg[a] += 1
+        r = {x: S // n for x in nodes}
+        base = (15 * S) // (100 * n)
+        for _ in range(K):
+            nr = {x: base for x in nodes}
+            for a, b in E:
+                nr[b] += (r[a] * 85) // (100 * deg[a])
+            r = nr
+        return r
+
+    want = ref(edges)
+    tbl = pa.table({"subj": pa.array([a for a, _ in edges], pa.string()),
+                    "obj": pa.array([b for _, b in edges], pa.string())})
+    got = {r["surface"]: r["rank_units"]
+           for r in surface_pagerank_exact(rd.from_arrow(tbl)).take_all()}
+    assert got == want
+    old = G.PR_LOCAL_MAX_EDGES
+    G.PR_LOCAL_MAX_EDGES = 0
+    try:
+        got_dist = {r["surface"]: r["rank_units"]
+                    for r in surface_pagerank_exact(
+                        rd.from_arrow(tbl), n_parts=8).take_all()}
+    finally:
+        G.PR_LOCAL_MAX_EDGES = old
+    assert got_dist == want
+
+
 def test_lpa_fixed_rounds_match_python_reference(ray_session):
     """Fixed-round LPA (early_stop=False): local and forced-distributed
     paths must BOTH equal the pure-Python synchronous fold exactly — the
