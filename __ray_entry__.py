@@ -272,6 +272,46 @@ def _kg_oracle_sqls() -> dict[str, str]:
         FROM r5 JOIN ids ON ids.nid = r5.node""")
     out["kg_surface_pagerank"] = "".join(pr_parts)
 
+    # Fixed-round LPA over the same surface graph. LPA's smallest-label
+    # tie-break is an id ORDER comparison, so unlike PageRank it is NOT
+    # relabeling-invariant — exactness rests on ROW_NUMBER(ORDER BY
+    # surface) (binary UTF-8) equaling the Ray side's Python code-point
+    # sort, which UTF-8's order-preservation guarantees. Canonical
+    # undirected edges (LEAST/GREATEST, self-loops dropped) mirror
+    # graph._canonical_edges.
+    lpa_parts = [f"""
+        WITH t AS ({triples}),
+        rawed AS (SELECT DISTINCT subj AS su, obj AS ov FROM t),
+        nodes0 AS (SELECT su AS surface FROM rawed
+                   UNION SELECT ov FROM rawed),
+        ids AS (SELECT surface, ROW_NUMBER() OVER (ORDER BY surface) AS nid
+                FROM nodes0),
+        ed AS (SELECT DISTINCT LEAST(a.nid, b.nid) AS lo,
+                               GREATEST(a.nid, b.nid) AS hi
+               FROM rawed JOIN ids a ON a.surface = rawed.su
+                          JOIN ids b ON b.surface = rawed.ov
+               WHERE a.nid <> b.nid),
+        e AS (SELECT lo AS u, hi AS v FROM ed
+              UNION ALL SELECT hi, lo FROM ed),
+        l0 AS (SELECT DISTINCT u AS node, u AS lab FROM e)"""]
+    for k in range(1, 6):
+        lpa_parts.append(f""",
+        v{k} AS (SELECT e.u AS node, l{k - 1}.lab AS lab,
+                        COUNT(*) AS c
+                 FROM e JOIN l{k - 1} ON l{k - 1}.node = e.v
+                 GROUP BY 1, 2),
+        l{k} AS (SELECT node, lab FROM (
+                   SELECT node, lab,
+                          ROW_NUMBER() OVER (PARTITION BY node
+                                             ORDER BY c DESC, lab ASC)
+                              AS rn
+                   FROM v{k}) WHERE rn = 1)""")
+    lpa_parts.append("""
+        SELECT i1.surface AS surface, i2.surface AS community
+        FROM l5 JOIN ids i1 ON i1.nid = l5.node
+                JOIN ids i2 ON i2.nid = l5.lab""")
+    out["kg_surface_communities"] = "".join(lpa_parts)
+
     # The chunker (chunker.py, bit-exact reference port) emits exactly one
     # whole-text chunk per turn when every text is under OVERLAP_SIZE+1
     # bytes (no window split, no tail-overlap quirk, no mid-text newline
@@ -376,6 +416,20 @@ def _kg_surface_pagerank(sf_dir: str):
     t = triples_dataset(read_transcripts(
         _kg_corpus(sf_dir), columns=["conv_id", "turn_idx", "text"]))
     return surface_pagerank_exact(t, src_col="subj", dst_col="obj")
+
+
+def _kg_surface_communities(sf_dir: str):
+    """Fixed-round label propagation over the surface-level triple graph.
+    LPA is NOT relabeling-invariant (smallest-label tie-break is an id
+    ORDER comparison), but Python's code-point sort equals DuckDB's
+    binary UTF-8 collation, so "smallest label" means "lexicographically
+    smallest surface" on both engines and the unrolled-CTE twin is
+    bit-exact (see sema_ray.graph.surface_communities_exact)."""
+    from sema_ray.graph import surface_communities_exact
+    from sema_ray.pipelines.kg import read_transcripts, triples_dataset
+    t = triples_dataset(read_transcripts(
+        _kg_corpus(sf_dir), columns=["conv_id", "turn_idx", "text"]))
+    return surface_communities_exact(t, src_col="subj", dst_col="obj")
 
 
 def _kg_entity_pagerank(sf_dir: str):
@@ -1122,6 +1176,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relabeling invariance gives it the bit-exact twin the
         # permutation-dependent entity-id variant can't have
         "kg_surface_pagerank": _kg_surface_pagerank,
+        # fixed-round LPA over the same surface graph — order-preserving
+        # UTF-8 collation makes the smallest-label tie-break cross-engine
+        # exact even though LPA is not relabeling-invariant
+        "kg_surface_communities": _kg_surface_communities,
         "kg_triangle_count": _kg_triangle_count,
         # k-core decomposition of the purchase co-occurrence graph
         # (iterative peel — pure-Python Seidman oracle in pytest)

@@ -1751,6 +1751,66 @@ def user_cooccurrence_pagerank(sf_dir: str) -> rd.Dataset:
     return pagerank_exact(directed, src_col="u", dst_col="v")
 
 
+def _surface_edges_encode(edges: rd.Dataset, src_col: str, dst_col: str,
+                          n_parts: int
+                          ) -> tuple[rd.Dataset | None, np.ndarray]:
+    """Distinct string-keyed directed pairs, encoded to sorted-vocabulary
+    int64 ids: returns (encoded (u, v) dataset, sorted vocab array), or
+    (None, empty) for an edgeless input. NULL endpoints are dropped (SQL
+    JOIN/DISTINCT semantics). Dedup runs in one keyed shuffle (whole
+    ``src`` groups co-locate, so per-part distinct IS global distinct);
+    the vocabulary is the documented ``canonical_entities`` small side.
+    The vocab's sort order is Python's code-point comparison, which
+    equals DuckDB's binary UTF-8 collation (UTF-8 is order-preserving on
+    code points) — id-ORDER-sensitive consumers (LPA's smallest-label
+    tie-break) stay cross-engine exact, not just relabeling-invariant
+    ones."""
+    from .util import collect_table
+
+    def project(t: pa.Table) -> pa.Table:
+        s, o = t[src_col], t[dst_col]
+        m = pc.and_(pc.is_valid(s), pc.is_valid(o))
+        t = pa.table({"s": s, "o": o}).filter(m)
+        # per-block pre-distinct: the shuffle ships distinct pairs only
+        return t.group_by(["s", "o"]).aggregate([])
+
+    def distinct_kernel(g: pa.Table) -> pa.Table:
+        return g.group_by(["s", "o"]).aggregate([])
+
+    ed = keyed_part_kernel(
+        edges.map_batches(project, batch_format="pyarrow",
+                          batch_size=None),
+        "s", distinct_kernel, n_parts=n_parts).materialize()
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate(
+            [np.asarray(t["s"].to_pylist(), dtype=object),
+             np.asarray(t["o"].to_pylist(), dtype=object)]))
+        return pa.table({"v": pa.array(u, pa.string())})
+
+    vt = collect_table(ed.map_batches(vocab_partial, batch_format="pyarrow",
+                                      batch_size=None))
+    if vt.num_rows == 0 or "v" not in vt.column_names:
+        return None, np.empty(0, dtype=object)
+    vocab = np.unique(np.asarray(vt["v"].to_pylist(), dtype=object))
+
+    class Encode:
+        # task-pool callable instance: the sorted vocabulary deserializes
+        # once per worker (CLAUDE.md: the cheapest small-broadcast ship)
+        def __init__(self, vocab_: np.ndarray):
+            self.vocab = vocab_
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            s = np.asarray(t["s"].to_pylist(), dtype=object)
+            o = np.asarray(t["o"].to_pylist(), dtype=object)
+            return pa.table({
+                "u": pa.array(np.searchsorted(self.vocab, s), pa.int64()),
+                "v": pa.array(np.searchsorted(self.vocab, o), pa.int64())})
+
+    return ed.map_batches(Encode(vocab), batch_format="pyarrow",
+                          batch_size=None), vocab
+
+
 def surface_pagerank_exact(edges: rd.Dataset, src_col: str = "subj",
                            dst_col: str = "obj", n_iter: int = 5,
                            scale: int = PR_EXACT_SCALE,
@@ -1780,54 +1840,13 @@ def surface_pagerank_exact(edges: rd.Dataset, src_col: str = "subj",
     """
     from .util import collect_table
 
-    def project(t: pa.Table) -> pa.Table:
-        s, o = t[src_col], t[dst_col]
-        m = pc.and_(pc.is_valid(s), pc.is_valid(o))
-        t = pa.table({"s": s, "o": o}).filter(m)
-        # per-block pre-distinct: the shuffle ships distinct pairs only
-        return t.group_by(["s", "o"]).aggregate([])
-
-    def distinct_kernel(g: pa.Table) -> pa.Table:
-        return g.group_by(["s", "o"]).aggregate([])
-
-    ed = keyed_part_kernel(
-        edges.map_batches(project, batch_format="pyarrow",
-                          batch_size=None),
-        "s", distinct_kernel, n_parts=n_parts).materialize()
-
+    enc, vocab = _surface_edges_encode(edges, src_col, dst_col, n_parts)
     empty = pa.table({"surface": pa.array([], pa.string()),
                       "rank_units": pa.array([], pa.int64())})
-
-    def vocab_partial(t: pa.Table) -> pa.Table:
-        u = np.unique(np.concatenate(
-            [np.asarray(t["s"].to_pylist(), dtype=object),
-             np.asarray(t["o"].to_pylist(), dtype=object)]))
-        return pa.table({"v": pa.array(u, pa.string())})
-
-    vt = collect_table(ed.map_batches(vocab_partial, batch_format="pyarrow",
-                                      batch_size=None))
-    if vt.num_rows == 0 or "v" not in vt.column_names:
+    if enc is None:
         return rd.from_arrow(empty)
-    vocab = np.unique(np.asarray(vt["v"].to_pylist(), dtype=object))
-
-    class Encode:
-        # task-pool callable instance: the sorted vocabulary deserializes
-        # once per worker (CLAUDE.md: the cheapest small-broadcast ship)
-        def __init__(self, vocab_: np.ndarray):
-            self.vocab = vocab_
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            s = np.asarray(t["s"].to_pylist(), dtype=object)
-            o = np.asarray(t["o"].to_pylist(), dtype=object)
-            return pa.table({
-                "u": pa.array(np.searchsorted(self.vocab, s), pa.int64()),
-                "v": pa.array(np.searchsorted(self.vocab, o), pa.int64())})
-
-    ranks = pagerank_exact(
-        ed.map_batches(Encode(vocab), batch_format="pyarrow",
-                       batch_size=None),
-        src_col="u", dst_col="v", n_iter=n_iter, scale=scale,
-        n_parts=n_parts)
+    ranks = pagerank_exact(enc, src_col="u", dst_col="v", n_iter=n_iter,
+                           scale=scale, n_parts=n_parts)
     rt = collect_table(ranks)  # vocabulary-sized (documented small side)
     if rt.num_rows == 0 or "node" not in rt.column_names:
         return rd.from_arrow(empty)
@@ -1835,6 +1854,42 @@ def surface_pagerank_exact(edges: rd.Dataset, src_col: str = "subj",
     return rd.from_arrow(pa.table({
         "surface": pa.array(vocab[node], pa.string()),
         "rank_units": rt["rank_units"]}))
+
+
+def surface_communities_exact(edges: rd.Dataset, src_col: str = "subj",
+                              dst_col: str = "obj", n_iter: int = 5,
+                              n_parts: int = 64) -> rd.Dataset:
+    """Fixed-round label propagation over a STRING-keyed edge list,
+    output keyed by surface: (surface, community) where community is the
+    winning member surface.
+
+    Unlike PageRank, LPA is NOT relabeling-invariant — the smallest-
+    label tie-break depends on the id ORDER — so cross-engine exactness
+    rests on both engines sorting surfaces identically:
+    :func:`_surface_edges_encode`'s Python code-point order equals
+    DuckDB's binary UTF-8 collation (UTF-8 preserves code-point order),
+    making "smallest label" = "lexicographically smallest surface" on
+    both sides. Rounds run via :func:`label_propagation`'s size-adaptive
+    paths with ``early_stop=False`` (the fixed-round form the unrolled
+    SQL twin needs); self-loops and duplicate undirected pairs are
+    dropped by its canonicalization."""
+    from .util import collect_table
+
+    enc, vocab = _surface_edges_encode(edges, src_col, dst_col, n_parts)
+    empty = pa.table({"surface": pa.array([], pa.string()),
+                      "community": pa.array([], pa.string())})
+    if enc is None:
+        return rd.from_arrow(empty)
+    labs = label_propagation(enc, a_col="u", b_col="v", n_iter=n_iter,
+                             n_parts=n_parts, early_stop=False)
+    lt = collect_table(labs)  # vocabulary-sized (documented small side)
+    if lt.num_rows == 0 or "node" not in lt.column_names:
+        return rd.from_arrow(empty)
+    node = lt["node"].to_numpy(zero_copy_only=False)
+    com = lt["community"].to_numpy(zero_copy_only=False)
+    return rd.from_arrow(pa.table({
+        "surface": pa.array(vocab[node], pa.string()),
+        "community": pa.array(vocab[com], pa.string())}))
 
 
 LPA_EXACT_ROUNDS = 5

@@ -519,6 +519,73 @@ def test_surface_pagerank_exact_matches_python_reference(ray_session):
     assert got_dist == want
 
 
+def test_surface_communities_exact_matches_python_reference(ray_session):
+    """String-keyed fixed-round LPA: must equal the pure-Python
+    synchronous fold with "smallest label" = lexicographically smallest
+    surface, through both size-adaptive paths, with duplicate and
+    self-loop edges present and non-ASCII surfaces in the vocabulary
+    (the id ORDER is load-bearing here — LPA is not
+    relabeling-invariant)."""
+    from sema_ray.graph import surface_communities_exact
+    import sema_ray.graph as G
+
+    rng = np.random.default_rng(31)
+    names = [f"Ent{i:02d}" for i in range(30)] + ["Zürich", "Ωmega", "İst"]
+    raw = [(names[a], names[b])
+           for a, b in rng.integers(0, len(names), (220, 2))]
+    edges = raw + raw[:40]  # dups + whatever self-loops the rng produced
+
+    def ref(E, K=5):
+        und = sorted({(min(a, b), max(a, b)) for a, b in E if a != b})
+        nbr: dict[str, list[str]] = {}
+        for a, b in und:
+            nbr.setdefault(a, []).append(b)
+            nbr.setdefault(b, []).append(a)
+        lab = {x: x for x in nbr}
+        for _ in range(K):
+            new = {}
+            for x, ns in nbr.items():
+                cnt: dict[str, int] = {}
+                for y in ns:
+                    cnt[lab[y]] = cnt.get(lab[y], 0) + 1
+                new[x] = min(cnt, key=lambda l: (-cnt[l], l))
+            lab = new
+        return lab
+
+    want = ref(edges)
+    tbl = pa.table({"subj": pa.array([a for a, _ in edges], pa.string()),
+                    "obj": pa.array([b for _, b in edges], pa.string())})
+    got = {r["surface"]: r["community"]
+           for r in surface_communities_exact(rd.from_arrow(tbl))
+           .take_all()}
+    assert got == want
+    old = G.LPA_LOCAL_MAX_EDGES
+    G.LPA_LOCAL_MAX_EDGES = 0
+    try:
+        got_dist = {r["surface"]: r["community"]
+                    for r in surface_communities_exact(
+                        rd.from_arrow(tbl), n_parts=8).take_all()}
+    finally:
+        G.LPA_LOCAL_MAX_EDGES = old
+    assert got_dist == want
+
+
+def test_python_sort_matches_duckdb_collation():
+    """The cross-engine exactness of surface_communities_exact rests on
+    Python's code-point sort equaling DuckDB's binary UTF-8 ORDER BY —
+    pin it on hostile surfaces (case boundary, Latin-1, combining,
+    ligature, dotted-İ, supplementary plane)."""
+    import duckdb
+
+    vals = ["Z", "a", "É", "Zürich", "Ωmega", "İst", "ﬀoo", "😀grin",
+            "éclair", "éclair", "A", "zz", ""]
+    rows = ",".join(f"(?)" for _ in vals)
+    got = [r[0] for r in duckdb.connect().execute(
+        f"SELECT s FROM (VALUES {rows}) AS t(s) ORDER BY s",
+        vals).fetchall()]
+    assert got == sorted(vals)
+
+
 def test_lpa_fixed_rounds_match_python_reference(ray_session):
     """Fixed-round LPA (early_stop=False): local and forced-distributed
     paths must BOTH equal the pure-Python synchronous fold exactly — the
