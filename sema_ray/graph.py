@@ -1751,19 +1751,38 @@ def user_cooccurrence_pagerank(sf_dir: str) -> rd.Dataset:
     return pagerank_exact(directed, src_col="u", dst_col="v")
 
 
+# Above this many DISTINCT (src, dst) surface pairs the sorted
+# vocabulary (<= 2x pairs) stops being a driver-side small side and the
+# id assignment switches to the distributed dense rank.
+SURFACE_VOCAB_LOCAL_MAX = 2_000_000
+
+
 def _surface_edges_encode(edges: rd.Dataset, src_col: str, dst_col: str,
-                          n_parts: int
-                          ) -> tuple[rd.Dataset | None, np.ndarray]:
+                          n_parts: int,
+                          local_max_vocab: int | None = None
+                          ) -> tuple[rd.Dataset | None,
+                                     np.ndarray | None,
+                                     rd.Dataset | None]:
     """Distinct string-keyed directed pairs, encoded to sorted-vocabulary
-    int64 ids: returns (encoded (u, v) dataset, sorted vocab array), or
-    (None, empty) for an edgeless input. NULL endpoints are dropped (SQL
-    JOIN/DISTINCT semantics). Dedup runs in one keyed shuffle (whole
-    ``src`` groups co-locate, so per-part distinct IS global distinct);
-    the vocabulary is the documented ``canonical_entities`` small side.
-    The vocab's sort order is Python's code-point comparison, which
-    equals DuckDB's binary UTF-8 collation (UTF-8 is order-preserving on
-    code points) — id-ORDER-sensitive consumers (LPA's smallest-label
-    tie-break) stay cross-engine exact, not just relabeling-invariant
+    int64 ids: returns ``(encoded (u, v) dataset, vocab array | None,
+    ids dataset | None)`` — exactly one of the last two is set — or
+    ``(None, None, None)`` for an edgeless input. NULL endpoints are
+    dropped (SQL JOIN/DISTINCT semantics). Dedup runs in one keyed
+    shuffle (whole ``src`` groups co-locate, so per-part distinct IS
+    global distinct).
+
+    Size-adaptive (``SURFACE_VOCAB_LOCAL_MAX`` distinct pairs as the
+    vocabulary proxy): below it the sorted vocabulary ships in task
+    closures (the ``canonical_entities`` small-side shape) and callers
+    decode via driver indexing; above it ids come from
+    :func:`_surface_ids_dense` — a distributed dense rank — edges encode
+    through two keyed tagged-union joins, and callers decode by joining
+    the returned (surface, nid) DATASET, so no vocabulary-sized driver
+    state exists anywhere. Both orders are "sorted by surface": Python's
+    code-point comparison equals DuckDB's binary UTF-8 collation and
+    Ray's Arrow sort (UTF-8 is order-preserving on code points), so
+    id-ORDER-sensitive consumers (LPA's smallest-label tie-break) stay
+    cross-engine exact on either path, not just relabeling-invariant
     ones."""
     from .util import collect_table
 
@@ -1782,6 +1801,14 @@ def _surface_edges_encode(edges: rd.Dataset, src_col: str, dst_col: str,
                           batch_size=None),
         "s", distinct_kernel, n_parts=n_parts).materialize()
 
+    limit = SURFACE_VOCAB_LOCAL_MAX if local_max_vocab is None \
+        else local_max_vocab
+    if ed.count() > limit:
+        ids = _surface_ids_dense(ed, n_parts)
+        if ids is None:
+            return None, None, None
+        return _encode_edges_by_join(ed, ids, n_parts), None, ids
+
     def vocab_partial(t: pa.Table) -> pa.Table:
         u = np.unique(np.concatenate(
             [np.asarray(t["s"].to_pylist(), dtype=object),
@@ -1791,7 +1818,7 @@ def _surface_edges_encode(edges: rd.Dataset, src_col: str, dst_col: str,
     vt = collect_table(ed.map_batches(vocab_partial, batch_format="pyarrow",
                                       batch_size=None))
     if vt.num_rows == 0 or "v" not in vt.column_names:
-        return None, np.empty(0, dtype=object)
+        return None, None, None
     vocab = np.unique(np.asarray(vt["v"].to_pylist(), dtype=object))
 
     class Encode:
@@ -1808,13 +1835,151 @@ def _surface_edges_encode(edges: rd.Dataset, src_col: str, dst_col: str,
                 "v": pa.array(np.searchsorted(self.vocab, o), pa.int64())})
 
     return ed.map_batches(Encode(vocab), batch_format="pyarrow",
-                          batch_size=None), vocab
+                          batch_size=None), vocab, None
+
+
+def _surface_ids_dense(ed: rd.Dataset, n_parts: int) -> rd.Dataset | None:
+    """Distributed dense rank over the distinct endpoint surfaces of a
+    (s, o) pair dataset: (surface, nid) with nid = 0-based position in
+    the globally sorted vocabulary. One keyed shuffle for the distinct,
+    one range sort, then per-block id assignment from a
+    BLOCK-COUNT-sized driver table: each sorted block contributes
+    (first surface, row count), the driver prefix-sums the counts in
+    first-surface order (block ranges are disjoint over distinct values,
+    so firsts are unique), and a second per-block pass adds
+    ``offset + arange(n)``. The driver never holds a vocabulary-sized
+    structure — only one row per block."""
+    from .util import collect_table
+
+    def nodes_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate(
+            [np.asarray(t["s"].to_pylist(), dtype=object),
+             np.asarray(t["o"].to_pylist(), dtype=object)]))
+        return pa.table({"v": pa.array(u, pa.string())})
+
+    def distinct_kernel(g: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(g["v"].to_pylist(), dtype=object))
+        return pa.table({"v": pa.array(u, pa.string())})
+
+    nodes = keyed_part_kernel(
+        ed.map_batches(nodes_partial, batch_format="pyarrow",
+                       batch_size=None),
+        "v", distinct_kernel, n_parts=n_parts)
+    snodes = nodes.sort("v").materialize()
+
+    def head_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # sort-shuffle emits mostly-empty blocks
+            return pa.table({"first": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"first": t["v"][:1],
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    ht = collect_table(snodes.map_batches(head_partial,
+                                          batch_format="pyarrow",
+                                          batch_size=None))
+    if ht.num_rows == 0 or "first" not in ht.column_names:
+        return None
+    firsts = np.asarray(ht["first"].to_pylist(), dtype=object)
+    ns = ht["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(firsts, kind="stable")
+    starts = np.r_[0, np.cumsum(ns[order])[:-1]]
+    offsets = {firsts[i]: int(off) for i, off in zip(order, starts)}
+
+    class AssignIds:
+        def __init__(self, offsets_: dict):
+            self.offsets = offsets_
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"surface": pa.array([], pa.string()),
+                                 "nid": pa.array([], pa.int64())})
+            off = self.offsets[t["v"][0].as_py()]
+            return pa.table({
+                "surface": t["v"],
+                "nid": pa.array(off + np.arange(t.num_rows), pa.int64())})
+
+    return snodes.map_batches(AssignIds(offsets), batch_format="pyarrow",
+                              batch_size=None).materialize()
+
+
+def _resolve_by_join(rows: rd.Dataset, key_col: str, ids: rd.Dataset,
+                     ids_key: str, ids_val: str, out_col: str,
+                     n_parts: int) -> rd.Dataset:
+    """Replace ``rows[key_col]`` with its ``ids`` lookup value via one
+    keyed tagged-union shuffle (the vote_kernel join idiom): all rows of
+    a key co-locate with that key's single ids row, the kernel
+    searchsorteds the lookups, and only resolved rows are emitted (ids
+    rows with no matching input vanish — inner-join semantics). Carried
+    columns pass through untouched."""
+    r_schema = rows.schema()  # ray Schema: parallel .names / .types
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    carried = [c for c in r_schema.names if c != key_col]
+    i_schema = ids.schema()
+    i_types = dict(zip(i_schema.names, i_schema.types))
+    fields = [("k", r_types[key_col])]
+    fields += [(c, r_types[c]) for c in carried]
+    fields += [("_val", i_types[ids_val])]
+    schema = pa.schema(fields)
+
+    def tag_rows(t: pa.Table) -> pa.Table:
+        cols = {"k": t[key_col]}
+        for c in carried:
+            cols[c] = t[c]
+        cols["_val"] = pa.nulls(t.num_rows, schema.field("_val").type)
+        return pa.table(cols, schema=schema)
+
+    def tag_ids(t: pa.Table) -> pa.Table:
+        cols = {"k": t[ids_key]}
+        for c in carried:
+            cols[c] = pa.nulls(t.num_rows, schema.field(c).type)
+        cols["_val"] = t[ids_val]
+        return pa.table(cols, schema=schema)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        im = pc.is_valid(g["_val"])
+        idt = g.filter(im)
+        rt = g.filter(pc.invert(im))
+        out_t = schema.field("_val").type
+        if rt.num_rows == 0 or idt.num_rows == 0:
+            return pa.table(
+                {out_col: pa.array([], out_t),
+                 **{c: pa.array([], schema.field(c).type)
+                    for c in carried}})
+        if pa.types.is_integer(schema.field("k").type):
+            ik = idt["k"].to_numpy(zero_copy_only=False)
+            rk = rt["k"].to_numpy(zero_copy_only=False)
+        else:
+            ik = np.asarray(idt["k"].to_pylist(), dtype=object)
+            rk = np.asarray(rt["k"].to_pylist(), dtype=object)
+        order = np.argsort(ik, kind="stable")
+        ik = ik[order]
+        vals = idt["_val"].take(pa.array(order))
+        resolved = vals.take(pa.array(np.searchsorted(ik, rk)))
+        return pa.table({out_col: resolved,
+                         **{c: rt[c] for c in carried}})
+
+    tagged = rows.map_batches(tag_rows, batch_format="pyarrow",
+                              batch_size=None).union(
+        ids.map_batches(tag_ids, batch_format="pyarrow", batch_size=None))
+    return keyed_part_kernel(tagged, "k", kernel, n_parts=n_parts)
+
+
+def _encode_edges_by_join(ed: rd.Dataset, ids: rd.Dataset,
+                          n_parts: int) -> rd.Dataset:
+    """(s, o) string pairs -> (u, v) int64 pairs via two keyed lookup
+    shuffles against the (surface, nid) dataset — no vocabulary leaves
+    the cluster."""
+    half = _resolve_by_join(ed, "s", ids, "surface", "nid", "u", n_parts)
+    return _resolve_by_join(half, "o", ids, "surface", "nid", "v",
+                            n_parts).materialize()
 
 
 def surface_pagerank_exact(edges: rd.Dataset, src_col: str = "subj",
                            dst_col: str = "obj", n_iter: int = 5,
                            scale: int = PR_EXACT_SCALE,
-                           n_parts: int = 64) -> rd.Dataset:
+                           n_parts: int = 64,
+                           local_max_vocab: int | None = None
+                           ) -> rd.Dataset:
     """Integer-exact PageRank over a STRING-keyed directed edge list,
     output keyed by surface: (surface, rank_units) int64.
 
@@ -1829,24 +1994,28 @@ def surface_pagerank_exact(edges: rd.Dataset, src_col: str = "subj",
     collision merges two nodes (the dedup-family blocking-key caveat,
     ``dedup._text_bucket64``), so ids come from the vocabulary instead.
 
-    Scale boundary: edges dedup in one keyed shuffle (whole ``src``
-    groups co-locate, so per-part distinct IS global distinct); the
-    surface vocabulary is collected to the driver for id assignment —
-    the same documented small side as ``canonical_entities``
-    (vocabulary ≪ corpus). Past driver memory the id step would become
-    a distributed dense rank (sort + per-block offset prefix sums);
-    the rounds themselves already run via :func:`pagerank_exact`'s
-    size-adaptive paths.
+    Size-adaptive like everything in this family: below
+    ``SURFACE_VOCAB_LOCAL_MAX`` distinct pairs the vocabulary ships in
+    task closures and the decode is driver indexing; above it the id
+    assignment is the distributed dense rank
+    (:func:`_surface_ids_dense`) and encode/decode are keyed lookup
+    shuffles — no vocabulary-sized state anywhere on the driver. The
+    rounds themselves run via :func:`pagerank_exact`'s own
+    size-adaptive paths on either branch.
     """
     from .util import collect_table
 
-    enc, vocab = _surface_edges_encode(edges, src_col, dst_col, n_parts)
+    enc, vocab, ids = _surface_edges_encode(edges, src_col, dst_col,
+                                            n_parts, local_max_vocab)
     empty = pa.table({"surface": pa.array([], pa.string()),
                       "rank_units": pa.array([], pa.int64())})
     if enc is None:
         return rd.from_arrow(empty)
     ranks = pagerank_exact(enc, src_col="u", dst_col="v", n_iter=n_iter,
                            scale=scale, n_parts=n_parts)
+    if ids is not None:
+        return _resolve_by_join(ranks, "node", ids, "nid", "surface",
+                                "surface", n_parts)
     rt = collect_table(ranks)  # vocabulary-sized (documented small side)
     if rt.num_rows == 0 or "node" not in rt.column_names:
         return rd.from_arrow(empty)
@@ -1858,7 +2027,9 @@ def surface_pagerank_exact(edges: rd.Dataset, src_col: str = "subj",
 
 def surface_communities_exact(edges: rd.Dataset, src_col: str = "subj",
                               dst_col: str = "obj", n_iter: int = 5,
-                              n_parts: int = 64) -> rd.Dataset:
+                              n_parts: int = 64,
+                              local_max_vocab: int | None = None
+                              ) -> rd.Dataset:
     """Fixed-round label propagation over a STRING-keyed edge list,
     output keyed by surface: (surface, community) where community is the
     winning member surface.
@@ -1875,13 +2046,19 @@ def surface_communities_exact(edges: rd.Dataset, src_col: str = "subj",
     dropped by its canonicalization."""
     from .util import collect_table
 
-    enc, vocab = _surface_edges_encode(edges, src_col, dst_col, n_parts)
+    enc, vocab, ids = _surface_edges_encode(edges, src_col, dst_col,
+                                            n_parts, local_max_vocab)
     empty = pa.table({"surface": pa.array([], pa.string()),
                       "community": pa.array([], pa.string())})
     if enc is None:
         return rd.from_arrow(empty)
     labs = label_propagation(enc, a_col="u", b_col="v", n_iter=n_iter,
                              n_parts=n_parts, early_stop=False)
+    if ids is not None:
+        half = _resolve_by_join(labs, "community", ids, "nid", "surface",
+                                "community", n_parts)
+        return _resolve_by_join(half, "node", ids, "nid", "surface",
+                                "surface", n_parts)
     lt = collect_table(labs)  # vocabulary-sized (documented small side)
     if lt.num_rows == 0 or "node" not in lt.column_names:
         return rd.from_arrow(empty)

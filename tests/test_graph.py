@@ -514,9 +514,16 @@ def test_surface_pagerank_exact_matches_python_reference(ray_session):
         got_dist = {r["surface"]: r["rank_units"]
                     for r in surface_pagerank_exact(
                         rd.from_arrow(tbl), n_parts=8).take_all()}
+        # fully past-driver-memory: distributed dense-rank ids + join
+        # encode/decode AND distributed inner rounds
+        got_ids = {r["surface"]: r["rank_units"]
+                   for r in surface_pagerank_exact(
+                       rd.from_arrow(tbl), n_parts=8,
+                       local_max_vocab=0).take_all()}
     finally:
         G.PR_LOCAL_MAX_EDGES = old
     assert got_dist == want
+    assert got_ids == want
 
 
 def test_surface_communities_exact_matches_python_reference(ray_session):
@@ -565,9 +572,17 @@ def test_surface_communities_exact_matches_python_reference(ray_session):
         got_dist = {r["surface"]: r["community"]
                     for r in surface_communities_exact(
                         rd.from_arrow(tbl), n_parts=8).take_all()}
+        # fully past-driver-memory: distributed dense-rank ids + join
+        # encode/decode AND distributed LPA rounds (id ORDER must
+        # survive the dense rank — it does, both are sorted-by-surface)
+        got_ids = {r["surface"]: r["community"]
+                   for r in surface_communities_exact(
+                       rd.from_arrow(tbl), n_parts=8,
+                       local_max_vocab=0).take_all()}
     finally:
         G.LPA_LOCAL_MAX_EDGES = old
     assert got_dist == want
+    assert got_ids == want
 
 
 def test_python_sort_matches_duckdb_collation():
