@@ -242,7 +242,9 @@ def _kg_oracle_sqls() -> dict[str, str]:
     # ids (ROW_NUMBER over sorted surfaces) while the Ray side uses the
     # sorted-vocabulary index — the per-surface ranks agree bit-exactly
     # (the _pagerank_exact_sql shape over a directed string-keyed graph).
-    pr_scale = 10**12
+    from sema_ray.graph import (LPA_EXACT_ROUNDS, PR_EXACT_ROUNDS,
+                                PR_EXACT_SCALE)
+    pr_scale = PR_EXACT_SCALE
     pr_parts = [f"""
         WITH t AS ({triples}),
         ed AS (SELECT DISTINCT subj AS su, obj AS ov FROM t),
@@ -256,7 +258,7 @@ def _kg_oracle_sqls() -> dict[str, str]:
         nn AS (SELECT COUNT(*) AS n FROM ids),
         r0 AS (SELECT nid AS node, CAST({pr_scale} // nn.n AS BIGINT) AS r
                FROM ids, nn)"""]
-    for k in range(1, 6):
+    for k in range(1, PR_EXACT_ROUNDS + 1):
         pr_parts.append(f""",
         c{k} AS (SELECT e.v AS node,
                         SUM((r{k - 1}.r * 85) // (100 * d.d)) AS s
@@ -267,9 +269,10 @@ def _kg_oracle_sqls() -> dict[str, str]:
                         CAST((15 * {pr_scale}) // (100 * nn.n)
                              + COALESCE(c{k}.s, 0) AS BIGINT) AS r
                  FROM r{k - 1} LEFT JOIN c{k} USING (node), nn)""")
-    pr_parts.append("""
-        SELECT ids.surface, r5.r AS rank_units
-        FROM r5 JOIN ids ON ids.nid = r5.node""")
+    pr_parts.append(f"""
+        SELECT ids.surface, r{PR_EXACT_ROUNDS}.r AS rank_units
+        FROM r{PR_EXACT_ROUNDS} JOIN ids
+          ON ids.nid = r{PR_EXACT_ROUNDS}.node""")
     out["kg_surface_pagerank"] = "".join(pr_parts)
 
     # Fixed-round LPA over the same surface graph. LPA's smallest-label
@@ -294,7 +297,7 @@ def _kg_oracle_sqls() -> dict[str, str]:
         e AS (SELECT lo AS u, hi AS v FROM ed
               UNION ALL SELECT hi, lo FROM ed),
         l0 AS (SELECT DISTINCT u AS node, u AS lab FROM e)"""]
-    for k in range(1, 6):
+    for k in range(1, LPA_EXACT_ROUNDS + 1):
         lpa_parts.append(f""",
         v{k} AS (SELECT e.u AS node, l{k - 1}.lab AS lab,
                         COUNT(*) AS c
@@ -306,10 +309,11 @@ def _kg_oracle_sqls() -> dict[str, str]:
                                              ORDER BY c DESC, lab ASC)
                               AS rn
                    FROM v{k}) WHERE rn = 1)""")
-    lpa_parts.append("""
+    lpa_parts.append(f"""
         SELECT i1.surface AS surface, i2.surface AS community
-        FROM l5 JOIN ids i1 ON i1.nid = l5.node
-                JOIN ids i2 ON i2.nid = l5.lab""")
+        FROM l{LPA_EXACT_ROUNDS} JOIN ids i1
+          ON i1.nid = l{LPA_EXACT_ROUNDS}.node
+        JOIN ids i2 ON i2.nid = l{LPA_EXACT_ROUNDS}.lab""")
     out["kg_surface_communities"] = "".join(lpa_parts)
 
     # The chunker (chunker.py, bit-exact reference port) emits exactly one
@@ -874,13 +878,17 @@ def _contamination_sql() -> str:
     """
 
 
-def _pagerank_exact_sql(n_iter: int = 5, scale: int = 10**12) -> str:
+def _pagerank_exact_sql(n_iter: int | None = None,
+                        scale: int | None = None) -> str:
     """Unrolled per-round CTEs for :func:`sema_ray.graph.pagerank_exact`
     over the purchase co-occurrence graph — every op is int64 floor
     arithmetic (``//``), so the ranks match the Ray side bit-exactly (the
     float pagerank's sums are association-dependent and can never have
     this twin; CLAUDE.md cross-engine trap #2). Recursive CTEs can't
     aggregate over their own recursive reference, hence the unroll."""
+    from sema_ray.graph import PR_EXACT_ROUNDS, PR_EXACT_SCALE
+    n_iter = PR_EXACT_ROUNDS if n_iter is None else n_iter
+    scale = PR_EXACT_SCALE if scale is None else scale
     base = f"(15 * {scale}) // (100 * nn.n)"
     parts = [f"""
         WITH ed AS (
@@ -912,7 +920,7 @@ def _pagerank_exact_sql(n_iter: int = 5, scale: int = 10**12) -> str:
     return "".join(parts)
 
 
-def _lpa_exact_sql(n_iter: int = 5) -> str:
+def _lpa_exact_sql(n_iter: int | None = None) -> str:
     """Unrolled per-round CTEs for fixed-round label propagation
     (:func:`sema_ray.graph.user_cooccurrence_communities_exact`) over the
     purchase co-occurrence graph. LPA is all-integer by construction —
@@ -921,6 +929,8 @@ def _lpa_exact_sql(n_iter: int = 5) -> str:
     round count (``early_stop=False``) makes the assignment bit-exact
     across engines; only the early-stop oscillation detection of the
     default variant is SQL-inexpressible, not the update itself."""
+    from sema_ray.graph import LPA_EXACT_ROUNDS
+    n_iter = LPA_EXACT_ROUNDS if n_iter is None else n_iter
     parts = ["""
         WITH ed AS (
           SELECT DISTINCT LEAST(a.user_id, b.user_id) AS lo,
@@ -1027,6 +1037,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample_meta": multimodal.frame_sample_meta,
         "user_cooccurrence_triangles":
             graph.purchase_cooccurrence_triangles,
+        # per-node triangle participation over the same graph (exact
+        # integer counts — the local-clustering-coefficient numerator)
+        "user_cooccurrence_node_triangles":
+            graph.user_cooccurrence_node_triangles,
         # --- file-format sources (JSONL / CSV shards, sources/files.py) ---
         "jsonl_lang_stats": _jsonl_lang_stats,
         "csv_event_type_hours": _csv_event_type_hours,
@@ -1417,6 +1431,30 @@ def oracle_sql() -> dict[str, str]:
             FROM ed e1
             JOIN ed e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
             JOIN ed e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+        """,
+        # per-node triangle participation: each triangle from the same
+        # oriented triple join credits all three corners (UNION ALL),
+        # grouped per node — only nodes in >= 1 triangle appear, matching
+        # the Ray side's convention
+        "user_cooccurrence_node_triangles": """
+            WITH ed AS (
+              SELECT DISTINCT LEAST(a.user_id, b.user_id) AS lo,
+                              GREATEST(a.user_id, b.user_id) AS hi
+              FROM events a JOIN events b
+                ON a.event_type = b.event_type
+               AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+               AND a.user_id < b.user_id
+              WHERE a.event_type = 'purchase'),
+            tri AS (
+              SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+              FROM ed e1
+              JOIN ed e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+              JOIN ed e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM (SELECT a AS node FROM tri
+                  UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+            GROUP BY node
         """,
         # bit-exact integer PageRank over the same co-occurrence edges
         # (unrolled rounds; associativity of int64 sums is what makes a

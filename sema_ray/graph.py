@@ -603,13 +603,18 @@ TRIANGLE_LOCAL_MAX_EDGES = 2_000_000
 _WEDGE_CHUNK_PAIRS = 16_000_000
 
 
-def _local_triangles(u: np.ndarray, v: np.ndarray) -> int:
-    """Driver-local exact count with the same kernels as the distributed
-    path: canonical dedup, (degree, id) orientation, segmented wedge pairs
-    (chunked by source segments), rank-encoded membership."""
+def _local_matched_wedges(u: np.ndarray, v: np.ndarray):
+    """Driver-local matched-wedge chunks — the shared core of
+    :func:`_local_triangles` and :func:`_local_node_triangles`: canonical
+    dedup, (degree, id) orientation, segmented wedge pairs (chunked so at
+    most ``_WEDGE_CHUNK_PAIRS`` candidates materialize at once),
+    rank-encoded membership. Yields ``(nodes, s, v, w)`` per chunk: the
+    sorted node vocabulary plus the corner node-index arrays of every
+    matched wedge (each one triangle, counted exactly once because wedges
+    come from the degree-orientation)."""
     u, v = _dedup_pairs(u, v)
     if len(u) == 0:
-        return 0
+        return
     nodes = np.unique(np.concatenate([u, v]))
     n = len(nodes)
     iu = np.searchsorted(nodes, u)
@@ -629,53 +634,63 @@ def _local_triangles(u: np.ndarray, v: np.ndarray) -> int:
                        len(src)]
     seg_lens = np.diff(seg_bounds)
     pair_csum = np.cumsum(seg_lens * (seg_lens - 1) // 2)
-    n_tri, s = 0, 0
+    s = 0
     while s < len(seg_lens):
         base = pair_csum[s - 1] if s else 0
         e = max(int(np.searchsorted(pair_csum, base + _WEDGE_CHUNK_PAIRS)),
                 s) + 1
         e = min(e, len(seg_lens))
         rows = slice(seg_bounds[s], seg_bounds[e])
-        wv, ww = _segmented_pairs(dst[rows], seg_lens[s:e])
+        sl = seg_lens[s:e]
+        wv, ww = _segmented_pairs(dst[rows], sl)
         if len(wv):
             key = wv.astype(np.int64) * n + ww
             pos = np.searchsorted(ek, key)
             pos[pos == len(ek)] = 0
-            n_tri += int((ek[pos] == key).sum())
+            hit = ek[pos] == key
+            if hit.any():
+                # pairs are contiguous per segment, so the per-pair
+                # source is one repeat of the segment heads
+                ws = np.repeat(src[seg_bounds[s:e]], sl * (sl - 1) // 2)
+                yield nodes, ws[hit], wv[hit], ww[hit]
         s = e
-    return n_tri
 
 
-def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
-                   n_parts: int = 64,
-                   local_max_edges: int | None = None) -> rd.Dataset:
-    """EXACT triangle count over an undirected edge list.
+def _local_triangles(u: np.ndarray, v: np.ndarray) -> int:
+    """Driver-local exact global count over the shared matched-wedge
+    kernels (:func:`_local_matched_wedges`)."""
+    return sum(len(wv) for _, _, wv, _ in _local_matched_wedges(u, v))
 
-    Size-adaptive: below ``local_max_edges`` (default
-    ``TRIANGLE_LOCAL_MAX_EDGES``) the per-block-deduped pairs are collected
-    and counted on the driver with the same vectorized kernels — three
-    keyed shuffles of fixed actor cost buy nothing on a small graph. The
-    scale path above the threshold (every step a bounded-part shuffle or a
-    per-block partial):
 
-    1. canonicalize to (lo, hi), drop self-loops, global dedup inside ONE
-       keyed shuffle (a canonical pair lives wholly in its lo-partition);
-    2. node degrees as per-block partials folded on the driver — the node
-       vocabulary is the small side by construction (same boundary as
-       :func:`pagerank`; for node sets past driver memory the degree fold
-       and the orientation lookup become a groupby + broadcast join, the
-       edge/wedge passes are unchanged);
-    3. orient each edge from its lower-(degree, id) endpoint — out-degrees
-       are then O(sqrt(m)), so the wedge set is <= m^1.5 total;
-    4. wedges (ordered out-neighbor pairs per source) via one keyed shuffle
-       on the source, emitted with a pair-hash partition key;
-    5. exact membership count per pair-hash partition: rank-encode node ids
-       inside the partition so each (v, w) packs into one int64 and the
-       match is a single ``searchsorted`` — hash collisions land in the
-       same partition and are resolved exactly.
+def _local_node_triangles(u: np.ndarray, v: np.ndarray
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-local per-node triangle participation counts — each matched
+    wedge from the shared kernels credits all three corners. Returns
+    (nodes, counts) restricted to nodes in >= 1 triangle (the SQL
+    join-output convention)."""
+    nodes = counts = None
+    for nds, ws, wv, ww in _local_matched_wedges(u, v):
+        if counts is None:
+            nodes = nds
+            counts = np.zeros(len(nds), dtype=np.int64)
+        np.add.at(counts, ws, 1)
+        np.add.at(counts, wv, 1)
+        np.add.at(counts, ww, 1)
+    if counts is None:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    nz = counts > 0
+    return nodes[nz], counts[nz]
 
-    Returns a one-row Dataset ``{n_triangles: int64}``.
-    """
+
+def _oriented_graph(edges: rd.Dataset, a_col: str, b_col: str,
+                    n_parts: int, limit: int):
+    """Shared distributed prelude of the triangle family: canonicalize to
+    deduped (lo, hi) pairs, size-gate, and for the scale path fold node
+    degrees (per-block partials; the node vocabulary is the small side —
+    same documented boundary as :func:`pagerank`) and compute the
+    (degree, id) orientation rank. Returns one of
+    ``("empty", None)`` / ``("local", collected_pairs_table)`` /
+    ``("dist", (oriented_dataset, nodes, rank))``."""
     from .util import collect_table
 
     def to_lo_hi(t: pa.Table) -> pa.Table:
@@ -686,25 +701,18 @@ def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
                          "v": pa.array(hi, pa.int64())})
 
     def dedup_kernel(t: pa.Table) -> pa.Table:
-        u = t["u"].to_numpy(zero_copy_only=False)
-        v = t["v"].to_numpy(zero_copy_only=False)
-        ou, ov = _dedup_pairs(u, v)
+        ou, ov = _dedup_pairs(t["u"].to_numpy(zero_copy_only=False),
+                              t["v"].to_numpy(zero_copy_only=False))
         return pa.table({"u": pa.array(ou, pa.int64()),
                          "v": pa.array(ov, pa.int64())})
 
     e0 = edges.map_batches(to_lo_hi, batch_format="pyarrow",
                            batch_size=None).materialize()
-    limit = TRIANGLE_LOCAL_MAX_EDGES if local_max_edges is None \
-        else local_max_edges
-    empty = pa.table({"n_triangles": pa.array([0], pa.int64())})
     if e0.count() <= limit:
         tbl = collect_table(e0)
         if tbl.num_rows == 0 or "u" not in tbl.column_names:
-            return rd.from_arrow(empty)
-        n_tri = _local_triangles(tbl["u"].to_numpy(zero_copy_only=False),
-                                 tbl["v"].to_numpy(zero_copy_only=False))
-        return rd.from_arrow(pa.table({"n_triangles":
-                                       pa.array([n_tri], pa.int64())}))
+            return "empty", None
+        return "local", tbl
 
     dedup = keyed_part_kernel(e0, "u", dedup_kernel,
                               n_parts=n_parts).materialize()
@@ -720,7 +728,7 @@ def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
                                          batch_format="pyarrow",
                                          batch_size=None))
     if nt.num_rows == 0 or "n" not in nt.column_names:
-        return rd.from_arrow(empty)
+        return "empty", None
     raw_n = nt["n"].to_numpy(zero_copy_only=False)
     nodes = np.unique(raw_n)
     deg = np.zeros(len(nodes), dtype=np.int64)
@@ -750,46 +758,119 @@ def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
     oriented = dedup.map_batches(Orient(nodes, rank),
                                  batch_format="pyarrow",
                                  batch_size=None).materialize()
+    return "dist", (oriented, nodes, rank)
 
-    class WedgeKernel:
-        def __init__(self, nodes_: np.ndarray, rank_: np.ndarray):
-            self.nodes, self.rank = nodes_, rank_
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            out_empty = pa.table({"key": pa.array([], pa.int64()),
-                                  "v": pa.array([], pa.int64()),
-                                  "w": pa.array([], pa.int64()),
-                                  "kind": pa.array([], pa.int8())})
-            if t.num_rows == 0:
-                return out_empty
-            src = t["src"].to_numpy(zero_copy_only=False)
-            dst = t["dst"].to_numpy(zero_copy_only=False)
-            # neighbors ordered by orientation rank within each src segment
-            rd_ = self.rank[np.searchsorted(self.nodes, dst)]
-            order = np.lexsort((rd_, src))
-            src, dst = src[order], dst[order]
-            seg_lens = np.diff(np.r_[
-                np.nonzero(np.r_[True, src[1:] != src[:-1]])[0], len(src)])
-            v, w = _segmented_pairs(dst, seg_lens)
-            if len(v) == 0:
-                return out_empty
-            return pa.table({"key": pa.array(_pair_key(v, w), pa.int64()),
-                             "v": pa.array(v, pa.int64()),
-                             "w": pa.array(w, pa.int64()),
-                             "kind": pa.array(
-                                 np.ones(len(v), np.int8), pa.int8())})
+class _WedgeStage:
+    """Ordered out-neighbor pairs per source (one keyed shuffle on the
+    source), emitted with a pair-hash partition key. With ``emit_src``
+    the per-pair SOURCE rides along (pairs are contiguous per segment,
+    so one np.repeat aligns it) — the per-node variant needs the third
+    corner; the global count omits the column to keep the dominant
+    wedge shuffle 8 bytes/row smaller."""
 
-    wedges = keyed_part_kernel(oriented, "src",
-                               WedgeKernel(nodes, rank), n_parts=n_parts)
+    def __init__(self, nodes_: np.ndarray, rank_: np.ndarray,
+                 emit_src: bool):
+        self.nodes, self.rank = nodes_, rank_
+        self.emit_src = emit_src
 
-    def tag_edges(t: pa.Table) -> pa.Table:
-        v = t["src"].to_numpy(zero_copy_only=False)
-        w = t["dst"].to_numpy(zero_copy_only=False)
-        return pa.table({"key": pa.array(_pair_key(v, w), pa.int64()),
-                         "v": pa.array(v, pa.int64()),
-                         "w": pa.array(w, pa.int64()),
-                         "kind": pa.array(np.zeros(len(v), np.int8),
-                                          pa.int8())})
+    def _empty(self) -> pa.Table:
+        cols = {"key": pa.array([], pa.int64()),
+                "v": pa.array([], pa.int64()),
+                "w": pa.array([], pa.int64())}
+        if self.emit_src:
+            cols["s"] = pa.array([], pa.int64())
+        cols["kind"] = pa.array([], pa.int8())
+        return pa.table(cols)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return self._empty()
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        # neighbors ordered by orientation rank within each src segment
+        rd_ = self.rank[np.searchsorted(self.nodes, dst)]
+        order = np.lexsort((rd_, src))
+        src, dst = src[order], dst[order]
+        seg_starts = np.nonzero(np.r_[True, src[1:] != src[:-1]])[0]
+        seg_lens = np.diff(np.r_[seg_starts, len(src)])
+        v, w = _segmented_pairs(dst, seg_lens)
+        if len(v) == 0:
+            return self._empty()
+        cols = {"key": pa.array(_pair_key(v, w), pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "w": pa.array(w, pa.int64())}
+        if self.emit_src:
+            cols["s"] = pa.array(
+                np.repeat(src[seg_starts], seg_lens * (seg_lens - 1) // 2),
+                pa.int64())
+        cols["kind"] = pa.array(np.ones(len(v), np.int8), pa.int8())
+        return pa.table(cols)
+
+
+def _tag_oriented_edges(t: pa.Table, with_src: bool) -> pa.Table:
+    """Oriented edges keyed like the wedges (kind 0) for the membership
+    partitions."""
+    v = t["src"].to_numpy(zero_copy_only=False)
+    w = t["dst"].to_numpy(zero_copy_only=False)
+    cols = {"key": pa.array(_pair_key(v, w), pa.int64()),
+            "v": pa.array(v, pa.int64()),
+            "w": pa.array(w, pa.int64())}
+    if with_src:
+        cols["s"] = pa.array(np.zeros(len(v), np.int64), pa.int64())
+    cols["kind"] = pa.array(np.zeros(len(v), np.int8), pa.int8())
+    return pa.table(cols)
+
+
+def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
+                   n_parts: int = 64,
+                   local_max_edges: int | None = None) -> rd.Dataset:
+    """EXACT triangle count over an undirected edge list.
+
+    Size-adaptive: below ``local_max_edges`` (default
+    ``TRIANGLE_LOCAL_MAX_EDGES``) the per-block-deduped pairs are collected
+    and counted on the driver with the same vectorized kernels — three
+    keyed shuffles of fixed actor cost buy nothing on a small graph. The
+    scale path above the threshold (every step a bounded-part shuffle or a
+    per-block partial; shared with :func:`node_triangle_counts` via
+    :func:`_oriented_graph` / :class:`_WedgeStage`):
+
+    1. canonicalize to (lo, hi), drop self-loops, global dedup inside ONE
+       keyed shuffle (a canonical pair lives wholly in its lo-partition);
+    2. node degrees as per-block partials folded on the driver — the node
+       vocabulary is the small side by construction (same boundary as
+       :func:`pagerank`; for node sets past driver memory the degree fold
+       and the orientation lookup become a groupby + broadcast join, the
+       edge/wedge passes are unchanged);
+    3. orient each edge from its lower-(degree, id) endpoint — out-degrees
+       are then O(sqrt(m)), so the wedge set is <= m^1.5 total;
+    4. wedges (ordered out-neighbor pairs per source) via one keyed shuffle
+       on the source, emitted with a pair-hash partition key;
+    5. exact membership count per pair-hash partition: rank-encode node ids
+       inside the partition so each (v, w) packs into one int64 and the
+       match is a single ``searchsorted`` — hash collisions land in the
+       same partition and are resolved exactly.
+
+    Returns a one-row Dataset ``{n_triangles: int64}``.
+    """
+    from .util import collect_table
+
+    limit = TRIANGLE_LOCAL_MAX_EDGES if local_max_edges is None \
+        else local_max_edges
+    shape, payload = _oriented_graph(edges, a_col, b_col, n_parts, limit)
+    empty = pa.table({"n_triangles": pa.array([0], pa.int64())})
+    if shape == "empty":
+        return rd.from_arrow(empty)
+    if shape == "local":
+        tbl = payload
+        n_tri = _local_triangles(tbl["u"].to_numpy(zero_copy_only=False),
+                                 tbl["v"].to_numpy(zero_copy_only=False))
+        return rd.from_arrow(pa.table({"n_triangles":
+                                       pa.array([n_tri], pa.int64())}))
+    oriented, nodes, rank = payload
+    wedges = keyed_part_kernel(
+        oriented, "src", _WedgeStage(nodes, rank, emit_src=False),
+        n_parts=n_parts)
 
     def count_kernel(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -810,14 +891,107 @@ def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
             n = int((ek[pos] == wk).sum())
         return pa.table({"n": pa.array([n], pa.int64())})
 
-    both = oriented.map_batches(tag_edges, batch_format="pyarrow",
-                                batch_size=None).union(wedges)
+    both = oriented.map_batches(
+        lambda t: _tag_oriented_edges(t, with_src=False),
+        batch_format="pyarrow", batch_size=None).union(wedges)
     parts = keyed_part_kernel(both, "key", count_kernel, n_parts=n_parts)
     tot = collect_table(parts)
     n_tri = int(pc.sum(tot["n"]).as_py() or 0) \
         if tot.num_rows and "n" in tot.column_names else 0
     return rd.from_arrow(pa.table({"n_triangles":
                                    pa.array([n_tri], pa.int64())}))
+
+
+def node_triangle_counts(edges: rd.Dataset, a_col: str = "a",
+                         b_col: str = "b", n_parts: int = 64,
+                         local_max_edges: int | None = None) -> rd.Dataset:
+    """EXACT per-node triangle participation counts over an undirected
+    edge list: (node, n_triangles) for every node in at least one
+    triangle — the local-clustering-coefficient numerator, and (being a
+    pure integer count over graph structure) a value-hash-checkable twin
+    of a 3-way SQL self-join with the corners UNION ALLed.
+
+    Same size-adaptive shape and kernels as :func:`triangle_count`
+    (shared :func:`_oriented_graph` prelude and :class:`_WedgeStage`);
+    the scale path differs only in what the membership partitions emit —
+    per-corner (node, n) partials (each matched wedge credits its source
+    and both pair members) folded by one final keyed shuffle — so the
+    extra cost over the global count is the wedge stream's source column
+    plus one count-sized shuffle."""
+    limit = TRIANGLE_LOCAL_MAX_EDGES if local_max_edges is None \
+        else local_max_edges
+    shape, payload = _oriented_graph(edges, a_col, b_col, n_parts, limit)
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "n_triangles": pa.array([], pa.int64())})
+    if shape == "empty":
+        return rd.from_arrow(empty)
+    if shape == "local":
+        tbl = payload
+        nn, cc = _local_node_triangles(
+            tbl["u"].to_numpy(zero_copy_only=False),
+            tbl["v"].to_numpy(zero_copy_only=False))
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nn, pa.int64()),
+            "n_triangles": pa.array(cc, pa.int64())}))
+    oriented, nodes, rank = payload
+    wedges = keyed_part_kernel(
+        oriented, "src", _WedgeStage(nodes, rank, emit_src=True),
+        n_parts=n_parts)
+
+    def corner_kernel(t: pa.Table) -> pa.Table:
+        cempty = pa.table({"node": pa.array([], pa.int64()),
+                           "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return cempty
+        v = t["v"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        vocab = np.unique(np.concatenate([v, w]))
+        key = (np.searchsorted(vocab, v).astype(np.int64) * len(vocab)
+               + np.searchsorted(vocab, w))
+        em = kind == 0
+        ek = np.sort(key[em])
+        wm = kind == 1
+        wk = key[wm]
+        if len(ek) == 0 or len(wk) == 0:
+            return cempty
+        pos = np.searchsorted(ek, wk)
+        pos[pos == len(ek)] = 0
+        hit = ek[pos] == wk
+        corners = np.concatenate([v[wm][hit], w[wm][hit], s[wm][hit]])
+        if len(corners) == 0:
+            return cempty
+        nodes_, counts_ = np.unique(corners, return_counts=True)
+        return pa.table({"node": pa.array(nodes_, pa.int64()),
+                         "n": pa.array(counts_, pa.int64())})
+
+    both = oriented.map_batches(
+        lambda t: _tag_oriented_edges(t, with_src=True),
+        batch_format="pyarrow", batch_size=None).union(wedges)
+    partials = keyed_part_kernel(both, "key", corner_kernel,
+                                 n_parts=n_parts)
+
+    def sum_kernel(g: pa.Table) -> pa.Table:
+        k = g["node"].to_numpy(zero_copy_only=False)
+        c = g["n"].to_numpy(zero_copy_only=False)
+        nodes_, inv = np.unique(k, return_inverse=True)
+        tot = np.zeros(len(nodes_), np.int64)
+        np.add.at(tot, inv, c)
+        return pa.table({"node": pa.array(nodes_, pa.int64()),
+                         "n_triangles": pa.array(tot, pa.int64())})
+
+    return keyed_part_kernel(partials, "node", sum_kernel,
+                             n_parts=n_parts)
+
+
+def user_cooccurrence_node_triangles(sf_dir: str) -> rd.Dataset:
+    """Per-user triangle participation over the purchase co-occurrence
+    graph — each user's count of co-activity rings, the numerator of
+    their local clustering coefficient. Exact integer counts, bit-exact
+    against a 3-way-self-join DuckDB twin."""
+    edges = purchase_cooccurrence_graph(sf_dir)
+    return node_triangle_counts(edges, a_col="a", b_col="b")
 
 
 def cooccurrence_edges(ds: rd.Dataset, bucket_col: str, id_col: str,
@@ -857,10 +1031,12 @@ def cooccurrence_edges(ds: rd.Dataset, bucket_col: str, id_col: str,
                              n_parts=n_parts)
 
 
-def purchase_cooccurrence_triangles(sf_dir: str) -> rd.Dataset:
-    """Graph analytics over event data: users co-purchasing in the same
-    hour form an edge; count the triangles (tight co-activity cliques —
-    the fraud / bot-ring smell test a web-scale event pipeline runs)."""
+def purchase_cooccurrence_graph(sf_dir: str,
+                                n_parts: int = 64) -> rd.Dataset:
+    """Distinct undirected (a, b) user pairs that purchased within the
+    same hour — THE graph behind every ``user_cooccurrence_*`` /
+    ``purchase_cooccurrence_*`` query (and the ``ed`` CTE of their SQL
+    twins). One definition so a bucketing change happens once."""
     import os
 
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
@@ -869,11 +1045,19 @@ def purchase_cooccurrence_triangles(sf_dir: str) -> rd.Dataset:
     def purchases(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["event_type"], "purchase"))
         hour = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64())
-        return pa.table({"bucket": hour, "id": pc.cast(t["user_id"],
-                                                       pa.int64())})
+        return pa.table({"bucket": hour,
+                         "id": pc.cast(t["user_id"], pa.int64())})
 
-    edges = cooccurrence_edges(
-        ds.map_batches(purchases, batch_format="pyarrow"), "bucket", "id")
+    return cooccurrence_edges(
+        ds.map_batches(purchases, batch_format="pyarrow"), "bucket", "id",
+        n_parts)
+
+
+def purchase_cooccurrence_triangles(sf_dir: str) -> rd.Dataset:
+    """Graph analytics over event data: users co-purchasing in the same
+    hour form an edge; count the triangles (tight co-activity cliques —
+    the fraud / bot-ring smell test a web-scale event pipeline runs)."""
+    edges = purchase_cooccurrence_graph(sf_dir)
     return triangle_count(edges, a_col="a", b_col="b")
 
 
@@ -1163,19 +1347,7 @@ def user_cooccurrence_cores(sf_dir: str) -> rd.Dataset:
     """Core-number histogram of the purchase co-occurrence graph:
     (core, n_users) — the cohesion profile a web-scale event pipeline uses
     to find dense co-activity shells (complements the triangle count)."""
-    import os
-
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                         columns=["ts", "user_id", "event_type"])
-
-    def purchases(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["event_type"], "purchase"))
-        hour = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64())
-        return pa.table({"bucket": hour,
-                         "id": pc.cast(t["user_id"], pa.int64())})
-
-    edges = cooccurrence_edges(
-        ds.map_batches(purchases, batch_format="pyarrow"), "bucket", "id")
+    edges = purchase_cooccurrence_graph(sf_dir)
     cores = core_numbers(edges)
     from ray.data.aggregate import Count
     return cores.groupby("core").aggregate(Count(alias_name="n_users"))
@@ -1187,6 +1359,8 @@ def user_cooccurrence_cores(sf_dir: str) -> rd.Dataset:
 
 # Same adaptive boundary as PR_LOCAL_MAX_EDGES, for label propagation.
 LPA_LOCAL_MAX_EDGES = 2_000_000
+# Fixed round count shared with the SQL twins (unrolled CTEs per round).
+LPA_EXACT_ROUNDS = 5
 
 
 def label_propagation(edges: rd.Dataset, a_col: str = "a",
@@ -1420,7 +1594,9 @@ def _lpa_distributed(e: rd.Dataset, n_iter: int,
 
     tagged_edges = bd.map_batches(tag_edges, batch_format="pyarrow",
                                   batch_size=None).materialize()
-    sig_hist = [_labels_signature(labels)]
+    # the signature pass costs a full fold over the labels dataset —
+    # only pay it when early stopping will actually read it
+    sig_hist = [_labels_signature(labels)] if early_stop else []
     for _ in range(n_iter):
         votes = keyed_part_kernel(
             tagged_edges.union(labels.map_batches(
@@ -1447,19 +1623,7 @@ def _lpa_distributed(e: rd.Dataset, n_iter: int,
 def purchase_cooccurrence_communities(sf_dir: str) -> rd.Dataset:
     """Label-propagation communities over the same purchase co-occurrence
     graph as :func:`purchase_cooccurrence_triangles` (co-activity rings)."""
-    import os
-
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                         columns=["ts", "user_id", "event_type"])
-
-    def purchases(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["event_type"], "purchase"))
-        hour = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64())
-        return pa.table({"bucket": hour, "id": pc.cast(t["user_id"],
-                                                       pa.int64())})
-
-    edges = cooccurrence_edges(
-        ds.map_batches(purchases, batch_format="pyarrow"), "bucket", "id")
+    edges = purchase_cooccurrence_graph(sf_dir)
     return label_propagation(edges, a_col="a", b_col="b")
 
 
@@ -1471,10 +1635,13 @@ def purchase_cooccurrence_communities(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 PR_EXACT_SCALE = 10**12
+# Fixed round count shared with the SQL twins (unrolled CTEs per round).
+PR_EXACT_ROUNDS = 5
 
 
 def pagerank_exact(edges: rd.Dataset, src_col: str = "u",
-                   dst_col: str = "v", n_iter: int = 5,
+                   dst_col: str = "v",
+                   n_iter: int = PR_EXACT_ROUNDS,
                    scale: int = PR_EXACT_SCALE, n_parts: int = 64,
                    local_max_edges: int | None = None) -> rd.Dataset:
     """PageRank in int64 fixed-point over a deduped DIRECTED edge list.
@@ -1732,19 +1899,7 @@ def user_cooccurrence_pagerank(sf_dir: str) -> rd.Dataset:
     of each deduped undirected pair): (node, rank_units) int64 — the
     activity-centrality score of each co-purchasing user, bit-exact
     against the DuckDB recursive twin."""
-    import os
-
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                         columns=["ts", "user_id", "event_type"])
-
-    def purchases(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["event_type"], "purchase"))
-        hour = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64())
-        return pa.table({"bucket": hour,
-                         "id": pc.cast(t["user_id"], pa.int64())})
-
-    pairs = cooccurrence_edges(
-        ds.map_batches(purchases, batch_format="pyarrow"), "bucket", "id")
+    pairs = purchase_cooccurrence_graph(sf_dir)
     canon = _canonical_edges(pairs, "a", "b", n_parts=64)
     directed = canon.map_batches(_both_directions, batch_format="pyarrow",
                                  batch_size=None)
@@ -1954,7 +2109,16 @@ def _resolve_by_join(rows: rd.Dataset, key_col: str, ids: rd.Dataset,
         order = np.argsort(ik, kind="stable")
         ik = ik[order]
         vals = idt["_val"].take(pa.array(order))
-        resolved = vals.take(pa.array(np.searchsorted(ik, rk)))
+        # exact-match guard: a row key absent from ids must DROP (the
+        # promised inner-join semantics), not silently resolve to the
+        # nearest id or index past the end
+        pos = np.searchsorted(ik, rk)
+        pos_c = np.minimum(pos, len(ik) - 1)
+        hit = ik[pos_c] == rk
+        if not hit.all():
+            rt = rt.filter(pa.array(hit))
+            pos_c = pos_c[hit]
+        resolved = vals.take(pa.array(pos_c))
         return pa.table({out_col: resolved,
                          **{c: rt[c] for c in carried}})
 
@@ -1975,7 +2139,8 @@ def _encode_edges_by_join(ed: rd.Dataset, ids: rd.Dataset,
 
 
 def surface_pagerank_exact(edges: rd.Dataset, src_col: str = "subj",
-                           dst_col: str = "obj", n_iter: int = 5,
+                           dst_col: str = "obj",
+                           n_iter: int = PR_EXACT_ROUNDS,
                            scale: int = PR_EXACT_SCALE,
                            n_parts: int = 64,
                            local_max_vocab: int | None = None
@@ -2026,7 +2191,8 @@ def surface_pagerank_exact(edges: rd.Dataset, src_col: str = "subj",
 
 
 def surface_communities_exact(edges: rd.Dataset, src_col: str = "subj",
-                              dst_col: str = "obj", n_iter: int = 5,
+                              dst_col: str = "obj",
+                              n_iter: int = LPA_EXACT_ROUNDS,
                               n_parts: int = 64,
                               local_max_vocab: int | None = None
                               ) -> rd.Dataset:
@@ -2069,8 +2235,6 @@ def surface_communities_exact(edges: rd.Dataset, src_col: str = "subj",
         "community": pa.array(vocab[com], pa.string())}))
 
 
-LPA_EXACT_ROUNDS = 5
-
 
 def user_cooccurrence_communities_exact(sf_dir: str) -> rd.Dataset:
     """Fixed-round label propagation over the purchase co-occurrence
@@ -2082,18 +2246,6 @@ def user_cooccurrence_communities_exact(sf_dir: str) -> rd.Dataset:
     not expressible in unrolled SQL — the fixed-round variant has a
     BIT-EXACT DuckDB twin of unrolled per-round CTEs (the
     ``pagerank_exact`` shape). Output: (node, community) int64."""
-    import os
-
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                         columns=["ts", "user_id", "event_type"])
-
-    def purchases(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["event_type"], "purchase"))
-        hour = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64())
-        return pa.table({"bucket": hour,
-                         "id": pc.cast(t["user_id"], pa.int64())})
-
-    edges = cooccurrence_edges(
-        ds.map_batches(purchases, batch_format="pyarrow"), "bucket", "id")
+    edges = purchase_cooccurrence_graph(sf_dir)
     return label_propagation(edges, a_col="a", b_col="b",
                              n_iter=LPA_EXACT_ROUNDS, early_stop=False)

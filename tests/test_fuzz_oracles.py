@@ -210,6 +210,8 @@ EV_QUERIES = [
     # fixed-round LPA over the co-occurrence graph (all-integer update,
     # bit-exact unrolled-CTE twin; round-5 session-3)
     "user_cooccurrence_communities_exact",
+    # per-node triangle participation (exact integer counts)
+    "user_cooccurrence_node_triangles",
 ]
 
 

@@ -471,6 +471,45 @@ def test_pagerank_exact_matches_python_reference(ray_session):
     assert 0 < sum(want.values()) <= PR_EXACT_SCALE
 
 
+def test_node_triangle_counts_match_python_reference(ray_session):
+    """Per-node triangle participation: both size-adaptive paths equal
+    the brute-force corner count, and the counts sum to 3x the global
+    triangle count (every triangle has exactly three corners)."""
+    from itertools import combinations
+
+    from sema_ray.graph import node_triangle_counts, triangle_count
+
+    rng = np.random.default_rng(41)
+    edges = sorted({(int(min(a, b)), int(max(a, b)))
+                    for a, b in rng.integers(0, 40, (260, 2)) if a != b})
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[int, int] = {}
+    n_tri = 0
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            n_tri += 1
+            for x in (a, b, c):
+                want[x] = want.get(x, 0) + 1
+
+    tbl = pa.table({"a": pa.array([a for a, _ in edges], pa.int64()),
+                    "b": pa.array([b for _, b in edges], pa.int64())})
+    got_local = {r["node"]: r["n_triangles"]
+                 for r in node_triangle_counts(
+                     rd.from_arrow(tbl)).take_all()}
+    got_dist = {r["node"]: r["n_triangles"]
+                for r in node_triangle_counts(
+                    rd.from_arrow(tbl), local_max_edges=0,
+                    n_parts=8).take_all()}
+    assert got_local == want
+    assert got_dist == want
+    total = triangle_count(rd.from_arrow(tbl)).take_all()[0]["n_triangles"]
+    assert total == n_tri
+    assert sum(want.values()) == 3 * n_tri
+
+
 def test_surface_pagerank_exact_matches_python_reference(ray_session):
     """String-keyed exact PageRank: ranks must equal the pure-Python
     int64 fold over the surface graph regardless of id assignment
