@@ -1041,6 +1041,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer counts — the local-clustering-coefficient numerator)
         "user_cooccurrence_node_triangles":
             graph.user_cooccurrence_node_triangles,
+        # the coefficient itself: two exact-integer operators composed,
+        # ONE shared-form float op (bit-exact; CLAUDE.md trap #2 shape)
+        "user_cooccurrence_clustering":
+            graph.user_cooccurrence_clustering,
         # --- file-format sources (JSONL / CSV shards, sources/files.py) ---
         "jsonl_lang_stats": _jsonl_lang_stats,
         "csv_event_type_hours": _csv_event_type_hours,
@@ -1455,6 +1459,48 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT b FROM tri
                   UNION ALL SELECT c FROM tri)
             GROUP BY node
+        """,
+        # local clustering coefficient: integer degree + triangle counts,
+        # then ONE float division of exact ints and the shared
+        # FLOOR(x*10^6 + 0.5)/10^6 rounding — identical IEEE ops to the
+        # Ray side (degree counts BOTH endpoints of each deduped edge)
+        "user_cooccurrence_clustering": """
+            WITH ed AS (
+              SELECT DISTINCT LEAST(a.user_id, b.user_id) AS lo,
+                              GREATEST(a.user_id, b.user_id) AS hi
+              FROM events a JOIN events b
+                ON a.event_type = b.event_type
+               AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+               AND a.user_id < b.user_id
+              WHERE a.event_type = 'purchase'),
+            deg AS (
+              SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+              FROM (SELECT lo AS node FROM ed
+                    UNION ALL SELECT hi FROM ed)
+              GROUP BY node),
+            tri AS (
+              SELECT node, CAST(COUNT(*) AS BIGINT) AS n
+              FROM (SELECT e1.lo AS node FROM ed e1
+                      JOIN ed e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+                      JOIN ed e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+                    UNION ALL
+                    SELECT e1.hi FROM ed e1
+                      JOIN ed e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+                      JOIN ed e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+                    UNION ALL
+                    SELECT e2.hi FROM ed e1
+                      JOIN ed e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+                      JOIN ed e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+              GROUP BY node)
+            SELECT d.node, d.degree,
+                   COALESCE(t.n, 0) AS n_triangles,
+                   CASE WHEN d.degree < 2 THEN 0.0
+                        ELSE FLOOR(CAST(2 * COALESCE(t.n, 0) AS DOUBLE)
+                                   / CAST(d.degree * (d.degree - 1)
+                                          AS DOUBLE)
+                                   * 1000000 + 0.5) / 1000000
+                   END AS clustering
+            FROM deg d LEFT JOIN tri t USING (node)
         """,
         # bit-exact integer PageRank over the same co-occurrence edges
         # (unrolled rounds; associativity of int64 sums is what makes a

@@ -985,6 +985,93 @@ def node_triangle_counts(edges: rd.Dataset, a_col: str = "a",
                              n_parts=n_parts)
 
 
+def local_clustering(edges: rd.Dataset, a_col: str = "a",
+                     b_col: str = "b", n_parts: int = 64,
+                     local_max_edges: int | None = None,
+                     digits: int = 6) -> rd.Dataset:
+    """Local clustering coefficient per node: (node, degree, n_triangles,
+    clustering) with ``clustering = 2T / (d(d-1))`` (0.0 for d < 2),
+    rounded half-up to ``digits`` — a composite of two exact-integer
+    operators (:func:`node_triangle_counts` and a degree count), so the
+    ONE float op (an IEEE division of two exact ints, then the shared
+    ``FLOOR(x*10^d + 0.5)/10^d`` rounding) is bit-identical to the
+    DuckDB twin. Every stage is a bounded-part keyed shuffle."""
+    from .util import round_half_up
+
+    canon = _canonical_edges(edges, a_col, b_col, n_parts)
+    tri = node_triangle_counts(canon, a_col="u", b_col="v",
+                               n_parts=n_parts,
+                               local_max_edges=local_max_edges)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
+                               t["v"].to_numpy(zero_copy_only=False)])
+        nodes_, counts_ = np.unique(both, return_counts=True)
+        return pa.table({"node": pa.array(nodes_, pa.int64()),
+                         "d": pa.array(counts_, pa.int64())})
+
+    j_schema = pa.schema([("node", pa.int64()), ("d", pa.int64()),
+                          ("t", pa.int64())])
+
+    def tag_deg(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "d": t["d"],
+                         "t": pa.nulls(t.num_rows, pa.int64())},
+                        schema=j_schema)
+
+    def tag_tri(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"],
+                         "d": pa.nulls(t.num_rows, pa.int64()),
+                         "t": t["n_triangles"]}, schema=j_schema)
+
+    def join_kernel(g: pa.Table) -> pa.Table:
+        dm = pc.is_valid(g["d"])
+        dt = g.filter(dm)
+        tt = g.filter(pc.invert(dm))
+        if dt.num_rows == 0:  # every tri node has degree partials
+            return pa.table({
+                "node": pa.array([], pa.int64()),
+                "degree": pa.array([], pa.int64()),
+                "n_triangles": pa.array([], pa.int64()),
+                "clustering": pa.array([], pa.float64())})
+        k = dt["node"].to_numpy(zero_copy_only=False)
+        d = dt["d"].to_numpy(zero_copy_only=False)
+        # fold degree partials from different source blocks
+        nodes_, inv = np.unique(k, return_inverse=True)
+        deg = np.zeros(len(nodes_), np.int64)
+        np.add.at(deg, inv, d)
+        tri_ = np.zeros(len(nodes_), np.int64)
+        if tt.num_rows:  # LEFT-join: absent triangle count means 0
+            tk = tt["node"].to_numpy(zero_copy_only=False)
+            tv = tt["t"].to_numpy(zero_copy_only=False)
+            tri_[np.searchsorted(nodes_, tk)] = tv
+        num = (2 * tri_).astype(np.float64)
+        den = (deg * (deg - 1)).astype(np.float64)
+        coeff = np.divide(num, den, out=np.zeros_like(num),
+                          where=deg >= 2)
+        return pa.table({
+            "node": pa.array(nodes_, pa.int64()),
+            "degree": pa.array(deg, pa.int64()),
+            "n_triangles": pa.array(tri_, pa.int64()),
+            "clustering": round_half_up(pa.array(coeff, pa.float64()),
+                                        digits)})
+
+    deg_ds = canon.map_batches(deg_partial, batch_format="pyarrow",
+                               batch_size=None)
+    tagged = deg_ds.map_batches(tag_deg, batch_format="pyarrow",
+                                batch_size=None).union(
+        tri.map_batches(tag_tri, batch_format="pyarrow", batch_size=None))
+    return keyed_part_kernel(tagged, "node", join_kernel, n_parts=n_parts)
+
+
+def user_cooccurrence_clustering(sf_dir: str) -> rd.Dataset:
+    """Local clustering coefficient of every co-purchasing user — how
+    clique-like each user's co-activity neighborhood is (bot rings sit
+    near 1.0, organic hubs near 0). Bit-exact against the DuckDB twin:
+    integer degree and triangle counts, one shared-form float op."""
+    edges = purchase_cooccurrence_graph(sf_dir)
+    return local_clustering(edges, a_col="a", b_col="b")
+
+
 def user_cooccurrence_node_triangles(sf_dir: str) -> rd.Dataset:
     """Per-user triangle participation over the purchase co-occurrence
     graph — each user's count of co-activity rings, the numerator of

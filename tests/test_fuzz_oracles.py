@@ -212,6 +212,8 @@ EV_QUERIES = [
     "user_cooccurrence_communities_exact",
     # per-node triangle participation (exact integer counts)
     "user_cooccurrence_node_triangles",
+    # clustering coefficient (integer counts + one shared-form float op)
+    "user_cooccurrence_clustering",
 ]
 
 

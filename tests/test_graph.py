@@ -510,6 +510,44 @@ def test_node_triangle_counts_match_python_reference(ray_session):
     assert sum(want.values()) == 3 * n_tri
 
 
+def test_local_clustering_matches_python_reference(ray_session):
+    """Clustering coefficient: both size-adaptive paths equal the
+    brute-force 2T/(d(d-1)) with the shared half-up rounding; isolated-
+    edge nodes (d=1) and triangle-free nodes score exactly 0.0."""
+    from itertools import combinations
+    import math
+
+    from sema_ray.graph import local_clustering
+
+    rng = np.random.default_rng(47)
+    edges = sorted({(int(min(a, b)), int(max(a, b)))
+                    for a, b in rng.integers(0, 30, (120, 2)) if a != b})
+    edges.append((900, 901))  # isolated edge: d=1 -> clustering 0.0
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {x: 0 for x in adj}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                tri[x] += 1
+    want = {}
+    for x, ns in adj.items():
+        d = len(ns)
+        c = 0.0 if d < 2 else math.floor(
+            2 * tri[x] / (d * (d - 1)) * 10**6 + 0.5) / 10**6
+        want[x] = (d, tri[x], c)
+
+    tbl = pa.table({"a": pa.array([a for a, _ in edges], pa.int64()),
+                    "b": pa.array([b for _, b in edges], pa.int64())})
+    for kwargs in ({}, {"local_max_edges": 0, "n_parts": 8}):
+        got = {r["node"]: (r["degree"], r["n_triangles"], r["clustering"])
+               for r in local_clustering(rd.from_arrow(tbl),
+                                         **kwargs).take_all()}
+        assert got == want, kwargs
+
+
 def test_surface_pagerank_exact_matches_python_reference(ray_session):
     """String-keyed exact PageRank: ranks must equal the pure-Python
     int64 fold over the surface graph regardless of id assignment
