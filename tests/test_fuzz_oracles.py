@@ -64,6 +64,10 @@ FUZZ_QUERIES = [
     "kg_normalized", "kg_mentions", "kg_triples",
     "conv_stats", "assistant_latency", "tool_usage",
     "kg_entities_valid", "kg_linked_valid",
+    # surface-keyed exact graph ops over the same derived corpus —
+    # hostile surfaces (unicode İ/ß fragments) exercise the cross-engine
+    # collation identity the LPA tie-break depends on
+    "kg_surface_pagerank", "kg_surface_communities",
     # opaque-binary metadata over the hostile documents (NULL payloads);
     # frame_sample_meta is left out because its fixture is self-
     # synthesized — input-independent, nothing for a fuzzer to vary
