@@ -683,12 +683,17 @@ def _local_node_triangles(u: np.ndarray, v: np.ndarray
 
 
 def _oriented_graph(edges: rd.Dataset, a_col: str, b_col: str,
-                    n_parts: int, limit: int):
+                    n_parts: int, limit: int,
+                    pre_canonical: bool = False):
     """Shared distributed prelude of the triangle family: canonicalize to
     deduped (lo, hi) pairs, size-gate, and for the scale path fold node
     degrees (per-block partials; the node vocabulary is the small side —
     same documented boundary as :func:`pagerank`) and compute the
-    (degree, id) orientation rank. Returns one of
+    (degree, id) orientation rank. ``pre_canonical`` asserts the input is
+    ALREADY the globally-deduped (lo, hi) output of
+    :func:`_canonical_edges` under ``a_col``/``b_col`` names — the
+    global-dedup keyed shuffle is then skipped (a caller that just paid
+    it must not pay it twice). Returns one of
     ``("empty", None)`` / ``("local", collected_pairs_table)`` /
     ``("dist", (oriented_dataset, nodes, rank))``."""
     from .util import collect_table
@@ -714,8 +719,8 @@ def _oriented_graph(edges: rd.Dataset, a_col: str, b_col: str,
             return "empty", None
         return "local", tbl
 
-    dedup = keyed_part_kernel(e0, "u", dedup_kernel,
-                              n_parts=n_parts).materialize()
+    dedup = e0 if pre_canonical else keyed_part_kernel(
+        e0, "u", dedup_kernel, n_parts=n_parts).materialize()
 
     def node_deg_partial(t: pa.Table) -> pa.Table:
         both = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
@@ -904,7 +909,8 @@ def triangle_count(edges: rd.Dataset, a_col: str = "a", b_col: str = "b",
 
 def node_triangle_counts(edges: rd.Dataset, a_col: str = "a",
                          b_col: str = "b", n_parts: int = 64,
-                         local_max_edges: int | None = None) -> rd.Dataset:
+                         local_max_edges: int | None = None,
+                         pre_canonical: bool = False) -> rd.Dataset:
     """EXACT per-node triangle participation counts over an undirected
     edge list: (node, n_triangles) for every node in at least one
     triangle — the local-clustering-coefficient numerator, and (being a
@@ -920,7 +926,8 @@ def node_triangle_counts(edges: rd.Dataset, a_col: str = "a",
     plus one count-sized shuffle."""
     limit = TRIANGLE_LOCAL_MAX_EDGES if local_max_edges is None \
         else local_max_edges
-    shape, payload = _oriented_graph(edges, a_col, b_col, n_parts, limit)
+    shape, payload = _oriented_graph(edges, a_col, b_col, n_parts, limit,
+                                     pre_canonical=pre_canonical)
     empty = pa.table({"node": pa.array([], pa.int64()),
                       "n_triangles": pa.array([], pa.int64())})
     if shape == "empty":
@@ -999,9 +1006,17 @@ def local_clustering(edges: rd.Dataset, a_col: str = "a",
     from .util import round_half_up
 
     canon = _canonical_edges(edges, a_col, b_col, n_parts)
+    if canon.count() == 0:  # explicit-empty-schema rule (CLAUDE.md):
+        # an empty groupby Dataset loses its columns in to_pandas
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "degree": pa.array([], pa.int64()),
+            "n_triangles": pa.array([], pa.int64()),
+            "clustering": pa.array([], pa.float64())}))
     tri = node_triangle_counts(canon, a_col="u", b_col="v",
                                n_parts=n_parts,
-                               local_max_edges=local_max_edges)
+                               local_max_edges=local_max_edges,
+                               pre_canonical=True)
 
     def deg_partial(t: pa.Table) -> pa.Table:
         both = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
@@ -1999,6 +2014,15 @@ def user_cooccurrence_pagerank(sf_dir: str) -> rd.Dataset:
 SURFACE_VOCAB_LOCAL_MAX = 2_000_000
 
 
+def _so_vocab_partial(t: pa.Table) -> pa.Table:
+    """Per-block distinct endpoint surfaces of an (s, o) pair table —
+    shared by the closure-shipped and dense-rank id paths."""
+    u = np.unique(np.concatenate(
+        [np.asarray(t["s"].to_pylist(), dtype=object),
+         np.asarray(t["o"].to_pylist(), dtype=object)]))
+    return pa.table({"v": pa.array(u, pa.string())})
+
+
 def _surface_edges_encode(edges: rd.Dataset, src_col: str, dst_col: str,
                           n_parts: int,
                           local_max_vocab: int | None = None
@@ -2051,13 +2075,8 @@ def _surface_edges_encode(edges: rd.Dataset, src_col: str, dst_col: str,
             return None, None, None
         return _encode_edges_by_join(ed, ids, n_parts), None, ids
 
-    def vocab_partial(t: pa.Table) -> pa.Table:
-        u = np.unique(np.concatenate(
-            [np.asarray(t["s"].to_pylist(), dtype=object),
-             np.asarray(t["o"].to_pylist(), dtype=object)]))
-        return pa.table({"v": pa.array(u, pa.string())})
-
-    vt = collect_table(ed.map_batches(vocab_partial, batch_format="pyarrow",
+    vt = collect_table(ed.map_batches(_so_vocab_partial,
+                                      batch_format="pyarrow",
                                       batch_size=None))
     if vt.num_rows == 0 or "v" not in vt.column_names:
         return None, None, None
@@ -2093,18 +2112,12 @@ def _surface_ids_dense(ed: rd.Dataset, n_parts: int) -> rd.Dataset | None:
     structure — only one row per block."""
     from .util import collect_table
 
-    def nodes_partial(t: pa.Table) -> pa.Table:
-        u = np.unique(np.concatenate(
-            [np.asarray(t["s"].to_pylist(), dtype=object),
-             np.asarray(t["o"].to_pylist(), dtype=object)]))
-        return pa.table({"v": pa.array(u, pa.string())})
-
     def distinct_kernel(g: pa.Table) -> pa.Table:
         u = np.unique(np.asarray(g["v"].to_pylist(), dtype=object))
         return pa.table({"v": pa.array(u, pa.string())})
 
     nodes = keyed_part_kernel(
-        ed.map_batches(nodes_partial, batch_format="pyarrow",
+        ed.map_batches(_so_vocab_partial, batch_format="pyarrow",
                        batch_size=None),
         "v", distinct_kernel, n_parts=n_parts)
     snodes = nodes.sort("v").materialize()
@@ -2146,16 +2159,27 @@ def _surface_ids_dense(ed: rd.Dataset, n_parts: int) -> rd.Dataset | None:
 
 def _resolve_by_join(rows: rd.Dataset, key_col: str, ids: rd.Dataset,
                      ids_key: str, ids_val: str, out_col: str,
-                     n_parts: int) -> rd.Dataset:
+                     n_parts: int,
+                     rows_schema: pa.Schema | None = None) -> rd.Dataset:
     """Replace ``rows[key_col]`` with its ``ids`` lookup value via one
     keyed tagged-union shuffle (the vote_kernel join idiom): all rows of
     a key co-locate with that key's single ids row, the kernel
     searchsorteds the lookups, and only resolved rows are emitted (ids
     rows with no matching input vanish — inner-join semantics). Carried
-    columns pass through untouched."""
-    r_schema = rows.schema()  # ray Schema: parallel .names / .types
-    r_types = dict(zip(r_schema.names, r_schema.types))
-    carried = [c for c in r_schema.names if c != key_col]
+    columns pass through untouched.
+
+    Pass ``rows_schema`` whenever ``rows`` is an UNMATERIALIZED pipeline:
+    ``Dataset.schema()`` on a lazy dataset executes the plan for
+    inference and the un-materialized lineage then recomputes on
+    consumption — a silent 2x on every decode stage. ``ids`` is always
+    materialized by its builders, so its schema probe is metadata."""
+    if rows_schema is not None:
+        r_names, r_tps = rows_schema.names, rows_schema.types
+    else:
+        r_schema = rows.schema()  # ray Schema: parallel .names / .types
+        r_names, r_tps = r_schema.names, r_schema.types
+    r_types = dict(zip(r_names, r_tps))
+    carried = [c for c in r_names if c != key_col]
     i_schema = ids.schema()
     i_types = dict(zip(i_schema.names, i_schema.types))
     fields = [("k", r_types[key_col])]
@@ -2220,9 +2244,13 @@ def _encode_edges_by_join(ed: rd.Dataset, ids: rd.Dataset,
     """(s, o) string pairs -> (u, v) int64 pairs via two keyed lookup
     shuffles against the (surface, nid) dataset — no vocabulary leaves
     the cluster."""
-    half = _resolve_by_join(ed, "s", ids, "surface", "nid", "u", n_parts)
-    return _resolve_by_join(half, "o", ids, "surface", "nid", "v",
-                            n_parts).materialize()
+    half = _resolve_by_join(
+        ed, "s", ids, "surface", "nid", "u", n_parts,
+        rows_schema=pa.schema([("s", pa.string()), ("o", pa.string())]))
+    return _resolve_by_join(
+        half, "o", ids, "surface", "nid", "v", n_parts,
+        rows_schema=pa.schema([("u", pa.int64()),
+                               ("o", pa.string())])).materialize()
 
 
 def surface_pagerank_exact(edges: rd.Dataset, src_col: str = "subj",
@@ -2266,8 +2294,10 @@ def surface_pagerank_exact(edges: rd.Dataset, src_col: str = "subj",
     ranks = pagerank_exact(enc, src_col="u", dst_col="v", n_iter=n_iter,
                            scale=scale, n_parts=n_parts)
     if ids is not None:
-        return _resolve_by_join(ranks, "node", ids, "nid", "surface",
-                                "surface", n_parts)
+        return _resolve_by_join(
+            ranks, "node", ids, "nid", "surface", "surface", n_parts,
+            rows_schema=pa.schema([("node", pa.int64()),
+                                   ("rank_units", pa.int64())]))
     rt = collect_table(ranks)  # vocabulary-sized (documented small side)
     if rt.num_rows == 0 or "node" not in rt.column_names:
         return rd.from_arrow(empty)
@@ -2308,10 +2338,15 @@ def surface_communities_exact(edges: rd.Dataset, src_col: str = "subj",
     labs = label_propagation(enc, a_col="u", b_col="v", n_iter=n_iter,
                              n_parts=n_parts, early_stop=False)
     if ids is not None:
-        half = _resolve_by_join(labs, "community", ids, "nid", "surface",
-                                "community", n_parts)
-        return _resolve_by_join(half, "node", ids, "nid", "surface",
-                                "surface", n_parts)
+        half = _resolve_by_join(
+            labs, "community", ids, "nid", "surface", "community",
+            n_parts,
+            rows_schema=pa.schema([("node", pa.int64()),
+                                   ("community", pa.int64())]))
+        return _resolve_by_join(
+            half, "node", ids, "nid", "surface", "surface", n_parts,
+            rows_schema=pa.schema([("community", pa.string()),
+                                   ("node", pa.int64())]))
     lt = collect_table(labs)  # vocabulary-sized (documented small side)
     if lt.num_rows == 0 or "node" not in lt.column_names:
         return rd.from_arrow(empty)
