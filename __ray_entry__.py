@@ -316,6 +316,45 @@ def _kg_oracle_sqls() -> dict[str, str]:
         JOIN ids i2 ON i2.nid = l{LPA_EXACT_ROUNDS}.lab""")
     out["kg_surface_communities"] = "".join(lpa_parts)
 
+    # Clustering coefficient over the same surface graph. Relabeling-
+    # invariant, and the vocabulary encode is order-preserving, so the
+    # canonical undirected dedup (LEAST/GREATEST) can run on raw
+    # VARCHAR surfaces — no ids CTE. Integer degree/triangle counts,
+    # ONE shared-form float op (the user_cooccurrence_clustering shape).
+    out["kg_surface_clustering"] = f"""
+        WITH t AS ({triples}),
+        ed AS (SELECT DISTINCT LEAST(subj, obj) AS lo,
+                               GREATEST(subj, obj) AS hi
+               FROM t WHERE subj <> obj),
+        deg AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+          FROM (SELECT lo AS node FROM ed UNION ALL SELECT hi FROM ed)
+          GROUP BY node),
+        tri AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS n
+          FROM (SELECT e1.lo AS node FROM ed e1
+                  JOIN ed e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+                  JOIN ed e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+                UNION ALL
+                SELECT e1.hi FROM ed e1
+                  JOIN ed e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+                  JOIN ed e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+                UNION ALL
+                SELECT e2.hi FROM ed e1
+                  JOIN ed e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+                  JOIN ed e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+          GROUP BY node)
+        SELECT d.node AS surface, d.degree,
+               COALESCE(t2.n, 0) AS n_triangles,
+               CASE WHEN d.degree < 2 THEN 0.0
+                    ELSE FLOOR(CAST(2 * COALESCE(t2.n, 0) AS DOUBLE)
+                               / CAST(d.degree * (d.degree - 1)
+                                      AS DOUBLE)
+                               * 1000000 + 0.5) / 1000000
+               END AS clustering
+        FROM deg d LEFT JOIN tri t2 ON t2.node = d.node
+    """
+
     # The chunker (chunker.py, bit-exact reference port) emits exactly one
     # whole-text chunk per turn when every text is under OVERLAP_SIZE+1
     # bytes (no window split, no tail-overlap quirk, no mid-text newline
@@ -434,6 +473,18 @@ def _kg_surface_communities(sf_dir: str):
     t = triples_dataset(read_transcripts(
         _kg_corpus(sf_dir), columns=["conv_id", "turn_idx", "text"]))
     return surface_communities_exact(t, src_col="subj", dst_col="obj")
+
+
+def _kg_surface_clustering(sf_dir: str):
+    """Local clustering coefficient over the surface-level triple graph —
+    how clique-like each entity's link neighborhood is (over-merged
+    canonicalization shows up as clustering spikes). Relabeling-invariant
+    and order-preserving encode, so the twin runs on raw surfaces."""
+    from sema_ray.graph import surface_clustering_exact
+    from sema_ray.pipelines.kg import read_transcripts, triples_dataset
+    t = triples_dataset(read_transcripts(
+        _kg_corpus(sf_dir), columns=["conv_id", "turn_idx", "text"]))
+    return surface_clustering_exact(t, src_col="subj", dst_col="obj")
 
 
 def _kg_entity_pagerank(sf_dir: str):
@@ -1198,6 +1249,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # UTF-8 collation makes the smallest-label tie-break cross-engine
         # exact even though LPA is not relabeling-invariant
         "kg_surface_communities": _kg_surface_communities,
+        # clustering coefficient over the same surface graph (integer
+        # counts + one shared-form float op; twin on raw surfaces)
+        "kg_surface_clustering": _kg_surface_clustering,
         "kg_triangle_count": _kg_triangle_count,
         # k-core decomposition of the purchase co-occurrence graph
         # (iterative peel — pure-Python Seidman oracle in pytest)

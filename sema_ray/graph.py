@@ -2357,6 +2357,48 @@ def surface_communities_exact(edges: rd.Dataset, src_col: str = "subj",
         "community": pa.array(vocab[com], pa.string())}))
 
 
+def surface_clustering_exact(edges: rd.Dataset, src_col: str = "subj",
+                             dst_col: str = "obj", n_parts: int = 64,
+                             local_max_vocab: int | None = None,
+                             digits: int = 6) -> rd.Dataset:
+    """Local clustering coefficient over a STRING-keyed edge list:
+    (surface, degree, n_triangles, clustering). Clustering is
+    relabeling-invariant (pure graph structure plus one shared-form
+    float op), and the vocabulary encode is order-PRESERVING, so the
+    Ray side's canonical undirected dedup over int ids (LEAST/GREATEST
+    on nid) equals the twin's dedup over raw surfaces (LEAST/GREATEST
+    on VARCHAR, binary UTF-8 = code-point order) — the SQL twin needs
+    no ids CTE at all."""
+    from .util import collect_table
+
+    enc, vocab, ids = _surface_edges_encode(edges, src_col, dst_col,
+                                            n_parts, local_max_vocab)
+    empty = pa.table({"surface": pa.array([], pa.string()),
+                      "degree": pa.array([], pa.int64()),
+                      "n_triangles": pa.array([], pa.int64()),
+                      "clustering": pa.array([], pa.float64())})
+    if enc is None:
+        return rd.from_arrow(empty)
+    clu = local_clustering(enc, a_col="u", b_col="v", n_parts=n_parts,
+                           digits=digits)
+    if ids is not None:
+        return _resolve_by_join(
+            clu, "node", ids, "nid", "surface", "surface", n_parts,
+            rows_schema=pa.schema([("node", pa.int64()),
+                                   ("degree", pa.int64()),
+                                   ("n_triangles", pa.int64()),
+                                   ("clustering", pa.float64())]))
+    ct = collect_table(clu)  # vocabulary-sized (documented small side)
+    if ct.num_rows == 0 or "node" not in ct.column_names:
+        return rd.from_arrow(empty)
+    node = ct["node"].to_numpy(zero_copy_only=False)
+    return rd.from_arrow(pa.table({
+        "surface": pa.array(vocab[node], pa.string()),
+        "degree": ct["degree"],
+        "n_triangles": ct["n_triangles"],
+        "clustering": ct["clustering"]}))
+
+
 
 def user_cooccurrence_communities_exact(sf_dir: str) -> rd.Dataset:
     """Fixed-round label propagation over the purchase co-occurrence

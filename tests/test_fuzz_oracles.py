@@ -68,6 +68,7 @@ FUZZ_QUERIES = [
     # hostile surfaces (unicode İ/ß fragments) exercise the cross-engine
     # collation identity the LPA tie-break depends on
     "kg_surface_pagerank", "kg_surface_communities",
+    "kg_surface_clustering",
     # opaque-binary metadata over the hostile documents (NULL payloads);
     # frame_sample_meta is left out because its fixture is self-
     # synthesized — input-independent, nothing for a fuzzer to vary

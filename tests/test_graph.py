@@ -678,6 +678,45 @@ def test_python_sort_matches_duckdb_collation():
     assert got == sorted(vals)
 
 
+def test_surface_clustering_matches_python_reference(ray_session):
+    """String-keyed clustering coefficient: equals the brute-force
+    2T/(d(d-1)) per surface through the closure-shipped AND forced
+    dense-rank id paths, with self-loops and duplicate edges present."""
+    from itertools import combinations
+    import math
+
+    from sema_ray.graph import surface_clustering_exact
+
+    rng = np.random.default_rng(53)
+    names = [f"N{i:02d}" for i in range(25)] + ["Zürich", "Ωm"]
+    edges = [(names[a], names[b])
+             for a, b in rng.integers(0, len(names), (150, 2))]
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    adj: dict[str, set[str]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {x: 0 for x in adj}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                tri[x] += 1
+    want = {x: (len(ns), tri[x],
+                0.0 if len(ns) < 2 else math.floor(
+                    2 * tri[x] / (len(ns) * (len(ns) - 1)) * 10**6
+                    + 0.5) / 10**6)
+            for x, ns in adj.items()}
+
+    tbl = pa.table({"subj": pa.array([a for a, _ in edges], pa.string()),
+                    "obj": pa.array([b for _, b in edges], pa.string())})
+    for kwargs in ({}, {"local_max_vocab": 0, "n_parts": 8}):
+        got = {r["surface"]: (r["degree"], r["n_triangles"],
+                              r["clustering"])
+               for r in surface_clustering_exact(rd.from_arrow(tbl),
+                                                 **kwargs).take_all()}
+        assert got == want, kwargs
+
+
 def test_lpa_fixed_rounds_match_python_reference(ray_session):
     """Fixed-round LPA (early_stop=False): local and forced-distributed
     paths must BOTH equal the pure-Python synchronous fold exactly — the
