@@ -1096,6 +1096,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ONE shared-form float op (bit-exact; CLAUDE.md trap #2 shape)
         "user_cooccurrence_clustering":
             graph.user_cooccurrence_clustering,
+        # degree assortativity: the symmetric form collapses the sqrt
+        # denominator, leaving one float division of exact bigint sums
+        "user_cooccurrence_assortativity":
+            graph.user_cooccurrence_assortativity,
         # --- file-format sources (JSONL / CSV shards, sources/files.py) ---
         "jsonl_lang_stats": _jsonl_lang_stats,
         "csv_event_type_hours": _csv_event_type_hours,
@@ -1555,6 +1559,39 @@ def oracle_sql() -> dict[str, str]:
                                    * 1000000 + 0.5) / 1000000
                    END AS clustering
             FROM deg d LEFT JOIN tri t USING (node)
+        """,
+        # degree assortativity over the same edges: counting BOTH
+        # orientations makes Sx==Sy and Sxx==Syy, so Newman's sqrt*sqrt
+        # denominator collapses to one integer and r is ONE float
+        # division of exact HUGEINT sums plus the shared rounding —
+        # NULL for a degree-regular graph, zero rows for an edgeless one
+        "user_cooccurrence_assortativity": """
+            WITH ed AS (
+              SELECT DISTINCT LEAST(a.user_id, b.user_id) AS lo,
+                              GREATEST(a.user_id, b.user_id) AS hi
+              FROM events a JOIN events b
+                ON a.event_type = b.event_type
+               AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+               AND a.user_id < b.user_id
+              WHERE a.event_type = 'purchase'),
+            e AS (SELECT lo AS u, hi AS v FROM ed
+                  UNION ALL SELECT hi, lo FROM ed),
+            deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM e GROUP BY u),
+            s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+                         SUM(CAST(du.d AS HUGEINT)) AS sx,
+                         SUM(CAST(du.d AS HUGEINT) * dv.d) AS sxy,
+                         SUM(CAST(du.d AS HUGEINT) * du.d) AS sxx
+                  FROM e JOIN deg du ON du.u = e.u
+                         JOIN deg dv ON dv.u = e.v
+                  HAVING COUNT(*) > 0)
+            SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+                   CASE WHEN m * sxx - sx * sx = 0 THEN NULL
+                        ELSE FLOOR(CAST(m * sxy - sx * sx AS DOUBLE)
+                                   / CAST(m * sxx - sx * sx AS DOUBLE)
+                                   * 1000000 + 0.5) / 1000000
+                   END AS assortativity
+            FROM s
         """,
         # bit-exact integer PageRank over the same co-occurrence edges
         # (unrolled rounds; associativity of int64 sums is what makes a

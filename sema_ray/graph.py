@@ -25,6 +25,8 @@ partials — never by collecting edges.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -1194,6 +1196,102 @@ def _fold_degrees(cur: rd.Dataset
     np.add.at(deg, np.searchsorted(nodes, raw),
               nt["d"].to_numpy(zero_copy_only=False))
     return nodes, deg
+
+
+def degree_assortativity(edges: rd.Dataset, a_col: str = "a",
+                         b_col: str = "b", n_parts: int = 64,
+                         digits: int = 6) -> rd.Dataset:
+    """Degree assortativity coefficient of an undirected graph — the
+    Pearson correlation of endpoint degrees over both orientations of
+    every canonical deduped edge (Newman 2002). The SYMMETRIC form is
+    what makes it oracle-checkable: with both orientations counted,
+    Sx == Sy and Sxx == Syy, so the usual sqrt·sqrt denominator
+    collapses to one integer and
+
+        r = (M·Sxy − Sx²) / (M·Sxx − Sx²),   M = 2·|edges|
+
+    is ONE float division of two EXACT integers (Python-bigint folds —
+    per-edge degree products wrap int64 past ~3e9-degree hubs, CLAUDE.md
+    trap #3 — shipped as (hi, lo) limbs per block) followed by the
+    shared half-up rounding: bit-identical to the DuckDB twin's HUGEINT
+    sums. Output: one row (n_edges, assortativity), assortativity NULL
+    for a degree-regular graph (zero denominator, SQL NULL semantics);
+    zero rows for an edgeless graph (the twin's ``HAVING`` form).
+
+    Degrees broadcast in the task closure (:func:`_fold_degrees`'s
+    documented small-side boundary); the moment pass is one per-block
+    partial fold — no shuffle beyond the edge canonicalization."""
+    from .util import collect_table
+
+    canon = _canonical_edges(edges, a_col, b_col, n_parts)
+    empty = pa.table({"n_edges": pa.array([], pa.int64()),
+                      "assortativity": pa.array([], pa.float64())})
+    fold = _fold_degrees(canon)
+    if fold is None:
+        return rd.from_arrow(empty)
+    nodes, deg = fold
+
+    class Moments:
+        # task-pool broadcast: (nodes, deg) deserialize once per worker
+        def __init__(self, nodes_: np.ndarray, deg_: np.ndarray):
+            self.nodes, self.deg = nodes_, deg_
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            du = self.deg[np.searchsorted(self.nodes, u)]
+            dv = self.deg[np.searchsorted(self.nodes, v)]
+            dmax = int(max(du.max(), dv.max(), 1)) if len(du) else 1
+            if dmax * dmax * max(len(du), 1) < 2**62:
+                sx = int(du.sum() + dv.sum())
+                sxy = 2 * int((du * dv).sum())
+                sxx = int((du * du).sum() + (dv * dv).sum())
+            else:  # bigint fold past the int64-product boundary
+                sx = sum(int(x) + int(y) for x, y in zip(du, dv))
+                sxy = 2 * sum(int(x) * int(y) for x, y in zip(du, dv))
+                sxx = sum(int(x) ** 2 + int(y) ** 2
+                          for x, y in zip(du, dv))
+            lim = (1 << 62) - 1
+            return pa.table({
+                "m": pa.array([2 * len(du)], pa.int64()),
+                "sx": pa.array([sx], pa.int64()),
+                "sxy_hi": pa.array([sxy >> 62], pa.int64()),
+                "sxy_lo": pa.array([sxy & lim], pa.int64()),
+                "sxx_hi": pa.array([sxx >> 62], pa.int64()),
+                "sxx_lo": pa.array([sxx & lim], pa.int64())})
+
+    pt = collect_table(canon.map_batches(Moments(nodes, deg),
+                                         batch_format="pyarrow",
+                                         batch_size=None))
+    if pt.num_rows == 0 or "m" not in pt.column_names:
+        return rd.from_arrow(empty)
+    m = sum(pt["m"].to_pylist())
+    if m == 0:
+        return rd.from_arrow(empty)
+    sx = sum(pt["sx"].to_pylist())
+    sxy = sum((h << 62) + lo for h, lo in zip(pt["sxy_hi"].to_pylist(),
+                                              pt["sxy_lo"].to_pylist()))
+    sxx = sum((h << 62) + lo for h, lo in zip(pt["sxx_hi"].to_pylist(),
+                                              pt["sxx_lo"].to_pylist()))
+    num = m * sxy - sx * sx
+    den = m * sxx - sx * sx
+    if den == 0:
+        r = None  # degree-regular graph: SQL NULL
+    else:
+        p = float(10 ** digits)
+        r = math.floor(float(num) / float(den) * p + 0.5) / p
+    return rd.from_arrow(pa.table({
+        "n_edges": pa.array([m // 2], pa.int64()),
+        "assortativity": pa.array([r], pa.float64())}))
+
+
+def user_cooccurrence_assortativity(sf_dir: str) -> rd.Dataset:
+    """Degree assortativity of the purchase co-occurrence graph — do
+    high-activity users co-purchase with each other (r > 0, rings) or
+    with low-activity ones (r < 0, hub-and-spoke)? Bit-exact against
+    the DuckDB twin including the float column."""
+    edges = purchase_cooccurrence_graph(sf_dir)
+    return degree_assortativity(edges, a_col="a", b_col="b")
 
 
 def _peel(cur: rd.Dataset, k: int,

@@ -219,6 +219,8 @@ EV_QUERIES = [
     "user_cooccurrence_node_triangles",
     # clustering coefficient (integer counts + one shared-form float op)
     "user_cooccurrence_clustering",
+    # degree assortativity (symmetric form: one division of exact sums)
+    "user_cooccurrence_assortativity",
 ]
 
 

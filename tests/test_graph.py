@@ -548,6 +548,43 @@ def test_local_clustering_matches_python_reference(ray_session):
         assert got == want, kwargs
 
 
+def test_degree_assortativity_matches_python_reference(ray_session):
+    """Symmetric-form assortativity equals the exact-integer fold, and a
+    degree-regular graph (cycle) yields NULL (zero denominator)."""
+    import math
+
+    from sema_ray.graph import degree_assortativity
+
+    rng = np.random.default_rng(59)
+    edges = sorted({(int(min(a, b)), int(max(a, b)))
+                    for a, b in rng.integers(0, 30, (150, 2)) if a != b})
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    m2 = 2 * len(edges)
+    sx = sum(deg[a] + deg[b] for a, b in edges)
+    sxy = 2 * sum(deg[a] * deg[b] for a, b in edges)
+    sxx = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in edges)
+    want = math.floor((m2 * sxy - sx * sx) / (m2 * sxx - sx * sx)
+                      * 10**6 + 0.5) / 10**6
+
+    tbl = pa.table({"a": pa.array([a for a, _ in edges], pa.int64()),
+                    "b": pa.array([b for _, b in edges], pa.int64())})
+    row = degree_assortativity(rd.from_arrow(tbl)).take_all()[0]
+    assert row["n_edges"] == len(edges)
+    assert row["assortativity"] == want
+
+    cyc = [(i, (i + 1) % 12) for i in range(12)]  # 2-regular ring
+    ctbl = pa.table({"a": pa.array([a for a, _ in cyc], pa.int64()),
+                     "b": pa.array([b for _, b in cyc], pa.int64())})
+    crow = degree_assortativity(rd.from_arrow(ctbl)).take_all()[0]
+    assert crow["n_edges"] == 12
+    assert crow["assortativity"] is None or (
+        isinstance(crow["assortativity"], float)
+        and np.isnan(crow["assortativity"]))
+
+
 def test_surface_pagerank_exact_matches_python_reference(ray_session):
     """String-keyed exact PageRank: ranks must equal the pure-Python
     int64 fold over the surface graph regardless of id assignment
